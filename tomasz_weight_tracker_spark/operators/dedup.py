@@ -1,0 +1,164 @@
+"""Deduplication operators (exact + near-dup families).
+
+Extensions beyond the reference surface for training-data pipelines:
+
+- exact dedup: hash-groupBy on a normalized fingerprint;
+- MinHash signatures + LSH banding for near-dup candidate generation;
+- SimHash (frequency-weighted bitwise majority);
+- n-gram / token-set Jaccard verification of candidate pairs.
+
+Hashing uses the md5-derived 60-bit integers from
+``functions.md5_long`` so every signature is bit-identical to the
+DuckDB oracle (Spark's xxhash64/hash have no DuckDB twin).
+
+Scale posture:
+- signatures are per-row narrow projections (no shuffle);
+- LSH banding shuffles once on the band key — band width trades
+  recall vs. the size of each bucket's candidate cross-product;
+- the pair join uses the band key as join key, so skewed buckets are
+  handled by AQE skew-join splitting;
+- Jaccard verification is a per-pair map over two token arrays
+  (no further shuffle after the candidate join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, md5_long_sql, tokens
+
+
+def dedup_keep_last(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[Column]
+) -> DataFrame:
+    """A6: keep the last row per key in the given order
+    (utils/20251223-csv-to-separate-sensors.py:75 drop_duplicates
+    keep='last'), distributed via row_number instead of a sort+scan."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_expr(token_arr: Column, salt: int) -> Column:
+    """One MinHash value: min over the distinct token set of a salted
+    md5-derived 60-bit hash.  k salts -> k-wide signature."""
+    return F.array_min(
+        F.transform(
+            F.array_distinct(token_arr),
+            lambda t: md5_long(F.concat(F.lit(f"{salt}:"), t)),
+        )
+    )
+
+
+def sql_minhash(tokens_expr: str, salt: int) -> str:
+    h = md5_long_sql(f"'{salt}:' || t")
+    return f"list_min(list_transform(list_distinct({tokens_expr}), t -> {h}))"
+
+
+def minhash_signature(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
+    """Attach mh0..mh{k-1} MinHash columns computed from the whitespace
+    token set of ``text_col``."""
+    toks = tokens(F.lower(F.col(text_col)))
+    for i in range(k):
+        df = df.withColumn(f"mh{i}", minhash_expr(toks, i))
+    return df
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, k: int = 8, bands: int = 2
+) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands of
+    k/bands rows each; docs sharing any full band become a candidate
+    pair.  Returns distinct (id_a, id_b) with id_a < id_b.
+
+    One shuffle on (band_id, band_key); the self-join is an equi-join
+    on the band key so Catalyst plans a shuffled hash join and AQE
+    splits skewed buckets.
+    """
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_exprs(token_arr: Column, bits: int = 16) -> Column:
+    """SimHash over the token multiset (frequency-weighted): bit j of the
+    output is the sign of sum over tokens of (2*bit_j(hash(token)) - 1).
+
+    Built as a fold over the token array — per-row, no shuffle.
+    """
+    def bit_merge(j: int):
+        # F.aggregate introspects the lambda arity, so the bit index must
+        # be captured by closure, not by a default argument.
+        def merge(acc, t):
+            sign = F.shiftright(md5_long(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+            return acc + sign.cast("int")
+
+        return merge
+
+    bit_sums = [F.aggregate(token_arr, F.lit(0), bit_merge(j)) for j in range(bits)]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def sql_simhash(tokens_expr: str, bits: int = 16) -> str:
+    h = md5_long_sql("t")
+    terms = []
+    for j in range(bits):
+        s = (
+            f"list_sum(list_transform({tokens_expr}, "
+            f"t -> ((({h} >> {j}) & 1) * 2 - 1)))"
+        )
+        terms.append(f"CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def jaccard_exprs(tokens_a: Column, tokens_b: Column) -> Column:
+    """Token-set Jaccard similarity as explicit distinct/contains ops so
+    Spark and DuckDB agree on set semantics exactly."""
+    da = F.array_distinct(tokens_a)
+    db = F.array_distinct(tokens_b)
+    common = F.size(F.filter(da, lambda t: F.array_contains(db, t)))
+    union = F.size(da) + F.size(db) - common
+    return F.when(union > 0, common.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def sql_jaccard(ta: str, tb: str) -> str:
+    da = f"list_distinct({ta})"
+    db = f"list_distinct({tb})"
+    common = f"len(list_filter({da}, t -> list_contains({db}, t)))"
+    union = f"(len({da}) + len({db}) - {common})"
+    return (
+        f"CASE WHEN {union} > 0 THEN {common}::DOUBLE / {union}::DOUBLE ELSE 0.0 END"
+    )

@@ -1,0 +1,7 @@
+"""Query catalog: every implemented operator exposed as a (spark
+query, DuckDB oracle SQL) pair — the reference's own cross-engine
+verification pattern (SURVEY.md §5.1.1), industrialized.
+"""
+
+from .catalog import REGISTRY, Query, load  # noqa: F401
+from . import llm_ops  # noqa: F401  (registers documents/embeddings queries)

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Defaults follow the engine posture from SURVEY.md §4.4: AQE on,
+Arrow on, UTC session timezone (DuckDB-oracle comparable), shuffle
+partitions sized to the local core count rather than the 200 default.
+On a real cluster the same factory is used with a different master and
+a shuffle-partition count sized to the input (see ``for_scale``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tomasz_weight_tracker_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    Local mode is a single JVM; ``spark.driver.memory`` must be set
+    before the JVM starts, so callers that need it should set
+    ``SPARK_DRIVER_MEMORY`` in the environment.
+    """
+    master = master or f"local[{_DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def shuffle_partitions_for(input_bytes: int, target_partition_bytes: int = 128 << 20) -> int:
+    """Size shuffle parallelism to the data: ~128 MiB per post-shuffle
+    partition, floored at the core count.  At 100 TB this yields
+    ~800k partitions pre-AQE; AQE coalesces the small ones.
+    """
+    return max(_DEFAULT_CPUS, input_bytes // target_partition_bytes)

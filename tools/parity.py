@@ -1,0 +1,128 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every catalog query through Spark AND its DuckDB oracle on the
+same parquet tables, then compares row count, column names, and
+order-insensitive values (exact — the engine's float discipline is
+bit-exactness, see plans/catalog.py).
+
+Usage:  python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normalize(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def compare_one(spark, con, q, sf_dir: str) -> dict:
+    t0 = time.time()
+    sdf = q.build(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+
+    if q.oracle is None:
+        return {
+            "name": q.name,
+            "status": "rows_only",
+            "spark_rows": len(srows),
+            "t_spark": round(t_spark, 2),
+        }
+
+    t0 = time.time()
+    cur = con.execute(q.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    t_duck = time.time() - t0
+
+    res = {
+        "name": q.name,
+        "spark_rows": len(srows),
+        "oracle_rows": len(orows),
+        "t_spark": round(t_spark, 2),
+        "t_duck": round(t_duck, 2),
+    }
+    if sorted(scols) != sorted(ocols):
+        res["status"] = "SCHEMA_MISMATCH"
+        res["spark_cols"] = scols
+        res["oracle_cols"] = ocols
+        return res
+    if len(srows) != len(orows):
+        res["status"] = "ROWCOUNT_MISMATCH"
+        return res
+    cs = canon(srows, scols)
+    co = canon(orows, ocols)
+    if cs != co:
+        res["status"] = "VALUE_MISMATCH"
+        diffs = [(a, b) for a, b in zip(cs, co) if a != b]
+        res["n_diff"] = len(diffs)
+        res["first_diff"] = diffs[0] if diffs else None
+        return res
+    res["status"] = "OK"
+    return res
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a]
+
+    from tomasz_weight_tracker_spark.plans import REGISTRY
+    from tomasz_weight_tracker_spark.session import get_spark
+
+    spark = get_spark("parity")
+    con = duck_connection(sf_dir)
+
+    todo = names or list(REGISTRY)
+    failures = 0
+    for name in todo:
+        q = REGISTRY[name]
+        try:
+            res = compare_one(spark, con, q, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            res = {"name": name, "status": "ERROR", "error": str(e)[:500]}
+        ok = res["status"] in ("OK", "rows_only")
+        if not ok:
+            failures += 1
+        print(("PASS " if ok else "FAIL ") + str(res), flush=True)
+    print(f"\n{len(todo) - failures}/{len(todo)} passed on {sf_dir}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
