@@ -14,8 +14,10 @@ reference's physical strategy, on purpose:
   (utils/duckdb_electricity_1-minute.py:21-55) is replaced entirely by
   ``to_utc_timestamp(ts, 'Europe/London')``.
 - The per-interval minute-count self-join
-  (utils/duckdb_electricity_1-minute.py:112-143) is replaced by a
-  window count partitioned by the interval key — one shuffle fewer.
+  (utils/duckdb_electricity_1-minute.py:112-143) is replaced by
+  per-row array aggregation over the minute grid BEFORE it is
+  exploded — zero shuffles and no window sort over the amplified
+  rows.
 - The interpreted per-row interval loops
   (utils/pandas_electricity.py:69-122) are ``explode(sequence(...))``,
   whole-stage-codegen'd.
@@ -27,13 +29,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.time_ops import (
     bucket_end_labeled,
     combine_date_time,
-    explode_minute_grid,
     lead_next,
     local_to_utc,
     peak_category,
@@ -81,19 +82,37 @@ def fifteen_minute_usage(
         .withColumn("Delta_OP", (F.col("next_OP") - F.col("OP")).cast("double"))
     )
 
-    # T4: minute grid (start, end]; interval key = the reading's own ts.
-    df = explode_minute_grid(
-        df, "UTC_DateTime", "next_UTC_DateTime", "minute_ts", max_minutes=max_gap_minutes
+    # T4: minute grid (start, end].  The grid is built as an ARRAY first
+    # so the per-interval P/OP minute counts (the reference's self-join
+    # J2, utils/duckdb_electricity_1-minute.py:112-143) collapse to
+    # per-row array aggregations — no shuffle, no window sort over the
+    # exploded (~1440x amplified) rows.  Only then do we explode.
+    start = F.col("UTC_DateTime")
+    end = F.col("next_UTC_DateTime")
+    if max_gap_minutes is not None:
+        end = F.least(end, start + F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
+    one_min = F.expr("INTERVAL 1 MINUTE")
+    # sequence() errors on start > stop: sub-minute intervals contribute
+    # no grid rows, so they are filtered, matching the oracle's
+    # generate_series yielding an empty set.
+    df = df.filter(end >= start + one_min).withColumn(
+        "minutes_arr", F.sequence(start + one_min, end, one_min)
     )
 
-    # T5: classify each minute; count minutes per category per interval
-    # with a window (replaces the reference's self-join J2).
-    df = df.withColumn("Category", peak_category(F.col("minute_ts")))
-    interval_w = Window.partitionBy(*keys, "UTC_DateTime")
-    df = df.withColumn(
-        "P_Mins", F.count(F.when(F.col("Category") == "P", 1)).over(interval_w)
-    ).withColumn(
-        "OP_Mins", F.count(F.when(F.col("Category") == "OP", 1)).over(interval_w)
+    def is_peak(m):
+        mod = F.hour(m) * 60 + F.minute(m)
+        return (mod > 390) & (mod <= 1410)
+
+    df = (
+        df.withColumn(
+            "P_Mins", F.size(F.filter(F.col("minutes_arr"), is_peak)).cast("long")
+        )
+        .withColumn(
+            "OP_Mins", (F.size(F.col("minutes_arr")) - F.col("P_Mins")).cast("long")
+        )
+        .withColumn("minute_ts", F.explode(F.col("minutes_arr")))
+        .drop("minutes_arr")
+        .withColumn("Category", peak_category(F.col("minute_ts")))
     )
 
     # T6: allocate the interval's delta evenly over its minutes of the
@@ -123,8 +142,8 @@ def fifteen_minute_usage(
             # Decimal-cast sums: exact and summation-order-independent, so
             # results are reproducible across partitionings (and match the
             # DuckDB oracle bit-for-bit).
-            F.sum(F.col("P_Usage_min").cast("decimal(27,12)")).cast("double").alias("P_Usage"),
-            F.sum(F.col("OP_Usage_min").cast("decimal(27,12)")).cast("double").alias("OP_Usage"),
+            F.sum(F.col("P_Usage_min").cast("decimal(18,12)")).cast("double").alias("P_Usage"),
+            F.sum(F.col("OP_Usage_min").cast("decimal(18,12)")).cast("double").alias("OP_Usage"),
         )
         .orderBy(*keys, "Bucket")
     )

@@ -81,23 +81,23 @@ def register(name, oracle, survey_ids=(), doc=""):
 # --- exact-aggregation helpers --------------------------------------------
 
 
-def dsum(col, scale: int = 4):
+def dsum(col, scale: int = 4, prec: int = 18):
     """Order-independent exact sum of a double column (see module doc)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
 
 
-def sql_dsum(expr: str, scale: int = 4) -> str:
-    return f"sum(({expr})::DECIMAL(27,{scale}))::DOUBLE"
+def sql_dsum(expr: str, scale: int = 4, prec: int = 18) -> str:
+    return f"sum(({expr})::DECIMAL({prec},{scale}))::DOUBLE"
 
 
-def davg(col, scale: int = 6):
+def davg(col, scale: int = 6, prec: int = 18):
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
+    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double") / F.count(c)
 
 
-def sql_davg(expr: str, scale: int = 6) -> str:
-    return f"sum(({expr})::DECIMAL(27,{scale}))::DOUBLE / count({expr})"
+def sql_davg(expr: str, scale: int = 6, prec: int = 18) -> str:
+    return f"sum(({expr})::DECIMAL({prec},{scale}))::DOUBLE / count({expr})"
 
 
 PEAK_TYPES = ("click", "view", "purchase")
@@ -485,7 +485,7 @@ def q_lead_delta(spark, sf_dir):
     "rolling_avg_7d",
     f"""
     SELECT user_id, event_id,
-           sum(value::DECIMAL(27,6)) OVER w::DOUBLE / count(*) OVER w AS roll_avg
+           sum(value::DECIMAL(18,6)) OVER w::DOUBLE / count(*) OVER w AS roll_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
@@ -505,7 +505,7 @@ def q_rolling_avg_7d(spark, sf_dir):
         "user_id",
         "event_id",
         (
-            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("roll_avg"),
     )
@@ -675,9 +675,9 @@ def _electricity_oracle(max_gap: int = 60) -> str:
     return f"""
     WITH readings AS (
       SELECT user_id, ts, event_id,
-             sum((CASE WHEN event_type IN ({peak_list}) THEN value ELSE 0.0 END)::DECIMAL(27,6))
+             sum((CASE WHEN event_type IN ({peak_list}) THEN value ELSE 0.0 END)::DECIMAL(18,6))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_cum,
-             sum((CASE WHEN event_type NOT IN ({peak_list}) THEN value ELSE 0.0 END)::DECIMAL(27,6))
+             sum((CASE WHEN event_type NOT IN ({peak_list}) THEN value ELSE 0.0 END)::DECIMAL(18,6))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS op_cum
       FROM events
     ), leads AS (
@@ -713,8 +713,8 @@ def _electricity_oracle(max_gap: int = 60) -> str:
            make_timestamp(((floor(floor(epoch(minute_ts - INTERVAL 1 MINUTE)) / 900) * 900)::BIGINT) * 1000000) AS bucket,
            min(minute_ts) AS min_ts, max(minute_ts) AS max_ts,
            count(*) AS minutes,
-           sum(p_usage_min::DECIMAL(27,12))::DOUBLE AS p_usage,
-           sum(op_usage_min::DECIMAL(27,12))::DOUBLE AS op_usage
+           sum(p_usage_min::DECIMAL(18,12))::DOUBLE AS p_usage,
+           sum(op_usage_min::DECIMAL(18,12))::DOUBLE AS op_usage
     FROM rated GROUP BY user_id, bucket
     """
 
@@ -739,8 +739,8 @@ def q_electricity_15min(spark, sf_dir):
     readings = ev.select(
         "user_id",
         F.col("ts").alias("LocalDateTime"),
-        F.sum(p_delta.cast("decimal(27,6)")).over(w).alias("P"),
-        F.sum(op_delta.cast("decimal(27,6)")).over(w).alias("OP"),
+        F.sum(p_delta.cast("decimal(18,6)")).over(w).alias("P"),
+        F.sum(op_delta.cast("decimal(18,6)")).over(w).alias("OP"),
     )
     out = fifteen_minute_usage(
         readings, series_keys=("user_id",), tz=None, max_gap_minutes=60
