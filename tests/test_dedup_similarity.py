@@ -1,0 +1,121 @@
+"""Unit tests for dedup (exact, MinHash/LSH, SimHash, Jaccard) and
+embedding similarity search operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.operators import dedup as D
+from tomasz_weight_tracker_spark.operators import similarity as S
+
+
+class TestDedupKeepLast:
+    def test_keeps_highest_order(self, spark):
+        rows = [("k", 1, "old"), ("k", 2, "new"), ("j", 5, "only")]
+        df = spark.createDataFrame(rows, "key string, seq int, v string")
+        out = D.dedup_keep_last(df, ["key"], [F.col("seq")])
+        got = {r.key: r.v for r in out.collect()}
+        assert got == {"k": "new", "j": "only"}
+        assert "__rn" not in out.columns
+
+
+class TestMinHashLsh:
+    def test_identical_docs_share_all_bands(self, spark):
+        rows = [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz yyy xxx www")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=8)
+        pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig, "doc_id", k=8, bands=2).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_signature_is_order_insensitive(self, spark):
+        # MinHash is over the token SET, so word order must not matter.
+        rows = [(1, "alpha beta gamma"), (2, "gamma alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=4).collect()
+        s1 = [r for r in sig if r.doc_id == 1][0]
+        s2 = [r for r in sig if r.doc_id == 2][0]
+        assert [s1[f"mh{i}"] for i in range(4)] == [s2[f"mh{i}"] for i in range(4)]
+
+
+class TestSimHash:
+    def test_identical_equal_and_disjoint_differ(self, spark):
+        rows = [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "qq rr ss tt uu vv")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        toks = F.split(F.lower(F.col("text")), r"\s+")
+        out = {r.doc_id: r.sh for r in df.select("doc_id", D.simhash_exprs(toks, 16).alias("sh")).collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**16
+        assert out[1] != out[3]
+
+
+class TestJaccard:
+    def test_known_values(self, spark):
+        rows = [
+            ("a b c", "b c d"),  # |∩|=2, |∪|=4 -> 0.5
+            ("a a b", "a b"),  # sets equal -> 1.0
+            ("a", "b"),  # disjoint -> 0.0
+            ("", ""),  # both empty -> 0.0 by convention
+        ]
+        df = spark.createDataFrame(rows, "x string, y string")
+        from tomasz_weight_tracker_spark.functions import tokens
+
+        out = [
+            r.j
+            for r in df.select(
+                D.jaccard_exprs(tokens(F.col("x")), tokens(F.col("y"))).alias("j")
+            ).collect()
+        ]
+        assert out == [0.5, 1.0, 0.0, 0.0]
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+class TestBruteForceTopk:
+    def test_exact_neighbors(self, spark):
+        df = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+        q = df.filter(F.col("vec_id") == 0)
+        out = S.brute_force_topk(q, df, k=2).collect()
+        ranked = sorted(out, key=lambda r: r.rank)
+        assert [r.neighbor_id for r in ranked] == [1, 4]  # dot: 0.9 then 0.7
+        assert math.isclose(ranked[0].score, 0.9)
+
+    def test_self_excluded(self, spark):
+        df = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+        out = S.brute_force_topk(df, df, k=10).collect()
+        assert all(r.q_id != r.neighbor_id for r in out)
+
+
+class TestIvf:
+    def test_full_probe_matches_brute_force(self, spark):
+        # With nprobe == #centroids IVF degenerates to exact search.
+        df = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "centroid_id int, embedding array<double>",
+        )
+        assigned = S.ivf_assign(df, cents)
+        q = df.filter(F.col("vec_id") == 0)
+        ivf = {(r.q_id, r.neighbor_id, r.rank) for r in S.ivf_topk(q, assigned, cents, k=3, nprobe=2).collect()}
+        bf = {(r.q_id, r.neighbor_id, r.rank) for r in S.brute_force_topk(q, df, k=3).collect()}
+        assert ivf == bf
+
+    def test_assignment_deterministic_argmax(self, spark):
+        df = spark.createDataFrame(VECS, "vec_id int, embedding array<double>")
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "centroid_id int, embedding array<double>",
+        )
+        got = {r.vec_id: r.centroid_id for r in S.ivf_assign(df, cents).collect()}
+        assert got[0] == 0 and got[1] == 0 and got[2] == 1
+        # vec 4 ties (0.7, 0.7): deterministic tiebreak on centroid id.
+        assert got[4] == 0
