@@ -1,0 +1,155 @@
+"""W4 jobsearch-ETL tests: MHTML parse, block state machine, status
+classification with prev-line fallback, relative dates, dedup,
+two-level grouped sort, report rendering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.pipelines.jobsearch import (
+    capture_blocks,
+    classify_status,
+    dedup_blocks,
+    grouped_report,
+    html_to_lines,
+    parse_mhtml_snapshots,
+    process_block,
+    render_report,
+)
+
+REF = dt.date(2025, 11, 20)
+
+
+def mhtml_bytes(html_body: str) -> bytes:
+    return (
+        "MIME-Version: 1.0\n"
+        'Content-Type: multipart/related; boundary="BOUND"\n'
+        "\n"
+        "--BOUND\n"
+        "Content-Type: text/html; charset=utf-8\n"
+        "Content-Transfer-Encoding: 8bit\n"
+        "\n"
+        f"{html_body}\n"
+        "--BOUND--\n"
+    ).encode()
+
+
+def page(*body_lines: str) -> str:
+    inner = "".join(f"<p>{ln}</p>" for ln in body_lines)
+    return (
+        "<html><head><title>skip me</title><script>var skip=1;</script></head>"
+        f"<body><p>Your recent activity</p>{inner}<p>Show deleted jobs</p>"
+        "<p>after end marker, ignored</p></body></html>"
+    )
+
+
+class TestHtmlToLines:
+    def test_strips_script_and_head(self):
+        lines = html_to_lines(page("Engineer at Acme").encode(), "utf-8")
+        assert "skip me" not in lines and "var skip=1;" not in lines
+        assert "Engineer at Acme" in lines
+
+
+class TestProcessBlock:
+    def test_status_in_line(self):
+        out, d = process_block(["Acme Corp", "Unsuccessful 3 days ago", "Updated on X"], REF)
+        assert d == REF - dt.timedelta(days=3)
+        assert out == ["Acme Corp", "Unsuccessful on 2025-11-17", "Updated on X"]
+
+    def test_unsuccessful_beats_successful(self):
+        out, _ = process_block(["Job", "was unsuccessful 1 day ago", "Updated on X"], REF)
+        assert out[1].startswith("Unsuccessful on")
+
+    def test_prev_line_fallback_replaces_line(self):
+        block = ["Acme", "Viewed by employer", "2 days ago", "Updated on X"]
+        out, d = process_block(block, REF)
+        # The consumed status line is popped; resolved line replaces it.
+        assert out == ["Acme", "Viewed on 2025-11-18", "Updated on X"]
+
+    def test_default_applied_and_update_job_dropped(self):
+        block = ["Acme", "Update job", "5 days ago", "Updated on X"]
+        out, _ = process_block(block, REF)
+        assert out == ["Acme", "Applied on 2025-11-15", "Updated on X"]
+
+
+class TestCaptureBlocks:
+    def test_markers_and_flush(self):
+        lines = [
+            "noise before",
+            "Your recent activity",
+            "Job A",
+            "Applied 1 day ago",
+            "Updated on Nov 19",
+            "Job B",
+            "Rejected 2 days ago",
+            "Updated on Nov 18",
+            "Show deleted jobs",
+            "Job C",  # after end marker: ignored
+        ]
+        blocks = capture_blocks(lines, REF)
+        assert len(blocks) == 2
+        (lines_a, date_a), (lines_b, date_b) = blocks
+        assert lines_a[0] == "Job A" and date_a == dt.date(2025, 11, 19)
+        assert lines_b[0] == "Job B" and date_b == dt.date(2025, 11, 18)
+
+    def test_block_without_date_dropped(self):
+        lines = ["Your recent activity", "Job A", "Updated on X", "Show deleted jobs"]
+        assert capture_blocks(lines, REF) == []
+
+
+class TestClassifyStatusColumn:
+    def test_chained_when_order(self, spark):
+        df = spark.createDataFrame(
+            [("was unsuccessful",), ("successful app",), ("nothing known",)], "s string"
+        )
+        got = [r.c for r in df.select(classify_status(F.col("s")).alias("c")).collect()]
+        assert got == ["Unsuccessful", "Successful", "Applied"]
+
+
+class TestEndToEnd:
+    def write_snapshot(self, tmp_path, name, *jobs):
+        body = []
+        for job, status_line in jobs:
+            body += [job, status_line, "Updated on whenever"]
+        (tmp_path / name).write_bytes(mhtml_bytes(page(*body)))
+
+    def test_full_flow(self, spark, tmp_path):
+        self.write_snapshot(
+            tmp_path,
+            "20251120 snapshot.mhtml",
+            ("Engineer at Acme", "Applied 1 day ago"),
+            ("Analyst at Beta", "Rejected 2 days ago"),
+        )
+        # Second file repeats Acme (same resolved text -> same signature
+        # because ref date shifts with filename) and adds a new job.
+        self.write_snapshot(
+            tmp_path,
+            "20251121 snapshot.mhtml",
+            ("Engineer at Acme", "Applied 2 days ago"),
+            ("Dev at Gamma", "Viewed 1 day ago"),
+        )
+        (tmp_path / "nodate.mhtml").write_bytes(mhtml_bytes(page("ignored")))
+
+        blocks = parse_mhtml_snapshots(spark, str(tmp_path / "*.mhtml"))
+        deduped = dedup_blocks(blocks)
+        # Acme resolves to 'Applied on 2025-11-19' in BOTH files -> dedup.
+        assert blocks.count() == 4 and deduped.count() == 3
+
+        grouped = grouped_report(deduped, cutoff_date="2025-11-19")
+        rows = grouped.collect()
+        # Beta (11-18) is cut off; Acme and Gamma remain, desc by date.
+        assert [r.group_key for r in rows] == ["Dev at Gamma", "Engineer at Acme"]
+        assert rows[0].group_date == dt.date(2025, 11, 20)
+
+        report = render_report(grouped)
+        assert report[0].startswith("## Dev at Gamma")
+        assert any("Applied on 2025-11-19" in ln for ln in report)
+
+    def test_cutoff_keeps_all_when_none(self, spark, tmp_path):
+        self.write_snapshot(
+            tmp_path, "20251120x.mhtml", ("Solo Job", "Applied 1 day ago")
+        )
+        blocks = parse_mhtml_snapshots(spark, str(tmp_path / "*.mhtml"))
+        assert grouped_report(dedup_blocks(blocks)).count() == 1

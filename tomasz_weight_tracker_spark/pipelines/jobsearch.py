@@ -1,0 +1,271 @@
+"""W4: MHTML job-search ETL (SURVEY.md §2 S7/S8/F4/F5/T8/G4/A7/O3/S12,
+§7.2 phase 4).
+
+Page-snapshot .mhtml files -> MIME walk -> HTML text -> stateful block
+capture between markers -> relative-date resolution + status
+classification -> cross-file dedup -> two-level grouped sort -> report.
+
+Spark-first split of labor (SURVEY §2.10):
+
+- PER-DOCUMENT work (MIME parse, HTML strip, the marker-delimited
+  block scan with its prev-line status fallback) is genuinely
+  imperative and document-local -> ONE ``mapInPandas`` UDF, Arrow
+  batched, one document per row in, one block per row out.  Each doc
+  fits memory; 100 TB of snapshots parallelize per-file.
+- CROSS-DOCUMENT work (cutoff filter P6, signature dedup A7, the
+  grouping and two-level ordering O3, report S12) is native
+  DataFrame ops — dedup and grouping shuffle on the signature/group
+  key exactly once.
+
+Reference behavior mirrored from utils/loose_thoughts.py:138-240 (the
+block state machine), :41-49 (8-digit filename date), :161-168 +
+198-222 (ordered keyword classification, "unsuccessful" before
+"successful", prev-line fallback with line replacement, default
+'Applied'), :227-238 (signature dedup), :57-71 (two-level sort).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from collections.abc import Iterator
+from email import policy
+from email.parser import BytesParser
+from html.parser import HTMLParser
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+START_MARKER = "Your recent activity"
+END_MARKER = "Show deleted jobs"
+DAYS_AGO_RE = re.compile(r"(\d+)\s+day[^\s]*\s+ago", re.IGNORECASE)
+
+# Order matters: "unsuccessful" must match before "successful"
+# (utils/loose_thoughts.py:161-168).
+KNOWN_STATUSES = [
+    ("no longer considering", "No longer considering"),
+    ("unsuccessful", "Unsuccessful"),
+    ("successful", "Successful"),
+    ("rejected", "Rejected"),
+    ("viewed", "Viewed"),
+    ("applied", "Applied"),
+]
+
+FILENAME_DATE_RE = re.compile(r"(\d{8})[^/]*\.mhtml$", re.IGNORECASE)
+
+
+def classify_status(line: Column) -> Column:
+    """G4 as a native chained-when column expression (first match wins,
+    default 'Applied') — usable in pure-DataFrame pipelines; the block
+    UDF applies the same table imperatively for prev-line fallback."""
+    lower = F.lower(line)
+    expr = F.when(lower.contains(KNOWN_STATUSES[0][0]), F.lit(KNOWN_STATUSES[0][1]))
+    for keyword, label in KNOWN_STATUSES[1:]:
+        expr = expr.when(lower.contains(keyword), F.lit(label))
+    return expr.otherwise(F.lit("Applied"))
+
+
+# ---------------------------------------------------------------------------
+# Per-document imperative parsing (inside the mapInPandas UDF).
+
+
+class _TextExtractor(HTMLParser):
+    """BS4-free HTML -> text: drops script/style/head/title/noscript/meta
+    content, joins remaining text nodes with newlines (the observable
+    behavior of the reference's soup.get_text(separator='\\n') after
+    decomposing those tags)."""
+
+    SKIP = {"script", "style", "head", "title", "noscript", "meta"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self.SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in self.SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self.chunks.append(data)
+
+
+def html_to_lines(html: bytes, charset: str | None) -> list[str]:
+    parser = _TextExtractor()
+    parser.feed(html.decode(charset or "utf-8", errors="replace"))
+    text = "\n".join(parser.chunks)
+    return [ln.strip() for ln in text.splitlines() if ln.strip()]
+
+
+def mhtml_text_lines(raw: bytes) -> list[str]:
+    """S7: MIME walk -> concatenated clean text lines of all text/html
+    parts (utils/loose_thoughts.py:138-153)."""
+    msg = BytesParser(policy=policy.default).parsebytes(raw)
+    lines: list[str] = []
+    for part in msg.walk():
+        if part.get_content_type() == "text/html":
+            payload = part.get_payload(decode=True)
+            if payload:
+                lines.extend(html_to_lines(payload, part.get_content_charset()))
+    return lines
+
+
+def process_block(block: list[str], ref_date: dt.date) -> tuple[list[str], dt.date | None]:
+    """F5 block transform: drop 'Update job' lines, resolve '<N> days
+    ago' to dates, classify status with prev-line fallback (replacing
+    the consumed previous line).  Returns (final lines, block date)."""
+    out: list[str] = []
+    block_date: dt.date | None = None
+    for i, line in enumerate(block):
+        if line.strip() == "Update job":
+            continue
+        m = DAYS_AGO_RE.search(line)
+        if not m:
+            out.append(line)
+            continue
+        days_ago = int(m.group(1))
+        calc = ref_date - dt.timedelta(days=days_ago)
+        block_date = calc
+        lower = line.lower()
+        verb = next((label for kw, label in KNOWN_STATUSES if kw in lower), None)
+        from_prev = False
+        if verb is None and i > 0:
+            prev = block[i - 1].lower()
+            verb = next((label for kw, label in KNOWN_STATUSES if kw in prev), None)
+            from_prev = verb is not None
+        if from_prev and out and out[-1] == block[i - 1]:
+            out.pop()
+        out.append(f"{verb or 'Applied'} on {calc.isoformat()}")
+    return out, block_date
+
+
+def capture_blocks(lines: list[str], ref_date: dt.date) -> list[tuple[list[str], dt.date]]:
+    """F5 state machine: capture lines between the start/end markers;
+    each 'Updated on ' line flushes one block."""
+    blocks: list[tuple[list[str], dt.date]] = []
+    capturing = False
+    current: list[str] = []
+    for line in lines:
+        if START_MARKER in line:
+            capturing = True
+            continue
+        if END_MARKER in line:
+            break
+        if not capturing:
+            continue
+        current.append(line)
+        if line.startswith("Updated on "):
+            final, block_date = process_block(current, ref_date)
+            if block_date is not None:
+                blocks.append((final, block_date))
+            current = []
+    return blocks
+
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("file_label", StringType()),
+        StructField("block_date", DateType()),
+        StructField("lines", ArrayType(StringType())),
+        StructField("signature", StringType()),
+    ]
+)
+
+
+def parse_mhtml_snapshots(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S7 + F4/F5: binaryFile scan -> per-document block extraction.
+
+    Documents whose filename lacks the 8-digit date prefix are skipped
+    (P9, utils/loose_thoughts.py:41-43)."""
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                m = FILENAME_DATE_RE.search(r["path"])
+                if not m:
+                    continue
+                try:
+                    ref_date = dt.datetime.strptime(m.group(1), "%Y%m%d").date()
+                except ValueError:
+                    continue
+                lines = mhtml_text_lines(bytes(r["content"]))
+                for final, block_date in capture_blocks(lines, ref_date):
+                    rows.append(
+                        {
+                            "file_label": m.group(1),
+                            "block_date": block_date,
+                            "lines": final,
+                            "signature": "\x1f".join(final),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
+
+    return binary.select("path", "content").mapInPandas(extract, BLOCK_SCHEMA)
+
+
+def dedup_blocks(blocks: DataFrame) -> DataFrame:
+    """A7: cross-file signature dedup, first file wins (deterministic
+    twin of the reference's ordered-set membership)."""
+    w = Window.partitionBy("signature").orderBy("file_label", "block_date")
+    return (
+        blocks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def grouped_report(
+    blocks: DataFrame, cutoff_date: str | None = None, descending: bool = True
+) -> DataFrame:
+    """P6 + O3: cutoff filter, group snapshots by their first line (the
+    job identifier), sort snapshots within each group by date, sort
+    groups by their first snapshot's date.
+
+    Returns (group_key, group_date, snapshots: array<struct>) ordered.
+    """
+    df = blocks.filter(F.size("lines") > 0)
+    if cutoff_date is not None:
+        df = df.filter(F.col("block_date") >= F.lit(cutoff_date))
+    df = df.withColumn("group_key", F.element_at("lines", 1))
+    snap = F.struct("block_date", "file_label", "lines")
+    sort_asc = not descending
+    grouped = df.groupBy("group_key").agg(
+        F.sort_array(F.collect_list(snap), asc=sort_asc).alias("snapshots")
+    )
+    grouped = grouped.withColumn(
+        "group_date", F.element_at("snapshots", 1)["block_date"]
+    )
+    order = F.col("group_date").desc() if descending else F.col("group_date").asc()
+    return grouped.select("group_key", "group_date", "snapshots").orderBy(
+        order, "group_key"
+    )
+
+
+def render_report(grouped: DataFrame, max_groups: int | None = None) -> list[str]:
+    """S12: markdown-ish ordered report lines (driver-side; reports are
+    human-scale by definition)."""
+    rows = grouped.limit(max_groups).collect() if max_groups else grouped.collect()
+    out: list[str] = []
+    for r in rows:
+        out.append(f"## {r.group_key}  ({r.group_date.isoformat()})")
+        for snap in r.snapshots:
+            out.append(f"- [{snap.file_label}]")
+            out.extend(f"  {ln}" for ln in snap.lines)
+        out.append("")
+    return out
