@@ -1,0 +1,210 @@
+"""Extended catalog: operators beyond the first wave — as-of join,
+rollup/grouping sets, anchored weekly resample (A5), keyword
+classification (G4), relative-date resolution (T8), tolerant equality
+(G5) — each over the driver tables with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import values_close
+from ..operators.asof import asof_join
+from ..operators.dedup import dedup_keep_last
+from ..operators.time_ops import week_anchor_offset
+from ..pipelines.jobsearch import KNOWN_STATUSES, classify_status
+from .catalog import davg, dsum, load, register, sql_davg, sql_dsum
+
+
+@register(
+    "asof_join_purchases",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id, p.value AS value_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    survey_ids=("J3",),
+    doc="As-of join (extension per SURVEY §2.3): each click gains the "
+    "latest purchase value at-or-before its timestamp, via the "
+    "union + last-value-window strategy (one shuffle).",
+)
+def q_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(clicks, purch, keys=["user_id"], ts_col="ts", value_cols=("value",))
+    return out.select("user_id", "event_id", F.col("value_asof"))
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT r_name AS region, n_name AS nation,
+           grouping(r_name)::BIGINT * 2 + grouping(n_name)::BIGINT AS gid,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    survey_ids=("A1",),
+    doc="ROLLUP grouping sets (SURVEY §2.4 'not present' row — free in "
+    "Spark): revenue at (region, nation), (region), and grand-total "
+    "levels, disambiguated by grouping_id.",
+)
+def q_rollup_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        )
+        .select("region", "nation", "gid", "revenue")
+    )
+
+
+@register(
+    "weekly_resample",
+    f"""
+    SELECT (ts::DATE + (((5 - isodow(ts::DATE) + 7) % 7)::INT)) AS period,
+           {sql_davg('value')} AS avg_value, count(*) AS n
+    FROM events GROUP BY period
+    """,
+    survey_ids=("A5",),
+    doc="Anchored weekly resample (pandas .resample('W-FRI').mean()): "
+    "7-day tumbling window with the epoch offset that makes windows "
+    "end on Friday (utils/20251223-weight-for-streamlit.py:327-345).",
+)
+def q_weekly_resample(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "7 days", startTime=week_anchor_offset("FRI"))
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(davg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.to_date(F.col("w.end") - F.expr("INTERVAL 1 DAY")).alias("period"),
+            "avg_value",
+            "n",
+        )
+    )
+
+
+_G4_SQL_CASE = "CASE " + " ".join(
+    f"WHEN contains(lower(text), '{kw}') THEN '{label}'" for kw, label in KNOWN_STATUSES
+) + " ELSE 'Applied' END"
+
+
+@register(
+    "keyword_classify",
+    f"""
+    SELECT {_G4_SQL_CASE} AS status, count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY status
+    """,
+    survey_ids=("G4",),
+    doc="Ordered keyword classification (first match wins, 'unsuccessful' "
+    "before 'successful', default 'Applied' — utils/loose_thoughts.py:161-168) "
+    "as a chained-when over document text.",
+)
+def q_keyword_classify(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("status", classify_status(F.col("text")))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "relative_dates",
+    """
+    SELECT event_id,
+           (ts::DATE - INTERVAL ((event_id % 30)::INT) DAY)::DATE AS resolved
+    FROM events
+    """,
+    survey_ids=("T8",),
+    doc="Relative-date resolution: '<N> days ago' regex -> date_sub "
+    "(utils/loose_thoughts.py:191-196), N synthesized from event_id.",
+)
+def q_relative_dates(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    line = F.concat(F.lit("seen "), (F.col("event_id") % 30).cast("string"), F.lit(" days ago"))
+    n = F.regexp_extract(line, r"(\d+)\s+day[^\s]*\s+ago", 1).cast("int")
+    return ev.select(
+        "event_id", F.date_sub(F.to_date("ts"), n).alias("resolved")
+    )
+
+
+@register(
+    "tolerant_equality",
+    """
+    WITH pairs AS (
+      SELECT event_type, value AS a,
+             CASE WHEN event_id % 3 = 0 THEN value + value * 0.000005
+                  WHEN event_id % 3 = 1 THEN value + 1.0
+                  ELSE value END AS b
+      FROM events
+    )
+    SELECT event_type,
+           sum(CASE WHEN (a IS NULL AND b IS NULL)
+                      OR (a IS NOT NULL AND b IS NOT NULL
+                          AND abs(a - b) <= 0.000000001 + 0.00001 * abs(b))
+                    THEN 1 ELSE 0 END)::BIGINT AS n_close,
+           count(*) AS n
+    FROM pairs GROUP BY event_type
+    """,
+    survey_ids=("G5", "G6"),
+    doc="Tolerant equality (np.isclose semantics, the standardized G5/G6 "
+    "variant per SURVEY §7.4.1): rel-perturbed values are close, +1.0 "
+    "is a conflict.",
+)
+def q_tolerant_equality(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    b = (
+        F.when(F.col("event_id") % 3 == 0, F.col("value") + F.col("value") * 0.000005)
+        .when(F.col("event_id") % 3 == 1, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+    )
+    close = values_close(F.col("value"), b)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(close, 1).otherwise(0)).cast("long").alias("n_close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "dedup_keep_last_global",
+    """
+    SELECT source, doc_id, lang FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source, lang ORDER BY doc_id DESC) = 1
+    """,
+    survey_ids=("A6",),
+    doc="Keep-last dedup over the documents table (per source+lang).",
+)
+def q_dedup_keep_last_global(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup_keep_last(d, ["source", "lang"], [F.col("doc_id")]).select(
+        "source", "doc_id", "lang"
+    )

@@ -1,0 +1,128 @@
+"""Streaming twins of the batch operators (SURVEY.md §2.9).
+
+The reference has no true streaming — its one incremental pattern is
+the processed-file-id sync (ST1).  Per the north star these are the
+idiomatic Structured Streaming counterparts, designed watermark-first:
+
+- ST1 -> file-source stream + checkpoint (exactly-once per file);
+- A1/T7 -> tumbling end-labeled 15-minute windowed aggregation with
+  late-data tolerance via watermark;
+- A6 -> ``dropDuplicatesWithinWatermark``;
+- sessionize (catalog twin) -> ``session_window`` with gap timeout.
+
+Scale posture: streaming state is keyed by (series, window); the state
+store shards by the grouping key across executors, so a 1000-executor
+cluster holds each meter's running window locally.  Watermarks bound
+state size — without them the 15-minute windows would accumulate
+forever at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.time_ops import peak_category
+
+
+def stream_fifteen_minute_usage(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    series_keys: Sequence[str] = (),
+    watermark: str = "1 hour",
+    bucket_minutes: int = 15,
+) -> DataFrame:
+    """Streaming A1 + T5 + T7: per-minute usage events -> end-labeled
+    15-minute buckets with P/OP split, tolerant of ``watermark`` of
+    lateness.
+
+    End-labeling parity with the batch operator: batch buckets minute m
+    into the window ``(start, start+15]`` labeled ``start``
+    (bucket_end_labeled); the streaming twin shifts the event time by
+    -1 minute so Spark's standard ``[start, start+15)`` tumbling window
+    produces identical labels.
+    """
+    shifted = F.col(ts_col) - F.expr("INTERVAL 1 MINUTE")
+    df = (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("__bucket_ts", shifted)
+        .withColumn("__cat", peak_category(F.col(ts_col)))
+    )
+    win = F.window(F.col("__bucket_ts"), f"{bucket_minutes} minutes")
+    return (
+        df.groupBy(*series_keys, win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("Minutes"),
+            F.sum(F.when(F.col("__cat") == "P", F.col(value_col))).alias("P_Usage"),
+            F.sum(F.when(F.col("__cat") == "OP", F.col(value_col))).alias("OP_Usage"),
+        )
+        .withColumn("Bucket", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def stream_dedup_keep_first(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming A6: drop duplicate keys arriving within the watermark.
+    (Streams keep the FIRST arrival — the batch fold's keep-last is a
+    retrospective choice; a stream cannot retract an emitted row.)"""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*keys]
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    series_keys: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch lag-gap sessionize: session_window
+    merges events closer than ``gap`` into one session per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*series_keys, F.session_window(F.col(ts_col), gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *series_keys,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def incremental_file_sync(
+    spark: SparkSession,
+    input_glob: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: str,
+    transform=None,
+    fmt: str = "parquet",
+) -> "StreamingQuery":
+    """ST1 as a real stream: the file source discovers new files, the
+    checkpoint IS the processed-file-id state (replacing the reference's
+    hand-rolled cached-id anti-join,
+    utils/20251223-weight-for-streamlit.py:135-189), and availableNow
+    drains everything pending then stops — i.e., an incremental batch
+    run with exactly-once file processing.
+    """
+    stream = spark.readStream.schema(schema).format(fmt).load(input_glob)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
