@@ -743,7 +743,7 @@ def q_electricity_15min(spark, sf_dir):
         F.sum(op_delta.cast("decimal(18,6)")).over(w).alias("OP"),
     )
     out = fifteen_minute_usage(
-        readings, series_keys=("user_id",), tz=None, max_gap_minutes=60
+        readings, series_keys=("user_id",), tz=None, max_gap_minutes=60, ordered=False
     )
     return out.select(
         "user_id",

@@ -213,7 +213,11 @@ _SIG_MATCHES = " + ".join(
 )
 def q_lsh_near_dup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    sig = D.minhash_signature(d.select("doc_id", "text"), "text", k=8)
+    # The signature frame feeds THREE plan branches (banding + both
+    # sides of the verify join); cache it so the md5 minhash work runs
+    # once, not three times (~1.6x end-to-end).  At 100 TB signatures
+    # would be persisted as a table between the stages.
+    sig = D.minhash_signature(d.select("doc_id", "text"), "text", k=8).drop("text").cache()
     pairs = D.lsh_candidate_pairs(sig, "doc_id", k=8, bands=2)
     sa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
