@@ -153,3 +153,23 @@ class TestEndToEnd:
         )
         blocks = parse_mhtml_snapshots(spark, str(tmp_path / "*.mhtml"))
         assert grouped_report(dedup_blocks(blocks)).count() == 1
+
+
+class TestHtmlTables:
+    def test_extract_tables(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.pipelines.jobsearch import extract_html_tables
+
+        html = (
+            "<html><body>"
+            "<table><tr><th>Job</th><th>Status</th></tr>"
+            "<tr><td>Acme  Engineer</td><td>Applied</td></tr></table>"
+            "<table><tr><td>solo</td></tr></table>"
+            "</body></html>"
+        )
+        (tmp_path / "20251120page.mhtml").write_bytes(mhtml_bytes(html))
+        out = extract_html_tables(spark, str(tmp_path / "*.mhtml")).collect()
+        assert len(out) == 3
+        by_key = {(r.table_idx, r.row_idx): r for r in out}
+        assert by_key[(0, 0)].row_text == "Job | Status"
+        assert by_key[(0, 1)].cells == ["Acme Engineer", "Applied"]  # whitespace squashed
+        assert by_key[(1, 0)].row_text == "solo"

@@ -120,3 +120,39 @@ class TestIncrementalFileSync:
         q = incremental_file_sync(spark, src, ckpt, out, SCHEMA)
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() == 5  # 3 + 2, no reprocessing
+
+
+class TestRunningStats:
+    def test_state_persists_across_runs(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.streaming.pipelines import stream_running_stats
+
+        src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        write_events(spark, src, [("m1", dt.datetime(2024, 6, 1, 10, 0), 2.0),
+                                  ("m1", dt.datetime(2024, 6, 1, 10, 1), 4.0),
+                                  ("m2", dt.datetime(2024, 6, 1, 10, 0), 10.0)])
+
+        def run(name):
+            # foreachBatch sink: memory sinks cannot recover a checkpoint.
+            captured = {}
+
+            def sink(batch_df, batch_id):
+                for r in batch_df.collect():
+                    captured[r.meter] = r
+
+            stream = spark.readStream.schema(SCHEMA).parquet(src)
+            q = (stream_running_stats(stream)
+                 .writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return captured
+
+        out1 = run("rs1")
+        assert out1["m1"].n == 2 and out1["m1"].total == 6.0 and out1["m1"].mean == 3.0
+        assert out1["m2"].n == 1 and out1["m2"].mean == 10.0
+
+        # New files -> second availableNow run resumes from checkpointed
+        # state: counts ACCUMULATE rather than restart.
+        write_events(spark, src, [("m1", dt.datetime(2024, 6, 1, 11, 0), 6.0)])
+        out2 = run("rs2")
+        assert out2["m1"].n == 3 and out2["m1"].total == 12.0 and out2["m1"].mean == 4.0

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DateType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
@@ -269,3 +270,106 @@ def render_report(grouped: DataFrame, max_groups: int | None = None) -> list[str
             out.extend(f"  {ln}" for ln in snap.lines)
         out.append("")
     return out
+
+
+# ---------------------------------------------------------------------------
+# S8: HTML table extraction (utils/loose_thoughts_TD2.py:41-60) — tables
+# -> rows -> pipe-joined cell text, as array<struct> + explode.
+
+
+class _TableExtractor(HTMLParser):
+    """Collects <table> contents as lists of row-cell-text lists."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[str]]] = []
+        self._in_table = 0
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._in_table += 1
+            if self._in_table == 1:
+                self.tables.append([])
+        elif self._in_table and tag == "tr":
+            self._row = []
+        elif self._in_table and tag in ("td", "th"):
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if tag == "table" and self._in_table:
+            self._in_table -= 1
+        elif self._in_table and tag == "tr" and self._row is not None:
+            self.tables[-1].append(self._row)
+            self._row = None
+        elif self._in_table and tag in ("td", "th") and self._cell is not None:
+            if self._row is not None:
+                self._row.append(" ".join("".join(self._cell).split()))
+            self._cell = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+TABLE_ROW_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("table_idx", IntegerType()),
+        StructField("row_idx", IntegerType()),
+        StructField("cells", ArrayType(StringType())),
+        StructField("row_text", StringType()),
+    ]
+)
+
+
+def extract_html_tables(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S8: every <table> row of every text/html part of every document,
+    one output row per table row with pipe-joined text (the reference's
+    report format)."""
+    binary = spark.read.format("binaryFile").load(path_glob)
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                msg = BytesParser(policy=policy.default).parsebytes(bytes(r["content"]))
+                parts = (
+                    [p for p in msg.walk() if p.get_content_type() == "text/html"]
+                    if msg.get_content_maintype() == "multipart" or msg.get_content_type() == "text/html"
+                    else []
+                )
+                if not parts and r["path"].endswith((".html", ".htm")):
+                    # Plain HTML file (no MIME wrapper).
+                    class _P:  # minimal shim
+                        @staticmethod
+                        def get_payload(decode=True):
+                            return bytes(r["content"])
+
+                        @staticmethod
+                        def get_content_charset():
+                            return "utf-8"
+
+                    parts = [_P]
+                extractor = _TableExtractor()
+                for part in parts:
+                    payload = part.get_payload(decode=True)
+                    if payload:
+                        extractor.feed(payload.decode("utf-8", errors="replace"))
+                for t_idx, table in enumerate(extractor.tables):
+                    for r_idx, cells in enumerate(table):
+                        rows.append(
+                            {
+                                "path": r["path"],
+                                "table_idx": t_idx,
+                                "row_idx": r_idx,
+                                "cells": cells,
+                                "row_text": " | ".join(cells),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in TABLE_ROW_SCHEMA.fields])
+
+    return binary.select("path", "content").mapInPandas(extract, TABLE_ROW_SCHEMA)

@@ -208,3 +208,150 @@ def q_dedup_keep_last_global(spark, sf_dir):
     return dedup_keep_last(d, ["source", "lang"], [F.col("doc_id")]).select(
         "source", "doc_id", "lang"
     )
+
+
+@register(
+    "embed_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.25
+    """,
+    survey_ids=(),
+    doc="Embedding-cosine near-dup: bounded candidate pairs within a "
+    "label partition, kept when cosine > 0.25 (the embedding twin of "
+    "the MinHash near-dup family).",
+)
+def q_embed_near_dup(spark, sf_dir):
+    from ..operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("b.vec_id") - F.col("a.vec_id") <= 50),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") > 0.25)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cosine")
+    )
+
+
+@register(
+    "scalar_subquery_avg",
+    f"""
+    SELECT l.l_partkey AS partkey, count(*) AS n_small,
+           {sql_dsum('l.l_extendedprice')} AS small_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < 0.5 * (
+      SELECT sum(l2.l_quantity::DECIMAL(18,4))::DOUBLE / count(*)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+    survey_ids=("A8",),
+    doc="Correlated scalar subquery (TPC-H Q17 shape): rows below half "
+    "their part's average quantity.  Spark expresses it as a broadcast "
+    "join against the per-part aggregate (what a decorrelated plan "
+    "becomes anyway).",
+)
+def q_scalar_subquery_avg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice").alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "having_large_orders",
+    f"""
+    SELECT l_orderkey AS orderkey, {sql_dsum('l_quantity')} AS total_qty,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity::DECIMAL(18,4))::DOUBLE > 150.0
+    """,
+    survey_ids=("A1", "P5"),
+    doc="GROUP BY ... HAVING (TPC-H Q18 shape): orders whose total "
+    "quantity exceeds a threshold; the filter runs post-aggregation.",
+)
+def q_having_large_orders(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(dsum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+
+
+@register(
+    "parts_by_type",
+    f"""
+    SELECT p_type, count(*) AS n_parts,
+           {sql_davg('p_retailprice')} AS avg_price,
+           max(p_size)::BIGINT AS max_size
+    FROM part WHERE p_name LIKE '%a%'
+    GROUP BY p_type
+    """,
+    survey_ids=("A1", "P9"),
+    doc="String LIKE predicate + aggregation over the part dimension "
+    "(predicate pushes into the parquet scan).",
+)
+def q_parts_by_type(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+    )
+
+
+@register(
+    "top_suppliers_per_nation",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           row_number() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey)::BIGINT AS rnk
+    FROM supplier QUALIFY rnk <= 3
+    """,
+    survey_ids=("O3", "W4"),
+    doc="Top-3 suppliers by account balance per nation (supplier "
+    "dimension coverage; ranking window).",
+)
+def q_top_suppliers_per_nation(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk")
+    )

@@ -126,3 +126,50 @@ def incremental_file_sync(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RUNNING_STATS_SCHEMA = "meter string, n bigint, total double, mean double"
+_STATS_STATE_SCHEMA = "n bigint, total double"
+
+
+def stream_running_stats(
+    events: DataFrame,
+    key_col: str = "meter",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, mean) maintained across micro-batches in the
+    state store — the arbitrary-state API the built-in windowed aggs
+    can't express (e.g. for CUSUM / drift detectors over sensor feeds).
+
+    State is one (n, total) pair per key: O(keys) state, no growth with
+    stream length.  The checkpoint makes it exactly-once across
+    restarts (tested by driving two availableNow runs over one
+    checkpoint).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)  # .get is a property
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"meter": key[0], "n": n, "total": total, "mean": total / n if n else None}]
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
