@@ -43,8 +43,14 @@ from ..operators.time_ops import (
 
 def read_meter_csv(spark, path: str) -> DataFrame:
     """S1: typed CSV scan of ``Date,Time,P,OP`` cumulative readings
-    (utils/For Pandas and Polars --- Electricity.csv)."""
-    schema = "Date string, Time string, P bigint, OP bigint"
+    (utils/For Pandas and Polars --- Electricity.csv).
+
+    P/OP are DOUBLE: the counters are mostly integral but the reference
+    data contains fractional readings (row 9 of the CSV is ``650.5``),
+    which pandas' inferred float64 and DuckDB's read_csv_auto both
+    accept — a bigint schema would silently null them.
+    """
+    schema = "Date string, Time string, P double, OP double"
     df = spark.read.option("header", True).schema(schema).csv(path)
     return df.select(
         combine_date_time(F.col("Date"), F.col("Time")).alias("LocalDateTime"),
