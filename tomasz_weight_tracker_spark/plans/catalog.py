@@ -50,11 +50,36 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # its own); timestamp semantics vs. the DuckDB oracle require UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table != "events":
-        return spark.read.parquet(path)
+        return _widen(spark, spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _widen(spark, df)
+
+
+# Tables whose single-file, single-row-group layout would otherwise pin
+# the scan (and the partial aggregation fused into it) to ONE task.
+# Parquet can't split below a row group, so on local[32] we widen with
+# an explicit round-robin exchange; on a real dataset with thousands of
+# splits the condition is false and this is a no-op.  The exchange
+# carries only the pruned columns (Catalyst keeps projection/filter
+# pushdown below the repartition).
+_WIDEN_MIN_ROWS_TABLES = {"lineitem", "orders"}
+_scan_partitions: dict[str, int] = {}
+
+
+def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    key = ",".join(df.inputFiles())
+    if not key:
+        return df
+    nparts = _scan_partitions.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _scan_partitions[key] = nparts
+    if nparts * 4 <= cores and any(t in key for t in _WIDEN_MIN_ROWS_TABLES):
+        return df.repartition(cores)
     return df
 
 

@@ -355,3 +355,65 @@ def q_top_suppliers_per_nation(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("s_nationkey", "s_suppkey", "s_acctbal", "rnk")
     )
+
+
+@register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    survey_ids=("U1",),
+    doc="INTERSECT row-set operation (SURVEY §2.7 'not present' row — "
+    "free in Spark): users with both clicks and purchases.",
+)
+def q_intersect_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purch)
+
+
+@register(
+    "except_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey_ids=("U3",),
+    doc="EXCEPT row-set operation: clicking users who never errored.",
+)
+def q_except_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would be the
+    # multiset variant and keeps users whose click count exceeds their
+    # error count — not the same operator.
+    return clicks.subtract(errs)
+
+
+@register(
+    "in_subquery_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("J4",),
+    doc="IN-subquery (TPC-H Q4 shape) -> left-semi join in Spark.",
+)
+def q_in_subquery_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
