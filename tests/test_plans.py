@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans (SURVEY §4.2/§4.4).
+Catches regressions like a lost filter pushdown or a broadcast that
+fell back to sort-merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].build(spark, SF)._sc._jvm.PythonSQLUtils.explainString(
+        REGISTRY[name].build(spark, SF)._jdf.queryExecution(), "formatted"
+    )
+
+
+def formatted(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+class TestPlanShape:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        plan = formatted(spark, "pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_column_pruning(self, spark):
+        plan = formatted(spark, "distinct_order_months")
+        # Only the single needed column is read from the 4-column table.
+        assert "ReadSchema: struct<o_orderdate" in plan
+        assert "o_totalprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+    def test_star_join_broadcasts_dims(self, spark):
+        plan = formatted(spark, "revenue_by_nation")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan
+
+    def test_partial_aggregation_before_exchange(self, spark):
+        plan = formatted(spark, "pricing_summary")
+        # partial_sum below the exchange = map-side combine.
+        assert "partial_sum" in plan
+
+    def test_electricity_single_shuffle_total(self, spark):
+        """The flagship chain has exactly ONE exchange: the per-series
+        window shuffle.  The cumulative-sum and lead windows share it,
+        the per-interval category counts fold over pre-explode arrays
+        (no shuffle), and the final (user, bucket) aggregation reuses
+        the user partitioning (no exchange)."""
+        import re
+
+        plan = formatted(spark, "electricity_15min")
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, f"expected 1 shuffle, got {len(exchanges)}:\n{plan}"
+        assert "Generate" in plan  # bucket-level explode present
+
+    def test_topk_plans_take_ordered(self, spark):
+        plan = formatted(spark, "top_orders")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_semi_join_for_exists(self, spark):
+        plan = formatted(spark, "customers_with_orders")
+        assert "LeftSemi" in plan
+
+    def test_whole_stage_codegen_covers_hot_path(self, spark):
+        df = REGISTRY["bucket_15min"].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        )
+        # The scan->bucket->partial-agg pipeline compiles to one or more
+        # fused codegen stages (no interpreted operators on the hot path).
+        assert "WholeStageCodegen" in plan

@@ -1,0 +1,116 @@
+"""Property-based tests (SURVEY §5.2): random cumulative meter series
+and random overlapping sensor exports, checked against the pipelines'
+conservation / no-data-loss invariants.  Example counts are kept small
+because each example spins Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.pipelines.electricity import fifteen_minute_usage
+from tomasz_weight_tracker_spark.pipelines.sensors import merge_sensor_frames
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_spark = None
+
+
+def get_session():
+    global _spark
+    if _spark is None:
+        from tomasz_weight_tracker_spark.session import get_spark
+
+        _spark = get_spark("props", master="local[4]", shuffle_partitions=4)
+    return _spark
+
+
+meter_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5_000),  # minute offsets
+        st.integers(min_value=0, max_value=30),  # P increments
+        st.integers(min_value=0, max_value=30),  # OP increments
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SLOW
+@given(meter_series)
+def test_minutes_and_conservation(series):
+    """For ANY increasing cumulative series: (1) total Minutes equals
+    the whole-minute span of consecutive-reading gaps; (2) allocated
+    usage never exceeds the meter delta, and equals it when every
+    interval has minutes of both categories."""
+    spark = get_session()
+    t0 = dt.datetime(2024, 6, 1, 0, 0)
+    offsets = sorted(set(o for o, _, _ in series))
+    if len(offsets) < 2:
+        return
+    rows, p, op = [], 100, 200
+    for (o, dp, dop) in zip(offsets, *zip(*[(s[1], s[2]) for s in series])):
+        rows.append((t0 + dt.timedelta(minutes=o), p, op))
+        p, op = p + dp, op + dop
+    readings = spark.createDataFrame(rows, "LocalDateTime timestamp, P bigint, OP bigint")
+    usage = fifteen_minute_usage(readings, tz=None, ordered=False)
+    agg = usage.agg(
+        F.sum("Minutes").alias("mins"),
+        F.sum("P_Usage").alias("p"),
+        F.sum("OP_Usage").alias("op"),
+    ).first()
+    span = sum(b - a for a, b in zip(offsets, offsets[1:]))
+    assert agg.mins == span if span > 0 else agg.mins is None
+    total_dp = sum(s[1] for s in series[: len(offsets) - 1])
+    # Allocation never invents usage:
+    if agg.p is not None:
+        assert agg.p <= (rows[-1][1] - rows[0][1]) + 1e-6
+    if agg.op is not None:
+        assert agg.op <= (rows[-1][2] - rows[0][2]) + 1e-6
+
+
+sensor_files_strategy = st.lists(
+    st.dictionaries(
+        keys=st.integers(min_value=0, max_value=20),  # minute offset
+        values=st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SLOW
+@given(sensor_files_strategy)
+def test_merge_never_loses_nonnull_cells(files):
+    """For ANY sequence of overlapping exports: every (ts, value) cell
+    survives the fold — as the kept value or in a conflict column."""
+    spark = get_session()
+    t0 = dt.datetime(2025, 1, 1, 0, 0)
+    frames = [
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(minutes=o), float(v)) for o, v in f.items()],
+            "Timestamp timestamp, temp double",
+        )
+        for f in files
+    ]
+    merged = {r.Timestamp: r for r in merge_sensor_frames(frames).collect()}
+    cols = merge_sensor_frames(frames).columns
+    value_cols = [c for c in cols if c != "Timestamp"]
+    for f in files:
+        for o, v in f.items():
+            ts = t0 + dt.timedelta(minutes=o)
+            row = merged[ts]
+            assert any(
+                row[c] is not None and math.isclose(row[c], float(v), rel_tol=1e-5, abs_tol=1e-9)
+                for c in value_cols
+            ), f"cell ({ts}, {v}) lost"
