@@ -167,3 +167,34 @@ class TestRelativeDates:
             ).collect()
         ]
         assert got == [dt.date(2024, 5, 7), None]
+
+
+class TestGapFill:
+    def test_linear_interpolation(self, spark):
+        from tomasz_weight_tracker_spark.operators.resample_fill import fill_minute_gaps
+
+        rows = [
+            ("s1", ts("2024-01-01 10:00:00"), 10.0),
+            ("s1", ts("2024-01-01 10:04:00"), 18.0),  # 4-min gap: +2.0/min
+            ("s2", ts("2024-01-01 10:00:00"), 5.0),  # lone reading
+        ]
+        df = spark.createDataFrame(rows, "sensor string, t timestamp, v double")
+        out = fill_minute_gaps(df, "t", ["v"], series_keys=["sensor"])
+        got = {(r.sensor, r.t): r.v for r in out.collect()}
+        assert got[("s1", ts("2024-01-01 10:00:00"))] == 10.0
+        assert got[("s1", ts("2024-01-01 10:01:00"))] == 12.0
+        assert got[("s1", ts("2024-01-01 10:03:00"))] == 16.0
+        assert got[("s1", ts("2024-01-01 10:04:00"))] == 18.0
+        assert got[("s2", ts("2024-01-01 10:00:00"))] == 5.0
+        assert len(got) == 6
+
+    def test_gap_cap_limits_amplification(self, spark):
+        from tomasz_weight_tracker_spark.operators.resample_fill import fill_minute_gaps
+
+        rows = [
+            ("s1", ts("2024-01-01 10:00:00"), 0.0),
+            ("s1", ts("2024-01-01 20:00:00"), 600.0),
+        ]
+        df = spark.createDataFrame(rows, "sensor string, t timestamp, v double")
+        out = fill_minute_gaps(df, "t", ["v"], series_keys=["sensor"], max_gap_minutes=30)
+        assert out.count() == 32  # t0 + 30 capped interior + final reading

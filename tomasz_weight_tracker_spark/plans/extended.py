@@ -417,3 +417,114 @@ def q_in_subquery_orders(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_PEAK_MIN = "(hour(ts) * 60 + minute(ts)) > 390 AND (hour(ts) * 60 + minute(ts)) <= 1410"
+
+
+@register(
+    "streaming_bucket_15min",
+    f"""
+    SELECT make_timestamp(((floor(floor(epoch(ts - INTERVAL 1 MINUTE)) / 900) * 900)::BIGINT) * 1000000) AS bucket,
+           count(*) AS n_events,
+           {sql_dsum(f"CASE WHEN {_PEAK_MIN} THEN value ELSE 0.0 END")} AS p_value,
+           {sql_dsum(f"CASE WHEN {_PEAK_MIN} THEN 0.0 ELSE value END")} AS op_value
+    FROM events GROUP BY bucket
+    """,
+    survey_ids=("ST1", "A1", "T7"),
+    doc="A REAL Structured Streaming execution inside the correctness "
+    "gate: the events table is replayed through a file-source stream "
+    "into the watermarked end-labeled 15-minute aggregation with an "
+    "availableNow trigger; the drained result must equal the batch SQL "
+    "oracle — stream/batch parity, oracle-checked.",
+)
+def q_streaming_bucket_15min(spark, sf_dir):
+    import uuid
+
+    from ..operators.time_ops import peak_category
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # File stream sources take a directory; pathGlobFilter narrows the
+    # listing to the events table.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = raw
+    if dict(raw.dtypes).get("ts") == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    shifted = F.col("ts") - F.expr("INTERVAL 1 MINUTE")
+    agg = (
+        df.withWatermark("ts", "1 hour")
+        .withColumn("__cat", peak_category(F.col("ts")))
+        .groupBy(F.window(shifted, "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("__cat") == "P", F.col("value")).otherwise(F.lit(0.0)).cast("decimal(18,4)")
+            ).cast("double").alias("p_value"),
+            F.sum(
+                F.when(F.col("__cat") == "OP", F.col("value")).otherwise(F.lit(0.0)).cast("decimal(18,4)")
+            ).cast("double").alias("op_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "p_value", "op_value")
+    )
+    name = f"sbucket_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "gap_fill_interpolate",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER w AS nts, lead(value) OVER w AS nval
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), capped AS (
+      SELECT *, least(nts - INTERVAL 1 MINUTE, ts + INTERVAL 120 MINUTES) AS gend
+      FROM s
+    ), grid AS (
+      SELECT user_id, ts, value, nts, nval,
+             unnest(generate_series(ts, gend, INTERVAL 1 MINUTE)) AS m
+      FROM capped WHERE nts IS NOT NULL
+      UNION ALL
+      SELECT user_id, ts, value, NULL, NULL, ts FROM s WHERE nts IS NULL
+    )
+    SELECT user_id, m AS ts,
+           CASE WHEN nts IS NULL OR m = ts THEN value
+                ELSE value + (nval - value)
+                     * ((epoch_us(m) - epoch_us(ts))::DOUBLE / (epoch_us(nts) - epoch_us(ts))::DOUBLE)
+           END AS value
+    FROM grid
+    """,
+    survey_ids=("T4", "W1"),
+    doc="Gap-fill onto a 1-minute grid with linear interpolation "
+    "(regularization of the reference's gappy 1-min sensor series): "
+    "lead window + sequence explode + codegen'd weight expression; "
+    "ONE shuffle, amplification capped at 120 minutes per gap.",
+)
+def q_gap_fill_interpolate(spark, sf_dir):
+    from ..operators.resample_fill import fill_minute_gaps
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return fill_minute_gaps(
+        ev,
+        ts_col="ts",
+        value_cols=["value"],
+        series_keys=["user_id"],
+        order_tiebreak=["event_id"],
+        max_gap_minutes=120,
+    )

@@ -297,11 +297,38 @@ def q_embed_centroid(spark, sf_dir):
 
 @register(
     "embed_ivf_topk",
-    None,  # IVF bucketing is an iterative/physical strategy; rows-only check.
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
+      FROM e CROSS JOIN cent c
+    ), amap AS (SELECT vec_id, v, centroid_id FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT q.q_id, q.qv, c.centroid_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY list_dot_product(q.qv, c.cv) DESC, c.centroid_id) AS rn
+      FROM q CROSS JOIN cent c
+    ), probed AS (SELECT q_id, qv, centroid_id FROM probes WHERE rn <= 2),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.v) AS score
+      FROM probed p JOIN amap a ON p.centroid_id = a.centroid_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id)::BIGINT AS rank,
+           score
+    FROM cand QUALIFY rank <= 5
+    """,
     survey_ids=(),
-    doc="IVF-bucketed ANN (scale path): assign to nearest of 8 coarse "
-    "centroids, probe 2 buckets per query.  No SQL oracle — physical "
-    "pruning strategy; exactness is covered by embed_knn.",
+    doc="IVF-bucketed ANN (scale path): deterministic argmax assignment "
+    "to the nearest of 8 coarse centroids, probe the 2 closest buckets "
+    "per query, exact top-k within.  The oracle replays the same "
+    "deterministic pruning, so the check is exact despite IVF being a "
+    "physical strategy.",
 )
 def q_embed_ivf_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
