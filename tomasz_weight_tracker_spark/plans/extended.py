@@ -528,3 +528,126 @@ def q_gap_fill_interpolate(spark, sf_dir):
         order_tiebreak=["event_id"],
         max_gap_minutes=120,
     )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey AS orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, orderkey LIMIT 10
+    """,
+    survey_ids=("J1", "A1", "O5"),
+    doc="TPC-H Q3 shape: selective dim filter, fact join, grouped "
+    "revenue, global top-10 (TakeOrderedAndProject).",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "shipmode_priority_counts",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    survey_ids=("A2", "P7"),
+    doc="TPC-H Q12 shape: IN-list predicate + conditional counts per "
+    "return flag (the synthetic schema has no ship mode).",
+)
+def q_shipmode_priority_counts(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT date_trunc('month', l_shipdate)::DATE AS month,
+           {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)} AS promo_revenue,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY month
+    """,
+    survey_ids=("A2", "J1", "T9"),
+    doc="TPC-H Q14 shape: promo revenue vs total per ship month "
+    "(broadcast part join; the ratio is left to the caller so both "
+    "numerator and denominator stay exact decimals).",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"))
+        .agg(
+            dsum(promo, 6).alias("promo_revenue"),
+            dsum(rev, 6).alias("total_revenue"),
+        )
+    )
+
+
+_SQL_API_TEXT = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_api_order_priorities",
+    _SQL_API_TEXT,
+    survey_ids=("A1",),
+    doc="The spark.sql() surface: the SAME ANSI text runs as Spark SQL "
+    "over registered temp views and as the DuckDB oracle — dialect-"
+    "portable SQL is itself part of the engine's API.",
+)
+def q_sql_api_order_priorities(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_API_TEXT)
