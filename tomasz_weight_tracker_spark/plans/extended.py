@@ -651,3 +651,28 @@ _SQL_API_TEXT = """
 def q_sql_api_order_priorities(spark, sf_dir):
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_API_TEXT)
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(floor(value * 1000000)::BIGINT, 0.5) AS p50,
+           quantile_cont(floor(value * 1000000)::BIGINT, 0.9) AS p90,
+           quantile_cont(floor(value * 1000000)::BIGINT, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("A8",),
+    doc="Exact continuous percentiles (median/p90/p99) per event type "
+    "over 1e-6-quantized values — Spark's exact percentile() and "
+    "DuckDB's quantile_cont share the interpolation definition, and "
+    "integer inputs make the result bit-deterministic.",
+)
+def q_value_percentiles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 1000000).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.percentile(q, F.lit(0.5)).alias("p50"),
+        F.percentile(q, F.lit(0.9)).alias("p90"),
+        F.percentile(q, F.lit(0.99)).alias("p99"),
+    )
