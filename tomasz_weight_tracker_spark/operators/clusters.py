@@ -1,0 +1,83 @@
+"""Connected components over a pair graph: near-dup PAIRS -> duplicate
+CLUSTERS (pick one canonical doc per cluster).
+
+The LSH/Jaccard/cosine operators emit candidate pairs; production
+dedup needs the transitive closure — if A~B and B~C, all three share
+one cluster even though (A, C) was never a candidate.
+
+Spark-first strategy: iterative min-label propagation (the standard
+large-graph connected-components algorithm, e.g. GraphFrames' and
+GraphX's CC):
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until no label changes.  Each round is two hash joins + an
+aggregation — all shuffle on the node id, so consecutive rounds reuse
+the same partitioning.  ``localCheckpoint`` after each round truncates
+the lineage (an iterative plan would otherwise grow exponentially).
+Converges in O(diameter) rounds; near-dup graphs are dense cliques
+with tiny diameters, so 2-4 rounds in practice.
+
+This is the engine's designated "iterative algorithm" surface — the
+driver loop inspects a convergence aggregate between plan submissions,
+exactly like the sensor-merge fold inspects schemas (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Returns (id, component) with component = min node id reachable.
+
+    ``pairs`` is an undirected edge list; isolated nodes absent from it
+    simply keep their own id (join your full node set afterwards).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(components: DataFrame) -> DataFrame:
+    """One row per cluster: (component, n_members, canonical_id=min)."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("canonical_id"),
+    )

@@ -676,3 +676,56 @@ def q_value_percentiles(spark, sf_dir):
         F.percentile(q, F.lit(0.9)).alias("p90"),
         F.percentile(q, F.lit(0.99)).alias("p99"),
     )
+
+
+@register(
+    "dup_clusters",
+    """
+    WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+               FROM documents WHERE doc_id < 200),
+    edges0 AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM t a JOIN t b
+        ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 40
+      WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+            / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))::DOUBLE
+            > 0.5
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk AS (
+      SELECT id, id AS reach FROM nodes
+      UNION
+      SELECT w.id, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+    SELECT component, count(*) AS n_members, min(id) AS canonical_id
+    FROM comp GROUP BY component
+    """,
+    survey_ids=("A7",),
+    doc="Duplicate-cluster resolution: Jaccard>0.5 candidate pairs -> "
+    "transitive closure via iterative min-label propagation (the "
+    "iterative-algorithm surface; driver loop + localCheckpoint per "
+    "round).  Oracle computes the same components with a recursive CTE.",
+)
+def q_dup_clusters(spark, sf_dir):
+    from ..functions import tokens
+    from ..operators import dedup as D
+    from ..operators.clusters import canonicalize, connected_components
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = d.select("doc_id", "source", tokens(F.lower(F.col("text"))).alias("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= 40),
+        )
+        .withColumn("j", D.jaccard_exprs(F.col("a.toks"), F.col("b.toks")))
+        .filter(F.col("j") > 0.5)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    return canonicalize(comps)
