@@ -184,3 +184,21 @@ class TestProgressReporter:
         assert listener.stats.batches >= 1
         assert listener.stats.total_rows == 5
         assert lines and "rows" in lines[0]
+
+
+class TestStreamStaticJoin:
+    def test_stream_enriched_by_broadcast_dim(self, spark, tmp_path):
+        """Stream-static join: each micro-batch joins against a static
+        dimension (broadcast - no stream state, no watermark needed)."""
+        src = str(tmp_path / "ssj")
+        write_events(spark, src, minute_rows("2024-06-01 10:00:00", 3, meter="m1")
+                     + minute_rows("2024-06-01 10:00:00", 2, meter="m2"))
+        dim = spark.createDataFrame(
+            [("m1", "kitchen"), ("m2", "bedroom")], "meter string, room string"
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        enriched = stream.join(F.broadcast(dim), "meter")
+        out = run_stream_append(spark, enriched, "ssjoin").collect()
+        assert len(out) == 5
+        rooms = {r.meter: r.room for r in out}
+        assert rooms == {"m1": "kitchen", "m2": "bedroom"}

@@ -729,3 +729,46 @@ def q_dup_clusters(spark, sf_dir):
     )
     comps = connected_components(pairs)
     return canonicalize(comps)
+
+
+@register(
+    "json_extract_fields",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"t":"' || event_type || '","u":' || user_id::VARCHAR
+             || ',"v":' || floor(value * 100)::BIGINT::VARCHAR || '}' AS payload
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(payload, '$.t') AS t,
+           json_extract(payload, '$.u')::BIGINT AS u,
+           json_extract(payload, '$.v')::BIGINT AS v
+    FROM j
+    """,
+    survey_ids=("G3",),
+    doc="Semi-structured JSON columns: serialize event fields to a JSON "
+    "payload, then parse them back with a typed schema (from_json) — "
+    "the pattern for ingesting JSON event streams.  Values quantized "
+    "so the round-trip is exact.",
+)
+def q_json_extract_fields(spark, sf_dir):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = load(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"t":"'), F.col("event_type"),
+        F.lit('","u":'), F.col("user_id").cast("string"),
+        F.lit(',"v":'), F.floor(F.col("value") * 100).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    schema = StructType(
+        [StructField("t", StringType()), StructField("u", LongType()), StructField("v", LongType())]
+    )
+    parsed = F.from_json(payload, schema)
+    return ev.select(
+        "event_id",
+        parsed["t"].alias("t"),
+        parsed["u"].alias("u"),
+        parsed["v"].alias("v"),
+    )
