@@ -173,3 +173,17 @@ class TestHtmlTables:
         assert by_key[(0, 0)].row_text == "Job | Status"
         assert by_key[(0, 1)].cells == ["Acme Engineer", "Applied"]  # whitespace squashed
         assert by_key[(1, 0)].row_text == "solo"
+
+
+class TestCorruptDocuments:
+    def test_corrupt_snapshot_skipped(self, spark, tmp_path):
+        """A malformed document must not fail the scan (the reference
+        logs and continues; a large crawl always has corrupt files)."""
+        (tmp_path / "20251120 ok.mhtml").write_bytes(
+            mhtml_bytes(page("Solo Job", "Applied 1 day ago", "Updated on X"))
+        )
+        # Invalid MIME + invalid UTF-8 + truncated content.
+        (tmp_path / "20251121 bad.mhtml").write_bytes(b"\xff\xfe\x00garbage\x80")
+        blocks = parse_mhtml_snapshots(spark, str(tmp_path / "*.mhtml"))
+        rows = blocks.collect()
+        assert len(rows) == 1 and rows[0].lines[0] == "Solo Job"

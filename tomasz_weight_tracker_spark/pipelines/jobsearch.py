@@ -205,7 +205,14 @@ def parse_mhtml_snapshots(spark: SparkSession, path_glob: str) -> DataFrame:
                     ref_date = dt.datetime.strptime(m.group(1), "%Y%m%d").date()
                 except ValueError:
                     continue
-                lines = mhtml_text_lines(bytes(r["content"]))
+                try:
+                    lines = mhtml_text_lines(bytes(r["content"]))
+                except Exception:
+                    # One corrupt snapshot must not fail the whole scan —
+                    # the reference logs and continues
+                    # (utils/loose_thoughts.py:238-240); a 100 TB crawl
+                    # ALWAYS contains malformed documents.
+                    continue
                 for final, block_date in capture_blocks(lines, ref_date):
                     rows.append(
                         {

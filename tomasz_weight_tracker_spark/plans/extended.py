@@ -772,3 +772,54 @@ def q_json_extract_fields(spark, sf_dir):
         parsed["u"].alias("u"),
         parsed["v"].alias("v"),
     )
+
+
+@register(
+    "regression_slope_per_user",
+    """
+    WITH q AS (
+      SELECT user_id,
+             (floor(epoch(ts))::BIGINT - 1700000000) AS x,
+             floor(value * 1000000)::BIGINT AS y
+      FROM events
+    )
+    SELECT user_id, count(*) AS n,
+           CASE WHEN count(*)::HUGEINT * sum((x * x)::HUGEINT) - sum(x::HUGEINT) * sum(x::HUGEINT) <> 0
+                THEN ((count(*)::HUGEINT * sum((x * y)::HUGEINT) - sum(x::HUGEINT) * sum(y::HUGEINT)) * 1000000
+                      // (count(*)::HUGEINT * sum((x * x)::HUGEINT) - sum(x::HUGEINT) * sum(x::HUGEINT)))::BIGINT
+           END AS slope_e6
+    FROM q GROUP BY user_id
+    """,
+    survey_ids=("A1", "A8"),
+    doc="Per-series least-squares trend slope from decomposable sums "
+    "(n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²): regression analytics as ONE hash "
+    "aggregation — no ML library, no iteration.  x is epoch seconds "
+    "re-based and y quantized so all sums are exact integers, and the "
+    "slope is emitted 1e-6-quantized via integer division (fully exact).",
+)
+def q_regression_slope_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1700000000)).cast("long")
+    y = F.floor(F.col("value") * 1000000).cast("long")
+    d38 = "decimal(38,0)"
+    df = ev.select("user_id", x.alias("x"), y.alias("y"))
+    agg = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    den = agg.n * agg.sxx - agg.sx * agg.sx
+    num = agg.n * agg.sxy - agg.sx * agg.sy
+    # All arithmetic stays in exact decimal integers; the slope is
+    # emitted quantized to 1e-6 via integer division, so the only
+    # float-free path is shared bit-for-bit with the oracle (a raw
+    # decimal->double division differs in the last ulp across engines).
+    slope_e6 = F.expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000 "
+        "div (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)"
+    )
+    return agg.select(
+        "user_id", "n", F.when(den != 0, slope_e6).alias("slope_e6")
+    )
