@@ -38,6 +38,23 @@ class TestConnectedComponents:
         comp = {r.id: r.component for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0}
 
+    def test_raises_instead_of_returning_nonconverged(self, spark):
+        # A chain longer than the iteration cap must raise, not silently
+        # return half-merged components (min-label moves one hop/round).
+        import pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=2)
+        # The same graph converges once the cap accommodates the diameter.
+        comp = {
+            r.id: r.component
+            for r in connected_components(pairs, max_iterations=10).collect()
+        }
+        assert set(comp.values()) == {0}
+
 
 class TestPartitionedWrites:
     def test_partition_pruning_in_plan(self, spark, tmp_path):

@@ -39,6 +39,41 @@ class TestMinHashLsh:
         s2 = [r for r in sig if r.doc_id == 2][0]
         assert [s1[f"mh{i}"] for i in range(4)] == [s2[f"mh{i}"] for i in range(4)]
 
+    def test_wide_signature_stays_in_int64(self, spark):
+        # h1 (60-bit) + salt * h2 (56-bit) must never overflow a signed
+        # 64-bit long for the supported salt range: every value is
+        # non-negative (overflow would wrap negative in the JVM).
+        df = spark.createDataFrame([(1, "x y z w v u t s r q")], "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=32).collect()[0]
+        assert all(sig[f"mh{i}"] >= 0 for i in range(32))
+
+    def test_hot_bucket_cap_drops_quadratic_buckets(self, spark):
+        # 80 identical docs form a bucket of width 80 in EVERY band —
+        # the quadratic blowup the cap exists to stop.  With the cap at
+        # 10 those buckets are dropped wholesale (no pairs among the 80),
+        # while an unrelated near-dup pair in small buckets survives.
+        rows = [(i, "common filler tokens here") for i in range(80)]
+        rows += [(100, "rare unique doc alpha beta"), (101, "rare unique doc alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=16)
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(
+                sig, "doc_id", k=16, bands=4, max_bucket=10
+            ).collect()
+        }
+        assert (100, 101) in got
+        assert all(a >= 100 for a, _ in got)
+
+    def test_no_cap_when_disabled(self, spark):
+        rows = [(i, "same text every time") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=16)
+        got = D.lsh_candidate_pairs(
+            sig, "doc_id", k=16, bands=4, max_bucket=None
+        ).count()
+        assert got == 10  # 5*4/2 all-pairs of identical docs
+
 
 class TestSimHash:
     def test_identical_equal_and_disjoint_differ(self, spark):

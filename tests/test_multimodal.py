@@ -47,9 +47,55 @@ class TestDecode:
         df = media_df(spark, [(b"x", None)]).repartition(8)
         out = MM.decode_media(df)
         assert [f.name for f in out.schema.fields] == [
-            "media_id", "decoder", "width", "height", "n_bytes", "features",
+            "media_id", "decoder", "width", "height", "duration_ms", "n_bytes", "features",
         ]
         assert out.count() == 1
+
+
+class TestRealCodecs:
+    """The stdlib BMP/WAV decode path — real headers, real pixels/samples."""
+
+    def test_bmp_round_trip_decode(self, spark):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        # 4x2 image, top half red, bottom half blue (BGR byte order).
+        raw = codecs.make_bmp(4, 2, lambda x, y: (0, 0, 255) if y == 0 else (255, 0, 0))
+        df = media_df(spark, [(raw, None)])
+        r = MM.decode_media(df).first()
+        assert r.decoder == "bmp"
+        assert (r.width, r.height) == (4, 2)
+        assert r.n_bytes == len(raw)
+        # Real channel-mean features: half red + half blue.
+        assert r.features[0] == 0.5  # mean R
+        assert r.features[1] == 0.0  # mean G
+        assert r.features[2] == 0.5  # mean B
+
+    def test_bmp_parser_pixel_order(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        raw = codecs.make_bmp(2, 2, lambda x, y: (x * 10, y * 10, 100))
+        out = codecs.parse_bmp(raw)
+        # Row-major top-down: (x=0,y=0), (1,0), (0,1), (1,1).
+        assert out["pixels"] == [(0, 0, 100), (10, 0, 100), (0, 10, 100), (10, 10, 100)]
+
+    def test_wav_decode_duration_and_features(self, spark):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        # 8000 samples at 8 kHz = exactly 1000 ms; square wave at half amplitude.
+        samples = [16384 if (i // 4) % 2 == 0 else -16384 for i in range(8000)]
+        raw = codecs.make_wav(samples, sample_rate=8000)
+        r = MM.decode_media(media_df(spark, [(raw, None)])).first()
+        assert r.decoder == "wav"
+        assert r.duration_ms == 1000
+        assert r.width is None and r.height is None
+        assert abs(r.features[0] - 0.5) < 1e-9  # mean |amplitude|
+        assert abs(r.features[1] - 0.5) < 1e-9  # RMS of a square wave
+        assert abs(r.features[3] - 0.5) < 1e-9  # peak
+
+    def test_corrupt_headers_fall_back_to_stub(self, spark):
+        df = media_df(spark, [(b"BMgarbage", None), (b"RIFFjunkWAVE", None)])
+        out = MM.decode_media(df).collect()
+        assert {r.decoder for r in out} == {"stub"}
 
 
 class TestFrameSampling:

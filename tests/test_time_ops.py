@@ -198,3 +198,31 @@ class TestGapFill:
         df = spark.createDataFrame(rows, "sensor string, t timestamp, v double")
         out = fill_minute_gaps(df, "t", ["v"], series_keys=["sensor"], max_gap_minutes=30)
         assert out.count() == 32  # t0 + 30 capped interior + final reading
+
+    def test_subminute_gap_and_duplicate_timestamp(self, spark):
+        # Round-1 advisor bug: sequence(t0, t1-1min) threw
+        # 'Illegal sequence boundaries' when the next reading was under
+        # one minute later or shared the timestamp.  The oracle's
+        # generate_series emits no rows there; we must match, and the
+        # crowded readings themselves must still appear once each via
+        # their own grid start (the last one per instant survives).
+        from tomasz_weight_tracker_spark.operators.resample_fill import fill_minute_gaps
+
+        rows = [
+            ("s1", ts("2024-01-01 10:00:00"), 1.0),
+            ("s1", ts("2024-01-01 10:00:30"), 2.0),  # 30s gap -> empty grid
+            ("s1", ts("2024-01-01 10:00:30"), 3.0),  # duplicate ts -> empty grid
+            ("s1", ts("2024-01-01 10:02:30"), 5.0),  # 2-min gap -> interpolates
+        ]
+        df = spark.createDataFrame(rows, "sensor string, t timestamp, v double")
+        out = fill_minute_gaps(
+            df, "t", ["v"], series_keys=["sensor"], order_tiebreak=["v"]
+        ).collect()
+        got = {(r.sensor, r.t, r.v) for r in out}
+        # 10:00:00 and the first 10:00:30 row emit nothing (end < start);
+        # the second 10:00:30 row starts the 2-min interpolated run.
+        assert got == {
+            ("s1", ts("2024-01-01 10:00:30"), 3.0),
+            ("s1", ts("2024-01-01 10:01:30"), 4.0),
+            ("s1", ts("2024-01-01 10:02:30"), 5.0),
+        }

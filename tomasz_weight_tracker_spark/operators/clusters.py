@@ -39,6 +39,13 @@ def connected_components(
 
     ``pairs`` is an undirected edge list; isolated nodes absent from it
     simply keep their own id (join your full node set afterwards).
+
+    Min-label propagation advances one hop per round, so convergence
+    needs O(graph diameter) rounds.  If labels are still changing when
+    ``max_iterations`` is exhausted the result would be silently WRONG
+    (partially merged components), so we raise instead — callers with a
+    genuinely deep graph should raise the cap (cost is per-round, not
+    per-node) or pre-contract obvious cliques.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -50,6 +57,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.id)
@@ -72,6 +80,12 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (labels still changing); the graph diameter "
+            "exceeds the cap — raise max_iterations"
+        )
     return labels
 
 

@@ -1,0 +1,178 @@
+"""Pure-stdlib media codecs: BMP (image) and WAV/PCM (audio).
+
+Real decoders — no external libraries — so the multimodal pipeline has
+a genuinely exercised decode path in this container (Pillow/soundfile
+are absent).  Both formats are simple enough that a header-struct +
+sample-array parse IS the reference decode:
+
+- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (``struct`` little-endian),
+  uncompressed 24-bit pixel rows (bottom-up, 4-byte row padding).
+- WAV: RIFF chunk walk to ``fmt `` / ``data``, 16-bit PCM samples.
+
+Parsers return ``None`` for anything that doesn't validate, so the
+caller can fall through to other decoders — corrupt blobs are data,
+not exceptions (same tolerance posture as the corrupt-document scan).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def parse_bmp(raw: bytes) -> dict | None:
+    """Decode a BMP header (+ pixels when uncompressed 24-bit).
+
+    Returns {width, height, bpp, pixels} where ``pixels`` is a list of
+    (b, g, r) tuples in row-major top-down order, or None for
+    compressed/deep formats (header-only decode still returns dims).
+    """
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    try:
+        data_offset = struct.unpack_from("<I", raw, 10)[0]
+        dib_size = struct.unpack_from("<I", raw, 14)[0]
+        if dib_size < 40:  # BITMAPCOREHEADER not supported
+            return None
+        width, height = struct.unpack_from("<ii", raw, 18)
+        planes, bpp = struct.unpack_from("<HH", raw, 26)
+        compression = struct.unpack_from("<I", raw, 30)[0]
+    except struct.error:
+        return None
+    if width <= 0 or height == 0 or planes != 1:
+        return None
+    top_down = height < 0
+    abs_h = abs(height)
+    out = {"width": width, "height": abs_h, "bpp": bpp, "pixels": None}
+    if bpp != 24 or compression != 0:
+        return out  # header-only decode
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    if data_offset + row_stride * abs_h > len(raw):
+        return None
+    pixels: list[tuple[int, int, int]] = []
+    rows = range(abs_h) if top_down else range(abs_h - 1, -1, -1)
+    for row in rows:
+        base = data_offset + row * row_stride
+        for x in range(width):
+            off = base + 3 * x
+            pixels.append((raw[off], raw[off + 1], raw[off + 2]))
+    out["pixels"] = pixels
+    return out
+
+
+def parse_wav(raw: bytes) -> dict | None:
+    """Decode a WAV header (+ samples when 16-bit PCM).
+
+    Returns {n_channels, sample_rate, bits_per_sample, n_frames,
+    duration_ms, samples} with ``samples`` a flat list of ints
+    (interleaved channels) for 16-bit PCM, else None samples.
+    """
+    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        chunk_id = raw[pos : pos + 4]
+        try:
+            chunk_size = struct.unpack_from("<I", raw, pos + 4)[0]
+        except struct.error:
+            return None
+        body = raw[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + chunk_size + (chunk_size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        return None
+    audio_format, n_channels, sample_rate, _rate, block_align, bits = fmt
+    if n_channels == 0 or sample_rate == 0 or block_align == 0:
+        return None
+    n_frames = len(data) // block_align
+    out = {
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "samples": None,
+    }
+    if audio_format == 1 and bits == 16:
+        n = (len(data) // 2) * 2
+        out["samples"] = list(struct.unpack(f"<{n // 2}h", data[:n]))
+    return out
+
+
+def bmp_features(decoded: dict, dim: int) -> list[float] | None:
+    """Real image features from decoded BMP pixels: per-channel means
+    (R, G, B), luma mean, and a 4-bin luma histogram — all in [0, 1]."""
+    pixels = decoded.get("pixels")
+    if not pixels:
+        return None
+    n = len(pixels)
+    sum_b = sum(p[0] for p in pixels)
+    sum_g = sum(p[1] for p in pixels)
+    sum_r = sum(p[2] for p in pixels)
+    lumas = [(2126 * p[2] + 7152 * p[1] + 722 * p[0]) // 10000 for p in pixels]
+    hist = [0, 0, 0, 0]
+    for v in lumas:
+        hist[min(v >> 6, 3)] += 1
+    feats = [
+        sum_r / n / 255.0,
+        sum_g / n / 255.0,
+        sum_b / n / 255.0,
+        sum(lumas) / n / 255.0,
+        *[h / n for h in hist],
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def wav_features(decoded: dict, dim: int) -> list[float] | None:
+    """Real audio features from 16-bit PCM samples: normalized mean
+    absolute amplitude, RMS, zero-crossing rate, peak — in [0, 1]."""
+    samples = decoded.get("samples")
+    if not samples:
+        return None
+    n = len(samples)
+    mean_abs = sum(abs(s) for s in samples) / n / 32768.0
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    ) / max(n - 1, 1)
+    peak = max(abs(s) for s in samples) / 32768.0
+    feats = [mean_abs, rms, zc, peak]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def make_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Serialize an uncompressed 24-bit bottom-up BMP (test fixture /
+    round-trip check).  ``pixel_fn(x, y) -> (b, g, r)`` with y=0 the
+    TOP row."""
+    row_stride = (width * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixel_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_stride - len(row))
+        pixel_bytes += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + dib + bytes(pixel_bytes)
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Serialize a 16-bit PCM mono/interleaved WAV (test fixture)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )

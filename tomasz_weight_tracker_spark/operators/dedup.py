@@ -45,33 +45,82 @@ def dedup_keep_last(
     )
 
 
-def minhash_expr(token_arr: Column, salt: int) -> Column:
-    """One MinHash value: min over the distinct token set of a salted
-    md5-derived 60-bit hash.  k salts -> k-wide signature."""
-    return F.array_min(
-        F.transform(
-            F.array_distinct(token_arr),
-            lambda t: md5_long(F.concat(F.lit(f"{salt}:"), t)),
-        )
+def minhash_hash_pairs(token_arr: Column) -> Column:
+    """Per-token (h1, h2) hash pairs for the double-hashing MinHash
+    family (Kirsch-Mitzenmacher): ONE md5 per distinct token, from
+    which every salt's hash is a cheap integer mix ``h1 + i*h2``.
+
+    h1 = first 60 bits of md5 (15 hex chars -> BIGINT), h2 = next
+    60 bits shifted right 4 (56 bits), so ``h1 + i*h2`` stays inside
+    a signed 64-bit integer for i < 60.  Bit-identical in DuckDB:
+    ``('0x'||substr(md5(t),1,15))::BIGINT`` etc.
+    """
+    return F.transform(
+        F.array_distinct(token_arr),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.shiftright(
+                F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("long"), 4
+            ).alias("h2"),
+        ),
     )
 
 
+def minhash_from_pairs(pairs_col: Column, salt: int) -> Column:
+    """MinHash value for one salt over a materialized (h1,h2) array."""
+    return F.array_min(
+        F.transform(pairs_col, lambda s: s["h1"] + F.lit(salt) * s["h2"])
+    )
+
+
+def minhash_expr(token_arr: Column, salt: int) -> Column:
+    """One MinHash value: min over the distinct token set of the
+    ``h1 + salt*h2`` double hash.  k salts -> k-wide signature.
+
+    Prefer :func:`minhash_signature` for multi-salt use — it
+    materializes the md5 work once across all salts."""
+    return minhash_from_pairs(minhash_hash_pairs(token_arr), salt)
+
+
+def sql_minhash_pairs(tokens_expr: str) -> str:
+    """DuckDB twin of :func:`minhash_hash_pairs` (use in a CTE)."""
+    return (
+        f"list_transform(list_distinct({tokens_expr}), "
+        "t -> {'h1': ('0x' || substr(md5(t),1,15))::BIGINT, "
+        "'h2': (('0x' || substr(md5(t),16,15))::BIGINT >> 4)})"
+    )
+
+
+def sql_minhash_from_pairs(pairs_expr: str, salt: int) -> str:
+    return f"list_min(list_transform({pairs_expr}, s -> s.h1 + {salt} * s.h2))"
+
+
 def sql_minhash(tokens_expr: str, salt: int) -> str:
-    h = md5_long_sql(f"'{salt}:' || t")
-    return f"list_min(list_transform(list_distinct({tokens_expr}), t -> {h}))"
+    return sql_minhash_from_pairs(sql_minhash_pairs(tokens_expr), salt)
 
 
 def minhash_signature(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """Attach mh0..mh{k-1} MinHash columns computed from the whitespace
-    token set of ``text_col``."""
+    token set of ``text_col``.
+
+    The md5 hash-pair array is materialized in its own projection and
+    referenced k times; CollapseProject keeps the expensive transform
+    un-inlined, so each token is md5-hashed exactly once regardless of
+    signature width (vs. one md5 per token PER SALT previously — the
+    round-1 bench's 5x hot spot)."""
     toks = tokens(F.lower(F.col(text_col)))
+    df = df.withColumn("__mh_pairs", minhash_hash_pairs(toks))
     for i in range(k):
-        df = df.withColumn(f"mh{i}", minhash_expr(toks, i))
-    return df
+        df = df.withColumn(f"mh{i}", minhash_from_pairs(F.col("__mh_pairs"), i))
+    return df.drop("__mh_pairs")
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, k: int = 8, bands: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     k/bands rows each; docs sharing any full band become a candidate
@@ -80,6 +129,16 @@ def lsh_candidate_pairs(
     One shuffle on (band_id, band_key); the self-join is an equi-join
     on the band key so Catalyst plans a shuffled hash join and AQE
     splits skewed buckets.
+
+    ``max_bucket`` is the hot-bucket cap: any band bucket with more
+    than this many members is dropped entirely before the self-join
+    (a bucket of B docs emits B*(B-1)/2 pairs, so one hot bucket goes
+    quadratic — round 1 recorded 4.6M candidate pairs from 5k docs
+    with no cap).  Dropping a hot bucket costs recall only for pairs
+    not ALSO caught by one of the other bands, and a bucket that hot
+    is band-key degeneracy (near-constant tokens), not near-duplicate
+    signal.  The window count shares the band-key hash partitioning
+    with the join that follows, so the cap adds no extra shuffle.
     """
     rows_per_band = k // bands
     band_structs = []
@@ -91,6 +150,13 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -6,13 +6,22 @@ Design (what is REAL vs STUBBED here):
 - REAL: the Spark-side plumbing — schemas, Arrow-batched
   ``mapInPandas`` UDF signatures and batch shapes, partition-preserving
   per-row transforms, deterministic outputs, and the metadata model
-  (``struct<modality,format,width,height,duration_ms>``).
-- STUBBED: the actual codec work.  Image/audio libraries are not in
-  this container, so ``decode`` dispatches to Pillow/soundfile when
+  (``struct<modality,format,width,height,duration_ms>``) — AND the
+  BMP/WAV codecs: ``operators.codecs`` decodes BMP headers + 24-bit
+  pixels and RIFF/WAV headers + 16-bit PCM samples with stdlib
+  ``struct`` (no external libs), producing real pixel/sample features
+  (``decoder='bmp'``/``'wav'``).
+- STUBBED: every OTHER format (png/jpeg/mp3/...).  Their codec libs
+  are not in this container, so ``decode`` dispatches to Pillow when
   importable and otherwise produces a DETERMINISTIC FAKE derived from
   the md5 of the bytes (flagged by ``decoder='stub'`` in the output).
-  Swapping in the real decoder changes no schema, partitioning, or
-  call site.
+  Swapping in a real decoder changes no schema, partitioning, or call
+  site.
+
+The cheap metadata pass (byte length, content md5) is NATIVE —
+``binary_meta`` runs JVM-side before any decode, and ``decode_media``
+receives ``n_bytes`` as an input column rather than recomputing it in
+Python.
 
 Scale posture: binaries stay opaque byte arrays end-to-end; transforms
 are per-row (zero shuffle), Arrow-batched, and column-pruned — a scan
@@ -23,6 +32,8 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+
+from . import codecs
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +75,7 @@ DECODED_SCHEMA = StructType(
         StructField("decoder", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
         StructField("n_bytes", LongType()),
         StructField("features", ArrayType(DoubleType())),
     ]
@@ -109,11 +121,54 @@ def _try_real_image_decode(raw: bytes):
         return None
 
 
+def _decode_one(raw: bytes) -> dict:
+    """Dispatch one blob through the decoder chain:
+    BMP (stdlib) -> WAV (stdlib) -> Pillow (if importable) -> stub."""
+    bmp = codecs.parse_bmp(raw)
+    if bmp is not None:
+        return {
+            "decoder": "bmp",
+            "width": bmp["width"],
+            "height": bmp["height"],
+            "duration_ms": None,
+            "features": codecs.bmp_features(bmp, FEATURE_DIM) or _stub_features(raw),
+        }
+    wav = codecs.parse_wav(raw)
+    if wav is not None:
+        return {
+            "decoder": "wav",
+            "width": None,
+            "height": None,
+            "duration_ms": wav["duration_ms"],
+            "features": codecs.wav_features(wav, FEATURE_DIM) or _stub_features(raw),
+        }
+    real = _try_real_image_decode(raw)
+    if real is not None:
+        return {
+            "decoder": "pillow",
+            "width": real[0],
+            "height": real[1],
+            "duration_ms": None,
+            "features": _stub_features(raw),
+        }
+    digest = hashlib.md5(raw).digest()
+    return {
+        "decoder": "stub",
+        "width": 1 + digest[0] % 64,  # deterministic fake dims
+        "height": 1 + digest[1] % 64,
+        "duration_ms": None,
+        "features": _stub_features(raw),
+    }
+
+
 def decode_media(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Arrow-batched decode/feature-extract over a binary column.
 
-    Real plumbing, stubbed codec (module docstring).  Per-row map —
-    preserves partitioning, no shuffle."""
+    BMP/WAV decode for real (stdlib codecs); other formats fall back to
+    Pillow or the flagged stub (module docstring).  Per-row map —
+    preserves partitioning, no shuffle.  ``n_bytes`` is computed
+    NATIVELY (JVM ``length``) and forwarded through the batch; the
+    Python side only runs the actual codec."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -122,27 +177,16 @@ def decode_media(df: DataFrame, id_col: str = "media_id", content_col: str = "co
             rows = []
             for _, r in batch.iterrows():
                 raw = bytes(r[content_col])
-                real = _try_real_image_decode(raw)
-                if real is not None:
-                    width, height, decoder = real[0], real[1], "pillow"
-                else:
-                    digest = hashlib.md5(raw).digest()
-                    width = 1 + digest[0] % 64  # deterministic fake dims
-                    height = 1 + digest[1] % 64
-                    decoder = "stub"
-                rows.append(
-                    {
-                        "media_id": r[id_col],
-                        "decoder": decoder,
-                        "width": width,
-                        "height": height,
-                        "n_bytes": len(raw),
-                        "features": _stub_features(raw),
-                    }
-                )
+                rec = _decode_one(raw)
+                rec["media_id"] = r[id_col]
+                rec["n_bytes"] = r["__n_bytes"]
+                rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
-    return df.select(id_col, content_col).mapInPandas(decode, DECODED_SCHEMA)
+    src = df.select(
+        id_col, content_col, F.length(content_col).cast("long").alias("__n_bytes")
+    )
+    return src.mapInPandas(decode, DECODED_SCHEMA)
 
 
 def sample_frames(

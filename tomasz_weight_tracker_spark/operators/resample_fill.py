@@ -52,7 +52,17 @@ def fill_minute_gaps(
     end = t1 - F.expr("INTERVAL 1 MINUTE")
     if max_gap_minutes is not None:
         end = F.least(end, t0 + F.expr(f"INTERVAL {max_gap_minutes} MINUTES"))
-    grid = F.when(t1.isNull(), F.array(t0)).otherwise(F.sequence(t0, end, F.expr("INTERVAL 1 MINUTE")))
+    # sequence(start, stop) throws when stop < start, which happens for
+    # sub-minute gaps (end = t1 - 1min < t0) and duplicate timestamps.
+    # DuckDB's generate_series returns NO rows for such intervals, so
+    # emit an empty grid (slice keeps the element type without a cast)
+    # — the next reading still emits itself as its own grid start.
+    empty = F.slice(F.array(t0), 1, 0)
+    grid = (
+        F.when(t1.isNull(), F.array(t0))
+        .when(end < t0, empty)
+        .otherwise(F.sequence(t0, end, F.expr("INTERVAL 1 MINUTE")))
+    )
     out = out.withColumn("__m", F.explode(grid))
 
     num = F.unix_micros(F.col("__m")) - F.unix_micros(t0)

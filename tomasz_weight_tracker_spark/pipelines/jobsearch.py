@@ -265,10 +265,16 @@ def grouped_report(
     )
 
 
-def render_report(grouped: DataFrame, max_groups: int | None = None) -> list[str]:
+def render_report(grouped: DataFrame, max_groups: int | None = 1000) -> list[str]:
     """S12: markdown-ish ordered report lines (driver-side; reports are
-    human-scale by definition)."""
-    rows = grouped.limit(max_groups).collect() if max_groups else grouped.collect()
+    human-scale by definition).
+
+    ``max_groups`` bounds the driver-side collect so pointing this at a
+    big table can't OOM the driver; pass ``None`` to EXPLICITLY opt in
+    to an unbounded collect."""
+    rows = (
+        grouped.limit(max_groups).collect() if max_groups is not None else grouped.collect()
+    )
     out: list[str] = []
     for r in rows:
         out.append(f"## {r.group_key}  ({r.group_date.isoformat()})")

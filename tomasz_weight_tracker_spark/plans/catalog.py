@@ -36,7 +36,7 @@ from ..pipelines.electricity import fifteen_minute_usage
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read a driver parquet table.
+    """Read a driver parquet table (memoized per session+path).
 
     The ``events`` table is written with parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects.  We read nanos as raw longs
@@ -44,18 +44,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     microseconds with exact integer division — the same ns->us
     truncation DuckDB applies when it coerces the column to TIMESTAMP,
     so both engines see identical values.
+
+    Memoization returns the SAME DataFrame object for repeated loads of
+    one table, so Spark reuses the resolved relation (file listing +
+    footer schema read happen once per table, not once per query) —
+    part of the per-query driver-overhead floor the round-1 bench paid
+    18 times over.  DataFrames are immutable plans, so sharing is safe;
+    nothing is persisted (each action still scans parquet).
     """
+    key = (spark, sf_dir, table)
+    cached = _load_cache.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{table}.parquet"
     # The caller may hand us an arbitrary SparkSession (the driver builds
     # its own); timestamp semantics vs. the DuckDB oracle require UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table != "events":
-        return _widen(spark, spark.read.parquet(path))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _widen(spark, df)
+        df = _widen(spark, spark.read.parquet(path))
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _widen(spark, df)
+    _load_cache[key] = df
+    return df
+
+
+_load_cache: dict[tuple, DataFrame] = {}
 
 
 # Tables whose single-file, single-row-group layout would otherwise pin
@@ -71,12 +88,34 @@ _scan_partitions: dict[str, int] = {}
 
 def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
-    key = ",".join(df.inputFiles())
-    if not key:
+    files = df.inputFiles()
+    if not files:
         return df
+    key = ",".join(files)
     nparts = _scan_partitions.get(key)
     if nparts is None:
-        nparts = df.rdd.getNumPartitions()
+        # File-split math (ceil(bytes / maxPartitionBytes) per file) —
+        # the same arithmetic FilePartition uses, without the RDD
+        # conversion df.rdd.getNumPartitions() would force.
+        import os.path
+        from urllib.parse import unquote, urlparse
+
+        try:
+            max_bytes = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+                .lower()
+                .removesuffix("b")
+            )
+        except ValueError:
+            max_bytes = 134217728
+        nparts = 0
+        for f in files:
+            local = unquote(urlparse(f).path) if "://" in f else f
+            try:
+                size = os.path.getsize(local)
+            except OSError:
+                size = max_bytes  # unknown scheme: assume one full split
+            nparts += max(1, -(-size // max_bytes))
         _scan_partitions[key] = nparts
     if nparts * 4 <= cores and any(t in key for t in _WIDEN_MIN_ROWS_TABLES):
         return df.repartition(cores)
