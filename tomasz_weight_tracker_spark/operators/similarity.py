@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_long
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<double> columns."""
@@ -111,6 +113,110 @@ def ivf_assign(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__score", "__vec", "cent_vec")
     )
+
+
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF coarse centroids: Lloyd's k-means in pure DataFrame ops.
+
+    - **Init**: the ``n_centroids`` vectors with the smallest
+      ``md5_long(id)`` — a deterministic pseudo-random sample, planned
+      as TakeOrderedAndProject (per-partition top-n + merge, no full
+      sort).  At 100 TB you'd swap in ``df.sample`` + k-means‖; the
+      md5 order keeps this reproducible AND oracle-replayable.
+    - **Each round**: assign via :func:`ivf_assign` (broadcast
+      centroids, map-side argmax), re-centroid via posexplode +
+      groupBy.  Component means use the 1e-9 floor-quantized integer
+      sum (exact, order-independent — same discipline as
+      ``embed_centroid``), so the trained centroids are bit-identical
+      across engines and runs.
+    - ``localCheckpoint`` truncates lineage between rounds (iterative
+      algorithm surface, same as connected_components).
+
+    Returns (centroid_id, ``vec_col``) with array<double> vectors.
+    Empty clusters drop out deterministically (both engines agree).
+    """
+    e = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    hashed = e.withColumn("__h", md5_long(F.col("__id").cast("string")))
+    top = hashed.orderBy("__h", "__id").limit(n_centroids)
+    w = Window.orderBy("__h", "__id")
+    cents = top.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"),
+        F.col("__v").alias(vec_col),
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            e.select(F.col("__id").alias(id_col), F.col("__v").alias(vec_col)),
+            cents,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        q = F.floor(F.col("col") * F.lit(1000000000.0)).cast("long")
+        comp = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(q).cast("double") / F.count(F.lit(1)) / F.lit(1000000000.0)
+                ).alias("c")
+            )
+        )
+        cents = (
+            comp.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias(vec_col)
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def sql_ivf_train(
+    n_centroids: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
+    """DuckDB CTE chain replaying :func:`ivf_train` exactly (same init
+    order, same argmax assignment, same quantized means).  Returns the
+    CTE body; the final trained centroids are in ``cent`` as
+    (centroid_id, cv)."""
+    parts = [f"e AS ({source})"]
+    parts.append(
+        "c0 AS (SELECT centroid_id, cv FROM ("
+        "SELECT row_number() OVER (ORDER BY "
+        "('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id) - 1 "
+        f"AS centroid_id, v AS cv FROM e) WHERE centroid_id < {n_centroids})"
+    )
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, v, centroid_id FROM ("
+            "SELECT e.vec_id, e.v, c.centroid_id, "
+            "row_number() OVER (PARTITION BY e.vec_id "
+            "ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn "
+            f"FROM e CROSS JOIN c{r - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"comp{r} AS (SELECT centroid_id, i AS pos, "
+            "sum(floor(v[i] * 1000000000)::BIGINT)::DOUBLE / count(*) / 1000000000 AS c "
+            f"FROM a{r}, generate_series(1, {dim}) t(i) GROUP BY centroid_id, pos)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT centroid_id, list(c ORDER BY pos) AS cv "
+            f"FROM comp{r} GROUP BY centroid_id)"
+        )
+    parts.append(f"cent AS (SELECT centroid_id, cv FROM c{iterations})")
+    return ",\n    ".join(parts)
 
 
 def ivf_topk(

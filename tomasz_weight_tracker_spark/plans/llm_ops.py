@@ -525,3 +525,48 @@ def q_embed_ivf_topk(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(queries, assigned, centroids, k=5, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embed_ivf_trained",
+    f"""
+    WITH {S.sql_ivf_train(n_centroids=8, iterations=2, dim=64)},
+    amap AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    probed AS (
+      SELECT q_id, qv, centroid_id FROM (
+        SELECT q.q_id, q.qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_dot_product(q.qv, c.cv) DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id, list_dot_product(p.qv, a.v) AS score
+      FROM probed p JOIN amap a ON p.centroid_id = a.centroid_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id)::BIGINT AS rank,
+           score
+    FROM cand QUALIFY rank <= 5
+    """,
+    survey_ids=(),
+    doc="IVF with TRAINED centroids: two Lloyd k-means rounds in pure "
+    "DataFrame ops (broadcast-assign + posexplode/groupBy re-centroid, "
+    "1e-9-quantized exact means), deterministic md5 init.  The oracle "
+    "replays the whole training as a CTE chain, so even the learned "
+    "centroids are cross-engine bit-identical.",
+)
+def q_embed_ivf_trained(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cents = S.ivf_train(e, n_centroids=8, iterations=2)
+    assigned = S.ivf_assign(e, cents)
+    queries = e.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(queries, assigned, cents, k=5, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))

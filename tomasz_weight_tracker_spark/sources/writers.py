@@ -30,6 +30,76 @@ def write_single_csv(df: DataFrame, out_path: str | Path, header: bool = True) -
     return out_path
 
 
+def upsert_by_key(
+    spark,
+    updates: DataFrame,
+    path: str | Path,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Keyed upsert sink: MERGE semantics (update-by-key-else-insert)
+    onto a parquet table path.
+
+    Engine twin of the reference's update-by-id-else-create store write
+    (utils/20251223-weight-for-streamlit.py:116-132), as an idempotent
+    bulk operation: rows in ``updates`` replace existing rows with the
+    same key; unmatched keys append; re-running the same batch is a
+    no-op.  ``updates`` must be unique per key (dedup upstream with
+    ``dedup_keep_last`` — which order wins is the caller's policy, not
+    the sink's).
+
+    Copy-on-write over plain parquet:
+
+    - without ``partition_by`` the whole table is rewritten — right for
+      the reference's human-scale state tables;
+    - with ``partition_by`` only partitions TOUCHED by the batch are
+      rewritten (dynamic partition overwrite + partition-pruned read of
+      the old rows), so the cost scales with the updated slice, not the
+      table — the 100 TB posture.  (A transactional table format would
+      add file-level manifests and concurrent-writer safety; plain
+      parquet gives single-writer partition-level MERGE.)
+
+    The merged frame is materialized (``localCheckpoint``) before the
+    write because the plan reads the same files it overwrites.
+
+    Constraint of the partitioned path: a key's partition values must
+    be stable across updates (key functionally determines partition) —
+    a key that MOVES partitions would leave its old row in an
+    untouched partition.  Date-keyed state tables satisfy this by
+    construction.
+    """
+    path = Path(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer_cols = updates.columns
+    if not path.exists():
+        merged = updates
+    else:
+        existing = spark.read.parquet(str(path)).select(*writer_cols)
+        if partition_by:
+            # Prune the rewrite to touched partitions: tiny distinct
+            # list of partition tuples from the batch -> pushed-down
+            # IN-filter on the partition columns of the old table.
+            parts = updates.select(*partition_by).distinct().collect()
+            cond = None
+            from pyspark.sql import functions as F
+
+            for p in parts:
+                this = None
+                for c in partition_by:
+                    eq = F.col(c) == F.lit(p[c])
+                    this = eq if this is None else (this & eq)
+                cond = this if cond is None else (cond | this)
+            existing = existing.filter(cond) if cond is not None else existing.limit(0)
+        merged = existing.join(
+            updates.select(*keys).distinct(), on=list(keys), how="left_anti"
+        ).unionByName(updates)
+    merged = merged.localCheckpoint()
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(path))
+
+
 def write_text_report(lines: list[str], out_path: str | Path) -> Path:
     """S12: ordered text report (utils/loose_thoughts.py:121-133).
     Driver-side by design — reports are human-scale."""
