@@ -76,3 +76,45 @@ class TestPlanShape:
         # The scan->bucket->partial-agg pipeline compiles to one or more
         # fused codegen stages (no interpreted operators on the hot path).
         assert "WholeStageCodegen" in plan
+
+
+class TestRound2PlanShape:
+    def test_large_order_details_broadcasts_build(self, spark):
+        # The HAVING-filtered aggregate is the broadcast build side of
+        # BOTH probe joins — no sort-merge, no shuffle of orders/customer.
+        plan = formatted(spark, "large_order_details")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_exists_orders_plans_semi_join(self, spark):
+        plan = formatted(spark, "exists_orders")
+        assert "LeftSemi" in plan
+        # The date-range filter reaches the orders parquet scan.
+        assert "PushedFilters" in plan and "o_orderdate" in plan
+
+    def test_doc_shingle_fp_is_shuffle_free(self, spark):
+        import re
+
+        plan = formatted(spark, "doc_shingle_fp")
+        assert not re.findall(r"\(\d+\) Exchange", plan)
+
+    def test_embed_quantize_is_shuffle_free(self, spark):
+        import re
+
+        plan = formatted(spark, "embed_quantize")
+        assert not re.findall(r"\(\d+\) Exchange", plan)
+
+    def test_minhash_md5_computed_once_per_token(self, spark):
+        # The double-hashing rewrite: the (h1,h2) transform appears in
+        # its own projection and each mh_i references the materialized
+        # array — the plan must contain exactly ONE md5 call per
+        # substring position (2), not one per salt (8/16).
+        plan = formatted(spark, "minhash_signature")
+        assert plan.count("md5(") <= 2, plan
+
+    def test_media_decode_prunes_to_id_and_content(self, spark):
+        # The Arrow decode pipeline reads only what it needs from the
+        # documents scan: doc_id (blob synthesis input).
+        plan = formatted(spark, "media_decode")
+        read = plan.split("ReadSchema")[1].split("\n")[0]
+        assert "doc_id" in read and "text" not in read

@@ -202,3 +202,82 @@ class TestStreamStaticJoin:
         assert len(out) == 5
         rooms = {r.meter: r.room for r in out}
         assert rooms == {"m1": "kitchen", "m2": "bedroom"}
+
+
+class TestStreamStreamJoin:
+    def test_watermarked_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream inner join with an event-time range bound:
+        results equal the batch join twin on the same data, and only
+        clicks within the attribution window pair up."""
+        from tomasz_weight_tracker_spark.streaming import stream_stream_join
+
+        imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+        base = dt.datetime.fromisoformat("2024-06-01 10:00:00")
+        imp_schema = "meter string, ts timestamp, value double"
+        clk_schema = "meter string, cts timestamp, action string"
+        impressions = [
+            ("m1", base, 1.0),
+            ("m2", base + dt.timedelta(minutes=5), 1.0),
+        ]
+        clicks = [
+            ("m1", base + dt.timedelta(minutes=3), "click"),      # within 15m
+            ("m1", base + dt.timedelta(minutes=40), "late"),      # outside
+            ("m2", base + dt.timedelta(minutes=4), "early"),      # BEFORE imp
+            ("m2", base + dt.timedelta(minutes=10), "click"),     # within
+        ]
+        spark.createDataFrame(impressions, imp_schema).coalesce(1).write.parquet(imp_dir)
+        spark.createDataFrame(clicks, clk_schema).coalesce(1).write.parquet(clk_dir)
+
+        li = spark.readStream.schema(imp_schema).parquet(imp_dir)
+        ri = spark.readStream.schema(clk_schema).parquet(clk_dir)
+        joined = stream_stream_join(
+            li, ri, key="meter", left_ts="ts", right_ts="cts"
+        ).select("l.meter", "l.ts", "r.cts", "r.action")
+        got = {(r.meter, r.action) for r in run_stream_append(spark, joined, "ssj2").collect()}
+        assert got == {("m1", "click"), ("m2", "click")}
+
+        # Batch twin: identical join condition on static frames.
+        bl = spark.read.parquet(imp_dir).alias("l")
+        br = spark.read.parquet(clk_dir).alias("r")
+        cond = (
+            (F.col("l.meter") == F.col("r.meter"))
+            & (F.col("r.cts") >= F.col("l.ts"))
+            & (F.col("r.cts") <= F.col("l.ts") + F.expr("INTERVAL 15 minutes"))
+        )
+        batch = {(r.meter, r.action) for r in bl.join(br, cond).select("l.meter", "r.action").collect()}
+        assert got == batch
+
+
+class TestStreamUpsert:
+    def test_incremental_merge_across_restarts(self, spark, tmp_path):
+        """foreachBatch upsert: first run seeds the table, a second run
+        (same checkpoint) applies only the NEW files as updates/inserts,
+        and re-running with no new input changes nothing."""
+        from tomasz_weight_tracker_spark.streaming import stream_upsert
+
+        src = str(tmp_path / "src")
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "id long, v string, ts timestamp"
+        base = dt.datetime.fromisoformat("2024-06-01 10:00:00")
+
+        spark.createDataFrame(
+            [(1, "a", base), (2, "b", base)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_upsert(stream, table, keys=["id"], checkpoint=ckpt).start().awaitTermination(120)
+        assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == {(1, "a"), (2, "b")}
+
+        # New file: id 2 updated, id 3 inserted.
+        spark.createDataFrame(
+            [(2, "B", base + dt.timedelta(minutes=1)), (3, "c", base)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_upsert(stream, table, keys=["id"], checkpoint=ckpt).start().awaitTermination(120)
+        expect = {(1, "a"), (2, "B"), (3, "c")}
+        assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == expect
+
+        # No new input -> no-op.
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_upsert(stream, table, keys=["id"], checkpoint=ckpt).start().awaitTermination(120)
+        assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == expect

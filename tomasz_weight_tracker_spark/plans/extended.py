@@ -823,3 +823,96 @@ def q_regression_slope_per_user(spark, sf_dir):
     return agg.select(
         "user_id", "n", F.when(den != 0, slope_e6).alias("slope_e6")
     )
+
+
+# ===========================================================================
+# TPC-H classic subquery shapes (EXISTS semi-join, IN + HAVING)
+# ===========================================================================
+
+
+@register(
+    "exists_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    survey_ids=("J4", "A1"),
+    doc="TPC-H Q4 shape: correlated EXISTS -> left-semi join (the "
+    "decorrelation Catalyst and DuckDB both apply), date-range filter "
+    "pushed to the orders scan, then a group-count.",
+)
+def q_exists_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "large_order_details",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dsum('l_quantity')} > 300
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    survey_ids=("J1", "A1"),
+    doc="TPC-H Q18 shape: IN-subquery-with-aggregate expressed as a "
+    "pre-aggregated build side.  The HAVING filter shrinks the build "
+    "to a handful of hot orders, which is then BROADCAST through both "
+    "probe joins — no shuffle of orders or customer.",
+)
+def q_large_order_details(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders", widen=False)
+    c = load(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "salted_event_totals",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(floor(value * 1000000)::BIGINT)::BIGINT AS v_sum_e6
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("A1",),
+    doc="Skew-safe two-phase aggregation through the salted path: "
+    "phase 1 groups by (event_type, salt) spreading any hot key over "
+    "16 reducers, phase 2 re-aggregates the tiny partials.  The "
+    "decomposable aggregates (count, exact integer sum) make the "
+    "result salt-invariant, so the oracle is the plain GROUP BY.",
+)
+def q_salted_event_totals(spark, sf_dir):
+    from ..operators.layout import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("q")
+    )
+    out = salted_agg(q, ["event_type"], {"n": ("q", "count"), "v_sum_e6": ("q", "sum")})
+    return out.select("event_type", F.col("n").cast("long"), F.col("v_sum_e6").cast("long"))

@@ -570,3 +570,128 @@ def q_embed_ivf_trained(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(queries, assigned, cents, k=5, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# Round-2 additions: regex (BPE-ish) tokenization, char-shingle
+# fingerprints, embedding quantization.
+# ===========================================================================
+
+
+@register(
+    "doc_regex_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words,
+           len(list_distinct(regexp_extract_all(lower(text), '\w+')))::BIGINT AS n_distinct_words
+    FROM documents
+    """,
+    survey_ids=("G2",),
+    doc="BPE-style pre-tokenization: the GPT-2-ish regex '\\w+|[^\\w\\s]' "
+    "splits words from punctuation runs (the step before BPE merges). "
+    "Java and RE2 agree on this ASCII pattern class, so counts are "
+    "exact across engines.  Per-row, zero shuffle.",
+)
+def q_doc_regex_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    full = F.regexp_extract_all(t, F.lit(r"\w+|[^\w\s]"), 0)
+    words = F.regexp_extract_all(t, F.lit(r"\w+"), 0)
+    lwords = F.regexp_extract_all(F.lower(t), F.lit(r"\w+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(full).cast("long").alias("n_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(lwords)).cast("long").alias("n_distinct_words"),
+    )
+
+
+@register(
+    "doc_shingle_fp",
+    r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 5
+                  THEN list_transform(range(1, length(t) - 3), i -> substr(t, i::INT, 5))
+                  ELSE [t] END AS sh
+      FROM n
+    )
+    SELECT doc_id,
+           len(list_distinct(sh))::BIGINT AS n_shingles,
+           list_min(list_transform(list_distinct(sh),
+                                   g -> ('0x' || substr(md5(g),1,15))::BIGINT)) AS shingle_fp
+    FROM s
+    """,
+    survey_ids=("A7",),
+    doc="Rolling-hash document fingerprint: character 5-gram shingles "
+    "over whitespace-normalized text, min md5-derived hash over the "
+    "distinct shingle set (robust to word-boundary edits that break "
+    "token-level fingerprints).  Shingle explosion stays inside a "
+    "per-row array — no row amplification, no shuffle.",
+)
+def q_doc_shingle_fp(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("__t"),
+    )
+    t = F.col("__t")
+    sh = F.when(
+        F.length(t) >= 5,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 4), lambda i: t.substr(i, F.lit(5))),
+    ).otherwise(F.array(t))
+    d = d.select("doc_id", F.array_distinct(sh).alias("__sh"))
+    return d.select(
+        "doc_id",
+        F.size("__sh").cast("long").alias("n_shingles"),
+        F.array_min(F.transform(F.col("__sh"), lambda g: md5_long(g))).alias("shingle_fp"),
+    )
+
+
+@register(
+    "embed_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+    q AS (SELECT vec_id, maxabs,
+                 list_transform(v, x -> floor(x * 127.0 / maxabs)::BIGINT) AS qv
+          FROM m)
+    SELECT vec_id,
+           floor(maxabs * 1000000000)::BIGINT AS maxabs_e9,
+           list_sum(qv)::BIGINT AS q_sum,
+           list_min(qv)::BIGINT AS q_min,
+           list_max(qv)::BIGINT AS q_max
+    FROM q
+    """,
+    survey_ids=(),
+    doc="Symmetric int8 embedding quantization (the 4x storage cut a "
+    "100 TB vector corpus takes before indexing): per-vector absmax "
+    "scale, floor(x*127/absmax) codes in [-128, 127].  Per-row "
+    "arithmetic on the array — zero shuffle; floor makes the codes "
+    "bit-deterministic (round-half ties differ across engines). "
+    "Precondition: vectors are non-zero (unit-norm upstream).",
+)
+def q_embed_quantize(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = e.select("vec_id", v.alias("__v"))
+    d = d.withColumn(
+        "__maxabs", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    )
+    qv = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("__maxabs")).cast("long"),
+    )
+    d = d.select("vec_id", "__maxabs", qv.alias("__qv"))
+    return d.select(
+        "vec_id",
+        F.floor(F.col("__maxabs") * F.lit(1000000000.0)).cast("long").alias("maxabs_e9"),
+        F.aggregate(F.col("__qv"), F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(F.col("__qv")).alias("q_min"),
+        F.array_max(F.col("__qv")).alias("q_max"),
+    )

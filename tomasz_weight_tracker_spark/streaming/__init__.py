@@ -5,4 +5,6 @@ from .pipelines import (  # noqa: F401
     stream_dedup_keep_first,
     stream_fifteen_minute_usage,
     stream_sessionize,
+    stream_stream_join,
+    stream_upsert,
 )

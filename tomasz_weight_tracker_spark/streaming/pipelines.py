@@ -173,3 +173,70 @@ def stream_running_stats(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events sharing ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (the impressions-to-clicks
+    attribution shape).
+
+    Both sides carry watermarks AND the join condition bounds the
+    event-time range, so Spark can evict buffered state once the
+    watermark passes ``left_ts + within`` — state per key is bounded by
+    rate x interval, never by stream length.  Without the range bound
+    the state store would grow forever; this is the property that
+    makes the operator viable on an unbounded 100 TB/day stream.
+
+    Caller renames non-key columns to avoid collisions (the two ts
+    columns must be distinct names if both are selected downstream).
+    """
+    lhs = left.withWatermark(left_ts, watermark).alias("l")
+    rhs = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond)
+
+
+def stream_upsert(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    partition_by: Sequence[str] | None = None,
+):
+    """foreachBatch MERGE sink: every micro-batch upserts by key into a
+    parquet table via :func:`..sources.writers.upsert_by_key` — the
+    streaming CDC-apply shape (update-else-insert per batch, exactly
+    the reference's store write looped over a stream).
+
+    Returns a configured ``DataStreamWriter`` (caller calls
+    ``.start()``).  Restart-safe: the checkpoint tracks consumed input,
+    and re-applying an already-applied batch is a no-op because the
+    upsert itself is idempotent.  Batches must be unique per key
+    (dedupe upstream with ``stream_dedup_keep_first`` if the source
+    can repeat keys within one batch).
+    """
+    from ..sources.writers import upsert_by_key
+
+    part = list(partition_by) if partition_by else None
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_by_key(batch_df.sparkSession, batch_df, path, list(keys), part)
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
