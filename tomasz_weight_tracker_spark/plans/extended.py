@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions import values_close
+from ..functions import md5_long, md5_long_sql, values_close
 from ..operators.asof import asof_join
 from ..operators.dedup import dedup_keep_last
 from ..operators.time_ops import week_anchor_offset
@@ -916,3 +916,166 @@ def q_salted_event_totals(spark, sf_dir):
     )
     out = salted_agg(q, ["event_type"], {"n": ("q", "count"), "v_sum_e6": ("q", "sum")})
     return out.select("event_type", F.col("n").cast("long"), F.col("v_sum_e6").cast("long"))
+
+
+# ===========================================================================
+# Round-2 widening: CUBE, ntile, deterministic sampling, edit distance,
+# nested aggregation.
+# ===========================================================================
+
+
+@register(
+    "cube_returnflag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::BIGINT * 2 + grouping(l_linestatus)::BIGINT AS gid,
+           count(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ids=("A1",),
+    doc="CUBE grouping sets: all 4 grouping combinations in ONE pass "
+    "(Expand feeds a single hash aggregate — vs 4 separate scans), "
+    "with grouping() flags distinguishing NULL-as-total from NULL "
+    "data.  Complements rollup_revenue.",
+)
+def q_cube_returnflag_status(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("long") * 2
+        + F.grouping("l_linestatus").cast("long")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "order_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile::BIGINT AS quartile, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM t GROUP BY quartile
+    """,
+    survey_ids=("W4",),
+    doc="ntile bucketing: equal-frequency quartiles over a total order "
+    "(unique tiebreak makes the assignment deterministic), then "
+    "per-bucket range stats — the binning step before stratified "
+    "sampling or histogram equalization.",
+)
+def q_order_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return t.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "hash_sample_events",
+    f"""
+    SELECT event_type, count(*) AS n,
+           sum(floor(value * 1000000)::BIGINT)::BIGINT AS v_sum_e6
+    FROM events
+    WHERE ({md5_long_sql("event_id::VARCHAR")}) % 100 < 10
+    GROUP BY event_type
+    """,
+    survey_ids=("P1",),
+    doc="Deterministic 10% sample: md5-hash of the row key mod 100 — "
+    "reproducible across engines, runs, AND scale-out (unlike "
+    "rand()-based TABLESAMPLE), so a 100 TB debugging sample is stable "
+    "run to run.  The predicate pushes to the scan like any filter.",
+)
+def q_hash_sample_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    keep = md5_long(F.col("event_id").cast("string")) % 100 < 10
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("v_sum_e6"),
+        )
+    )
+
+
+@register(
+    "doc_edit_distance_pairs",
+    """
+    WITH t AS (SELECT doc_id, source, substr(text, 1, 40) AS head FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.head, b.head)::BIGINT AS edit_dist
+    FROM t a JOIN t b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+    """,
+    survey_ids=("J1",),
+    doc="Edit-distance near-dup verification: Levenshtein over bounded "
+    "40-char prefixes within bounded candidate pairs (the O(n*m) DP "
+    "must never see full documents or unbounded pairs at scale — "
+    "prefix-block then verify, same shape as the Jaccard verifier).",
+)
+def q_doc_edit_distance_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.substring("text", 1, 40).alias("head"))
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
+        )
+        .withColumn("edit_dist", dist.cast("long"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "edit_dist",
+        )
+    )
+
+
+@register(
+    "user_event_breakdown",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type || ':' || n::VARCHAR ORDER BY event_type) AS breakdown,
+           sum(n)::BIGINT AS total
+    FROM c GROUP BY user_id
+    """,
+    survey_ids=("A1", "G3"),
+    doc="Nested aggregation into an ordered array column: per-user "
+    "(event_type, count) breakdown as a sorted array — the "
+    "denormalized per-entity feature-list shape training pipelines "
+    "emit.  Two hash aggregates, second reuses the first's "
+    "partitioning prefix.",
+)
+def q_user_event_breakdown(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    entry = F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
+    return c.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(entry)).alias("breakdown"),
+        F.sum("n").cast("long").alias("total"),
+    )
