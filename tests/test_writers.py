@@ -75,3 +75,25 @@ class TestUpsertByKey:
         upsert_by_key(spark, batch, path, keys=["id", "day"])
         rows = {(r.id, r.day): r.v for r in spark.read.parquet(str(path)).collect()}
         assert rows == {(1, "d1"): "x", (1, "d2"): "Y"}
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.sources.writers import compact_table
+
+        path = tmp_path / "t"
+        # 12 appends -> at least 12 small files.
+        for i in range(12):
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(
+                1
+            ).write.mode("append").parquet(str(path))
+        import glob
+
+        before = len(glob.glob(str(path / "*.parquet")))
+        assert before >= 12
+        rows_before = {(r.id, r.v) for r in spark.read.parquet(str(path)).collect()}
+
+        n = compact_table(spark, path)
+        after = len(glob.glob(str(path / "*.parquet")))
+        assert n == 1 and after == 1
+        assert {(r.id, r.v) for r in spark.read.parquet(str(path)).collect()} == rows_before

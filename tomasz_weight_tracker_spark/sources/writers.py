@@ -107,3 +107,35 @@ def write_text_report(lines: list[str], out_path: str | Path) -> Path:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text("\n".join(lines) + "\n", encoding="utf-8")
     return out_path
+
+
+def compact_table(
+    spark,
+    path: str | Path,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into files of
+    roughly ``target_file_bytes`` each; returns the new file count.
+
+    Streaming/upsert sinks accrete many small files (one+ per micro
+    batch); at scale, scan cost is dominated by per-file open/footer
+    overhead long before bytes — the operational fix is periodic
+    compaction into scan-efficient file sizes.  Sizing uses the
+    CURRENT on-disk bytes (compressed), so the rewrite preserves
+    density.  The rewrite is a read -> localCheckpoint -> overwrite of
+    the same path (same single-writer posture as ``upsert_by_key``);
+    on a partitioned table run it per partition directory.
+    """
+    import os
+
+    path = Path(path)
+    total = sum(
+        os.path.getsize(Path(root) / f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(str(path)).localCheckpoint()
+    df.repartition(n_files).write.mode("overwrite").parquet(str(path))
+    return n_files
