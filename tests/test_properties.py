@@ -114,3 +114,58 @@ def test_merge_never_loses_nonnull_cells(files):
                 row[c] is not None and math.isclose(row[c], float(v), rel_tol=1e-5, abs_tol=1e-9)
                 for c in value_cols
             ), f"cell ({ts}, {v}) lost"
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure python — no Spark session needed).
+
+
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_serialize_parse_round_trip(w, h, seed):
+    from tomasz_weight_tracker_spark.operators.codecs import make_bmp, parse_bmp
+
+    def px(x, y):
+        v = (x * 31 + y * 17 + seed) % 256
+        return (v, (v * 3) % 256, (v * 7) % 256)
+
+    raw = make_bmp(w, h, px)
+    out = parse_bmp(raw)
+    assert out is not None and (out["width"], out["height"]) == (w, h)
+    # Pixel walk returns exactly what was serialized, in top-down order.
+    expect = [px(x, y) for y in range(h) for x in range(w)]
+    assert out["pixels"] == expect
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_serialize_parse_round_trip(n, rate, seed):
+    from tomasz_weight_tracker_spark.operators.codecs import make_wav, parse_wav
+
+    samples = [((i * 2654435761 + seed) % 65536) - 32768 for i in range(n)]
+    raw = make_wav(samples, sample_rate=rate)
+    out = parse_wav(raw)
+    assert out is not None
+    assert out["samples"] == samples
+    assert out["n_frames"] == n
+    assert out["duration_ms"] == n * 1000 // rate
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_parsers_never_raise_on_garbage(data):
+    from tomasz_weight_tracker_spark.operators.codecs import parse_bmp, parse_wav
+
+    # Corrupt blobs are data, not exceptions: any outcome but a raise.
+    parse_bmp(data)
+    parse_wav(data)
+    parse_bmp(b"BM" + data)
+    parse_wav(b"RIFF" + data)
