@@ -118,3 +118,11 @@ class TestRound2PlanShape:
         plan = formatted(spark, "media_decode")
         read = plan.split("ReadSchema")[1].split("\n")[0]
         assert "doc_id" in read and "text" not in read
+
+    def test_user_breakdown_single_exchange(self, spark):
+        # Partitioning by user_id alone serves both the (user, type)
+        # count and the per-user array aggregation: one exchange total.
+        import re
+
+        plan = formatted(spark, "user_event_breakdown")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -1068,12 +1068,19 @@ def q_doc_edit_distance_pairs(spark, sf_dir):
     doc="Nested aggregation into an ordered array column: per-user "
     "(event_type, count) breakdown as a sorted array — the "
     "denormalized per-entity feature-list shape training pipelines "
-    "emit.  Two hash aggregates, second reuses the first's "
-    "partitioning prefix.",
+    "emit.  Pre-partitioning by user_id alone satisfies BOTH "
+    "aggregates' clustering (same-user rows are co-located, hence "
+    "same-(user,type) rows are too), so the plan has exactly ONE "
+    "exchange — hash(user, type) partitioning would NOT be reusable "
+    "by the second aggregate.",
 )
 def q_user_event_breakdown(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        ev.repartition("user_id")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     entry = F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
     return c.groupBy("user_id").agg(
         F.array_sort(F.collect_list(entry)).alias("breakdown"),
