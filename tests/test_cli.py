@@ -29,3 +29,23 @@ def test_catalog_cli_lists_unknown(spark, capsys):
 
 def test_catalog_cli_runs_query(spark):
     assert main(["catalog", "global_summary", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+
+
+def test_upsert_and_compact_cli(spark, tmp_path):
+    from tomasz_weight_tracker_spark.__main__ import main
+
+    table = str(tmp_path / "table")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(b1)
+    spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string").write.parquet(b2)
+
+    assert main(["upsert", b1, table, "--keys", "id"]) == 0
+    assert main(["upsert", b2, table, "--keys", "id"]) == 0
+    got = {(r.id, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+    assert main(["compact", table]) == 0
+    import glob
+
+    assert len(glob.glob(f"{table}/*.parquet")) == 1
+    assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == got

@@ -8,6 +8,8 @@ equivalent is one subcommand per pipeline, same inputs, same outputs:
     python -m tomasz_weight_tracker_spark weight TXT_GLOB OUT_CSV [--freq W-FRI]
     python -m tomasz_weight_tracker_spark jobsearch MHTML_GLOB OUT_MD [--cutoff 2025-01-01]
     python -m tomasz_weight_tracker_spark catalog QUERY_NAME [--sf-dir DIR]
+    python -m tomasz_weight_tracker_spark upsert BATCH_DIR TABLE_DIR --keys id[,day]
+    python -m tomasz_weight_tracker_spark compact TABLE_DIR [--target-mb 128]
 """
 
 from __future__ import annotations
@@ -45,6 +47,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("query")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser("upsert", help="MERGE a parquet batch into a keyed table")
+    p.add_argument("batch_path")
+    p.add_argument("table_path")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--partition-by", default=None, help="comma-separated partition columns")
+
+    p = sub.add_parser("compact", help="compact a parquet table's small files")
+    p.add_argument("table_path")
+    p.add_argument("--target-mb", type=int, default=128)
 
     args = ap.parse_args(argv)
 
@@ -123,6 +135,22 @@ def run(spark, args) -> int:
             return 2
         df = REGISTRY[args.query].build(spark, args.sf_dir)
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "upsert":
+        from .sources.writers import upsert_by_key
+
+        batch = spark.read.parquet(args.batch_path)
+        part = args.partition_by.split(",") if args.partition_by else None
+        upsert_by_key(spark, batch, args.table_path, args.keys.split(","), part)
+        print(f"upserted {args.batch_path} into {args.table_path}")
+        return 0
+
+    if args.cmd == "compact":
+        from .sources.writers import compact_table
+
+        n = compact_table(spark, args.table_path, args.target_mb * 1024 * 1024)
+        print(f"compacted {args.table_path} to {n} file(s)")
         return 0
 
     return 2
