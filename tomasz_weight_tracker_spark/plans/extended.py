@@ -1086,3 +1086,258 @@ def q_user_event_breakdown(spark, sf_dir):
         F.array_sort(F.collect_list(entry)).alias("breakdown"),
         F.sum("n").cast("long").alias("total"),
     )
+
+
+@register(
+    "volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    survey_ids=("J1", "A1"),
+    doc="TPC-H Q7 shape: five-way join where every dimension (orders is "
+    "the exception) broadcasts; the disjunctive two-nation predicate is "
+    "applied AFTER the nation joins so Catalyst can still push the "
+    "per-nation IN-filters into the dim scans.  Only lineitem|orders "
+    "shuffle (on orderkey); everything else rides the broadcast.",
+)
+def q_volume_shipping(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )
+
+
+@register(
+    "custdist",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    survey_ids=("J3", "A1"),
+    doc="TPC-H Q13 shape: left outer join with a compound ON predicate "
+    "(the priority filter must live in the ON clause, not WHERE, or "
+    "zero-order customers vanish), per-customer count including zeros, "
+    "then a second aggregation over the counts.  The second groupBy's "
+    "input is one row per customer — tiny — so the only real shuffle "
+    "is the orders-by-custkey exchange.",
+)
+def q_custdist(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "small_qty_part_revenue",
+    f"""
+    WITH enriched AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+    ), stats AS (
+      SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+      FROM enriched GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('e.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM enriched e JOIN stats s ON e.l_partkey = s.l_partkey
+    WHERE e.l_quantity < 0.2 * s.avg_qty
+    """,
+    survey_ids=("J1", "A8"),
+    doc="TPC-H Q17 shape: correlated per-part average decorrelated into "
+    "an aggregate + self-join.  The brand filter broadcasts into the "
+    "lineitem scan first (so the per-part average runs over ~1% of "
+    "lineitem), and the per-part stats frame is small enough to "
+    "broadcast back — the plan has ONE shuffle (groupBy partkey).",
+)
+def q_small_qty_part_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    enriched = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    stats = enriched.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        enriched.join(F.broadcast(stats), F.col("l_partkey") == F.col("s_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT sum(c_acctbal::DECIMAL(18,6))::DOUBLE / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT (c.c_nationkey % 5)::INT AS cgroup,
+           count(*)::BIGINT AS numcust,
+           sum(c.c_acctbal::DECIMAL(18,6))::DOUBLE AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY 1
+    """,
+    survey_ids=("A8", "U3", "A1"),
+    doc="TPC-H Q22 shape: scalar subquery (global positive-balance "
+    "average) broadcast as a literal-like 1-row cross join, anti join "
+    "against urgent orders, then a grouped rollup of the survivors.  "
+    "The anti join's right side is pre-filtered and deduplicated to "
+    "distinct custkeys before the exchange.",
+)
+def q_idle_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("a"))
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    kept = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return kept.groupBy((F.col("c_nationkey") % 5).cast("int").alias("cgroup")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    survey_ids=("A1",),
+    doc="Explicit GROUPING SETS (vs the catalog's CUBE/ROLLUP cousins): "
+    "three chosen granularities in one pass — Spark expands the input "
+    "once (Expand node) and aggregates all sets in a single shuffle, "
+    "exactly what three separate groupBys would spend 3 scans + 3 "
+    "shuffles on.  grouping_id disambiguates NULL-as-group-all from "
+    "NULL data in both engines.",
+)
+def q_grouping_sets_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "purchase_window_clicks",
+    """
+    SELECT p.event_id AS purchase_id, count(*)::BIGINT AS n_clicks
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1
+    """,
+    survey_ids=("J2", "T4"),
+    doc="Interval (range) join without a theta-join: each purchase "
+    "opens a 2-hour window; clicks by the same user inside the window "
+    "are counted.  The window is exploded into its <=3 covering hour "
+    "buckets and the join runs on (user_id, hour_bucket) equi-keys — "
+    "a click's own bucket is unique, so each qualifying (purchase, "
+    "click) pair appears exactly once and needs no dedup.  At 100 TB "
+    "this is the difference between a keyed shuffle join and an "
+    "unbounded per-user cross product; bucket count scales with window "
+    "width, not data size.",
+)
+def q_purchase_window_clicks(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOURS")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + two_h).alias("p_end"),
+    )
+    pb = p.withColumn(
+        "hb",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("p_ts")),
+                F.date_trunc("hour", F.col("p_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    cb = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    )
+    return (
+        pb.join(cb, (F.col("user_id") == F.col("c_user")) & (pb.hb == cb.hb))
+        .filter((F.col("c_ts") >= F.col("p_ts")) & (F.col("c_ts") < F.col("p_end")))
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
