@@ -176,3 +176,60 @@ def make_wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1) -
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def resize_nearest(decoded: dict, out_w: int, out_h: int) -> dict | None:
+    """Nearest-neighbor resize of decoded BMP pixels.
+
+    Source pixel for output (x, y) is (x*w_in // out_w, y*h_in // out_h)
+    — pure integer math, so an oracle can recompute the mapping
+    closed-form.  Returns a decoded-dict shape {width, height, bpp,
+    pixels} over the resized grid.
+    """
+    pixels = decoded.get("pixels")
+    if not pixels or out_w <= 0 or out_h <= 0:
+        return None
+    w, h = decoded["width"], decoded["height"]
+    out = []
+    for y in range(out_h):
+        sy = y * h // out_h
+        base = sy * w
+        for x in range(out_w):
+            out.append(pixels[base + x * w // out_w])
+    return {"width": out_w, "height": out_h, "bpp": decoded.get("bpp"), "pixels": out}
+
+
+VIDEO_MAGIC = b"VID0"
+
+
+def make_video(frames: list[bytes]) -> bytes:
+    """Serialize a toy video container: magic + frame count + length-
+    prefixed frame blobs (each typically a BMP).  Real enough that
+    parse must walk variable-length records; simple enough to be
+    stdlib-only."""
+    out = bytearray(VIDEO_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for fr in frames:
+        out += struct.pack("<I", len(fr))
+        out += fr
+    return bytes(out)
+
+
+def parse_video(raw: bytes) -> list[bytes] | None:
+    """Walk the length-prefixed container; None if it doesn't validate.
+    Truncated trailing frames are dropped, not raised — corrupt blobs
+    are data (same posture as parse_bmp/parse_wav)."""
+    if len(raw) < 8 or raw[:4] != VIDEO_MAGIC:
+        return None
+    n = struct.unpack_from("<I", raw, 4)[0]
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(raw):
+            break
+        ln = struct.unpack_from("<I", raw, pos)[0]
+        pos += 4
+        if pos + ln > len(raw):
+            break
+        frames.append(raw[pos : pos + ln])
+        pos += ln
+    return frames
