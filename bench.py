@@ -82,10 +82,13 @@ def main() -> None:
         # are per-plan-shape constants, irrelevant at scale), then time
         # the best of two executions of the SAME compiled plan — the
         # engine's marginal cost, the number that extrapolates to a
-        # 1000-executor run.  Nothing is persisted: every timed pass
-        # re-scans parquet and re-executes the full operator tree; only
-        # plan COMPILATION is reused (as any repeated production query
-        # would via the plan cache).  Best-of-2 absorbs single-run noise
+        # 1000-executor run.  The storage cache is cleared before every
+        # timed pass, so plans containing an explicit .cache() (e.g.
+        # lsh_near_dup's minhash-signature frame) recompute their
+        # intermediates inside the timed window — each pass re-scans
+        # parquet and re-executes the FULL operator tree; only plan
+        # COMPILATION is reused (as any repeated production query would
+        # via the plan cache).  Best-of-2 absorbs single-run noise
         # spikes from a shared machine without hiding real cost.
         df = q.build(spark, sf_dir)
         agg = df.agg(
@@ -95,6 +98,7 @@ def main() -> None:
         n = agg.first()["n"]  # warm pass
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.time()
             agg.first()
             best = min(best, time.time() - t0)

@@ -32,15 +32,17 @@ def salted_agg(
 
     ``aggs`` maps output column -> (input column, fn) where fn is one
     of 'sum' | 'count' | 'min' | 'max' (the decomposable aggregates).
-    Phase 1 groups by (key, random salt) — the hot key's rows spread
-    over ``salt_buckets`` reducers; phase 2 re-aggregates the (tiny)
-    partials by key alone.
+    'count' is the ROW count (count(*) semantics, the input column is
+    ignored) — for a non-null count, sum an isnotnull indicator
+    instead.  Phase 1 groups by (key, random salt) — the hot key's
+    rows spread over ``salt_buckets`` reducers; phase 2 re-aggregates
+    the (tiny) partials by key alone.
     """
     phase1 = []
     phase2 = []
     for out, (col, fn) in aggs.items():
         if fn == "count":
-            phase1.append(F.count(col).alias(out))
+            phase1.append(F.count(F.lit(1)).alias(out))
             phase2.append(F.sum(out).alias(out))
         elif fn == "sum":
             phase1.append(F.sum(col).alias(out))

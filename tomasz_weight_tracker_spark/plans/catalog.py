@@ -21,6 +21,7 @@ Float-exactness discipline (so order-insensitive value hashes match):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -61,14 +62,20 @@ def load(
     18 times over.  DataFrames are immutable plans, so sharing is safe;
     nothing is persisted (each action still scans parquet).
     """
-    key = (spark, sf_dir, table, widen)
-    cached = _load_cache.get(key)
+    # The caller may hand us an arbitrary SparkSession (the driver builds
+    # its own); timestamp semantics vs. the DuckDB oracle require UTC.
+    # Set BEFORE the cache lookup so a tz change elsewhere in the
+    # session can't stick to the cached-table path.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    per_session = _load_cache.get(spark)
+    if per_session is None:
+        per_session = {}
+        _load_cache[spark] = per_session
+    key = (sf_dir, table, widen)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     path = f"{sf_dir}/{table}.parquet"
-    # The caller may hand us an arbitrary SparkSession (the driver builds
-    # its own); timestamp semantics vs. the DuckDB oracle require UTC.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table != "events":
         df = spark.read.parquet(path)
     else:
@@ -78,11 +85,16 @@ def load(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if widen:
         df = _widen(spark, df)
-    _load_cache[key] = df
+    per_session[key] = df
     return df
 
 
-_load_cache: dict[tuple, DataFrame] = {}
+# Keyed WEAKLY by SparkSession so a stopped/dropped session's
+# DataFrames are released with it (a plain dict would pin every
+# session ever seen in long-lived processes and test suites).
+_load_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 # Tables whose single-file, single-row-group layout would otherwise pin

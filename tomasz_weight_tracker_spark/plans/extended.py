@@ -1081,9 +1081,18 @@ def q_user_event_breakdown(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    entry = F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
+    # Sort the STRUCTS (by event_type, the first field) and only then
+    # project to the display string: sorting the concatenated
+    # 'type:count' strings would diverge from ORDER BY event_type
+    # whenever one type is a proper prefix of another (':' sorts above
+    # digits).  (event_type, n) pairs are unique per user, so the
+    # struct sort is total.
+    pairs = F.array_sort(F.collect_list(F.struct("event_type", "n")))
     return c.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(entry)).alias("breakdown"),
+        F.transform(
+            pairs,
+            lambda s: F.concat(s["event_type"], F.lit(":"), s["n"].cast("string")),
+        ).alias("breakdown"),
         F.sum("n").cast("long").alias("total"),
     )
 

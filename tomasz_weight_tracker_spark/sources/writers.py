@@ -69,12 +69,23 @@ def upsert_by_key(
     construction.
     """
     path = Path(path)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer_cols = updates.columns
     if not path.exists():
         merged = updates
     else:
-        existing = spark.read.parquet(str(path)).select(*writer_cols)
+        existing = spark.read.parquet(str(path))
+        # A batch missing table columns would silently rewrite the
+        # table WITHOUT them (copy-on-write replaces whole files) —
+        # that's data loss, so it is an error, not a default.
+        missing = set(existing.columns) - set(writer_cols)
+        extra = set(writer_cols) - set(existing.columns)
+        if missing or extra:
+            raise ValueError(
+                f"upsert_by_key: batch schema must match table schema; "
+                f"missing from batch: {sorted(missing)}, "
+                f"not in table: {sorted(extra)}"
+            )
+        existing = existing.select(*writer_cols)
         if partition_by:
             # Prune the rewrite to touched partitions: tiny distinct
             # list of partition tuples from the batch -> pushed-down
@@ -96,7 +107,13 @@ def upsert_by_key(
     merged = merged.localCheckpoint()
     writer = merged.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # Writer-scoped dynamic overwrite: only partitions present in
+        # the merged batch are replaced.  Scoping via option() keeps the
+        # session conf untouched (a session-wide 'dynamic' would change
+        # the semantics of every other overwrite in the process).
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(
+            *partition_by
+        )
     writer.parquet(str(path))
 
 
