@@ -6,3 +6,4 @@ verification pattern (SURVEY.md §5.1.1), industrialized.
 from .catalog import REGISTRY, Query, load  # noqa: F401
 from . import llm_ops  # noqa: F401  (registers documents/embeddings queries)
 from . import extended  # noqa: F401  (as-of, rollup, resample, G4/T8/G5)
+from . import tpch_full  # noqa: F401  (TPC-H shape completion Q2..Q21)
