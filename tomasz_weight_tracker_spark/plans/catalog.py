@@ -67,6 +67,12 @@ def load(
     # Set BEFORE the cache lookup so a tz change elsewhere in the
     # session can't stick to the cached-table path.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet timestamps without isAdjustedToUTC (timestamp[us], the
+    # driver's current writer) would infer as TIMESTAMP_NTZ in Spark 4,
+    # which unix_micros/watermarks reject.  Read them as session-tz
+    # TIMESTAMP instead: with the UTC session tz this is value-identical
+    # to DuckDB's TIMESTAMP view of the same column.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     per_session = _load_cache.get(spark)
     if per_session is None:
         per_session = {}

@@ -445,6 +445,8 @@ def q_streaming_bucket_15min(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks require TIMESTAMP (not NTZ); see plans/catalog.py:load.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # File stream sources take a directory; pathGlobFilter narrows the
