@@ -1,0 +1,293 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Extensions beyond the reference surface (SURVEY §8.2): the signals a
+large-scale pretraining-data pipeline computes over a document corpus
+before training — repetition scoring, boilerplate n-gram detection,
+benchmark-contamination screening, PII redaction, and per-document
+salient-term extraction.  The reference's closest analogue is its
+normalization/dedup pass over scraped job postings
+(utils/loose_thoughts.py:227-238); these generalize that pass to the
+corpus scale the engine targets.
+
+Scale posture (the design constraint for every function here):
+
+- repetition + PII metrics are PER-ROW array/regex expressions — no
+  shuffle at all, embarrassingly parallel across executors, and
+  whole-stage-codegen'd (no Python in the hot path);
+- boilerplate and salient-term extraction explode to (doc, ngram)
+  pairs and aggregate — the explode output is narrow (two columns),
+  partial aggregation runs map-side before the single shuffle, and
+  the final top-k is a TakeOrderedAndProject, not a full sort;
+- contamination screening joins each document's shingle set against a
+  small benchmark shingle set: the benchmark side is broadcast, so
+  the corpus side never shuffles.
+
+Every metric is integer arithmetic followed by one IEEE double
+division, so results are bit-identical to the DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+# --- repetition signals (per-row, no shuffle) ------------------------------
+
+
+def bigram_array(tok: Column) -> Column:
+    """Adjacent-token bigrams of a token array, as 'a b' strings."""
+    n = F.size(tok)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tok, 1, n - 1),
+            F.slice(tok, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_array(tok: Column) -> Column:
+    """Adjacent-token trigrams of a token array, as 'a b c' strings."""
+    n = F.size(tok)
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(tok, 1, n - 2),
+                F.slice(tok, 2, n - 2),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            F.slice(tok, 3, n - 2),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_token_count(tok: Column) -> Column:
+    """Occurrence count of the most frequent token (mode count).
+
+    O(distinct x n) per row, but fully JVM-side and shuffle-free —
+    the per-row cost is what executors divide at scale, which beats
+    an explode+groupBy round trip for a per-document metric."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(tok), lambda d: F.size(F.filter(tok, lambda t: t == d))
+        )
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_token_frac``: count of the single most frequent token /
+      total tokens (high -> degenerate repetition);
+    - ``dup_bigram_frac``: 1 - distinct bigrams / total bigrams
+      (high -> copy-paste loops).
+
+    Both are per-row expressions; the plan is a single narrow
+    projection over the scan."""
+    t = F.col(text_col)
+    d = df.select("doc_id", tokens(t).alias("__tk"))
+    d = d.select("doc_id", "__tk", bigram_array(F.col("__tk")).alias("__bg"))
+    n = F.size("__tk").cast("long")
+    nb = F.size("__bg").cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, top_token_count(F.col("__tk")).cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+        F.when(
+            nb > 0,
+            1.0 - F.size(F.array_distinct("__bg")).cast("double") / nb.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def sql_bigrams(tokens_expr: str) -> str:
+    """DuckDB twin of :func:`bigram_array` (1-based list indexing)."""
+    return (
+        f"CASE WHEN len({tokens_expr}) >= 2 THEN "
+        f"list_transform(range(1, len({tokens_expr})), "
+        f"i -> ({tokens_expr})[i] || ' ' || ({tokens_expr})[i+1]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def sql_trigrams(tokens_expr: str) -> str:
+    return (
+        f"CASE WHEN len({tokens_expr}) >= 3 THEN "
+        f"list_transform(range(1, len({tokens_expr}) - 1), "
+        f"i -> ({tokens_expr})[i] || ' ' || ({tokens_expr})[i+1] || ' ' || ({tokens_expr})[i+2]) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def sql_top_token_count(tokens_expr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({tokens_expr}), "
+        f"d -> len(list_filter({tokens_expr}, x -> x = d))))"
+    )
+
+
+# --- boilerplate n-grams (explode -> partial agg -> top-k) -----------------
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str = "text", top: int = 20
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: token trigrams ranked by the
+    number of DISTINCT documents containing them.
+
+    Plan shape: per-row trigram set (array_distinct BEFORE explode, so
+    a doc contributes each trigram once and the exploded relation is a
+    set, not a bag) -> explode to (ngram) -> hash-agg count with map-
+    side partial -> TakeOrderedAndProject for the top-k.  One shuffle
+    total; the explode never leaves the executor that scanned the row."""
+    t = F.col(text_col)
+    d = df.select(tokens(t).alias("__tk"))
+    d = d.select(F.explode(F.array_distinct(trigram_array(F.col("__tk")))).alias("ngram"))
+    return (
+        d.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram"))
+        .limit(top)
+    )
+
+
+# --- benchmark-contamination screen (broadcast semi-join) ------------------
+
+
+def contamination_overlap(
+    df: DataFrame, bench_mod: int = 53, text_col: str = "text"
+) -> DataFrame:
+    """Screen every document against a benchmark set for n-gram
+    contamination.
+
+    The benchmark here is the deterministic pseudo-holdout
+    ``doc_id % bench_mod == 0`` (in production it would be a separate
+    small table — the plan is identical).  For each non-benchmark
+    document: how many of its distinct trigrams appear anywhere in the
+    benchmark, and what fraction of its trigrams that is.
+
+    Plan shape: the benchmark trigram set is small -> broadcast; the
+    corpus side explodes its per-doc trigram set, left-semi-style
+    joins the broadcast set, and re-aggregates per doc_id.  The corpus
+    never shuffles on data volume — only the per-doc counts do.
+
+    The trigram base feeds three branches (benchmark set, corpus
+    sizes, corpus explode) — cache it so the tokenize+trigram work
+    runs once per row, not three times."""
+    t = F.col(text_col)
+    base = df.select(
+        "doc_id", F.array_distinct(trigram_array(tokens(t))).alias("__tg")
+    ).cache()
+    bench = (
+        base.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("__tg").alias("ngram"))
+        .distinct()
+    )
+    corpus = base.filter(F.col("doc_id") % bench_mod != 0)
+    exploded = corpus.select("doc_id", F.size("__tg").alias("n_ngrams"), F.explode("__tg").alias("ngram"))
+    hits = (
+        exploded.join(F.broadcast(bench), "ngram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select("doc_id", F.size("__tg").cast("long").alias("n_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_ngrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contaminated_frac"),
+        )
+    )
+
+
+# --- PII redaction (per-row regex, no shuffle) -----------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+_REDACTED = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens and count each category.
+
+    Per-row ``regexp_replace`` / ``regexp_extract_all`` — shuffle-free,
+    codegen'd, and linear in bytes scanned: the shape that holds at
+    100 TB."""
+    t = F.col(text_col)
+    out = df
+    clean = t
+    for kind in ("email", "phone", "ipv4"):
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        )
+        clean = F.regexp_replace(clean, pat, _REDACTED[kind])
+    return out.withColumn("clean_text", clean)
+
+
+def sql_redact_pii(expr: str) -> dict[str, str]:
+    """DuckDB twins: per-kind count expressions + the chained
+    replacement expression (global flag)."""
+    counts = {
+        kind: f"len(regexp_extract_all({expr}, '{pat}'))::BIGINT"
+        for kind, pat in PII_PATTERNS.items()
+    }
+    clean = expr
+    for kind in ("email", "phone", "ipv4"):
+        clean = f"regexp_replace({clean}, '{PII_PATTERNS[kind]}', '{_REDACTED[kind]}', 'g')"
+    return {**counts, "clean": clean}
+
+
+# --- salient terms (tf + rarity, integer-ranked) ---------------------------
+
+
+def salient_terms(df: DataFrame, text_col: str = "text", top: int = 3) -> DataFrame:
+    """Per-document top-k salient terms: rank by term frequency
+    descending, then document frequency ascending (rarer wins), then
+    term ascending — an integer-only TF-IDF surrogate with a total
+    deterministic order (no float log in the ranking, so the result
+    is hash-stable across engines).
+
+    Plan shape: explode -> (doc, term) counts with map-side partial ->
+    small (term, df) side derived FROM the tf frame (tf already has
+    exactly one row per distinct (doc, term), so document frequency is
+    a count over tf — no second explode/scan) and BROADCAST back ->
+    per-doc row_number window.  Two shuffles (tf agg, window), both on
+    doc-sized keys; the df join moves no corpus data."""
+    t = F.col(text_col)
+    toks = df.select("doc_id", F.explode(tokens(t)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+    )

@@ -7,3 +7,4 @@ from .catalog import REGISTRY, Query, load  # noqa: F401
 from . import llm_ops  # noqa: F401  (registers documents/embeddings queries)
 from . import extended  # noqa: F401  (as-of, rollup, resample, G4/T8/G5)
 from . import tpch_full  # noqa: F401  (TPC-H shape completion Q2..Q21)
+from . import pipeline_text  # noqa: F401  (corpus curation: repetition, PII, contamination)
