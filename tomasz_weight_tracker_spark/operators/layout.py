@@ -98,3 +98,49 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+# --- Z-order (Morton) clustering -------------------------------------------
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns.
+
+    Bit i of ``a`` lands at position 2i+1, bit i of ``b`` at 2i, so
+    rows close in BOTH dimensions get close keys.  Sorting/range-
+    partitioning the table by this key gives every file a small
+    bounding box in (a, b) — min/max footer stats then prune files for
+    predicates on EITHER column, where a single-column sort order only
+    prunes its leading column.  The loop unrolls to a flat codegen'd
+    integer expression (no UDF, no shuffle).
+
+    Inputs must fit in ``bits`` bits (quantize first); values are
+    masked, not validated, to keep the expression branch-free.
+    """
+    expr: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        expr = expr + abit * F.lit(1 << (2 * i + 1)) + bbit * F.lit(1 << (2 * i))
+    return expr
+
+
+def sql_zorder_key(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` (same bit placement, same
+    multiply-by-power-of-two arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cluster_by_zorder(
+    df: DataFrame, a: Column, b: Column, bits: int = 16, n_files: int = 32
+) -> DataFrame:
+    """Range-partition + sort a frame by its Z-order key, ready for a
+    parquet write where each output file covers a compact (a, b) box.
+    One range shuffle (sampled bounds), then a local sort per file —
+    the standard OPTIMIZE ... ZORDER BY shape, minus the table format."""
+    keyed = df.withColumn("__z", zorder_key(a, b, bits))
+    return keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")

@@ -1,0 +1,201 @@
+"""Distributed sketch operators: HyperLogLog distinct counting and
+deterministic stratified sampling.
+
+Extension surface beyond the reference (SURVEY §8): at 100 TB an exact
+COUNT(DISTINCT) is a full shuffle of every distinct value; the sketch
+path aggregates 256 small registers per group instead — partial-
+aggregatable (map-side combine works: max per register commutes),
+mergeable across partitions/streams, and constant-size state per
+group.  Spark ships approx_count_distinct (HLL++), but its estimate is
+not reproducible outside the JVM; this implementation is defined
+entirely in portable integer/double arithmetic (md5 → 60-bit hash,
+binary-string leading-zero count, power-of-two register sums) so the
+DuckDB oracle replays it BIT-IDENTICALLY — the engine's cross-engine
+verification discipline extended to approximate operators.
+
+Float discipline: every register term is an exact power of two ≤ 2^30
+and register sums stay < 2^39 — integer-exact in any summation order —
+so the only runtime float ops are the final division (IEEE-identical
+everywhere) and Flajolet et al.'s small-range linear-counting branch
+m·ln(m/V).  ln() itself is NOT bit-portable (Java Math.log and
+DuckDB's libm ln disagree in the last ulp on 18 of the 255 possible
+inputs — measured), but its input domain here is FINITE: V, the
+empty-register count, is an integer in [1, 255].  So the 255 possible
+linear-counting values are precomputed once as double literals and
+embedded in BOTH engines as a lookup table — the correction becomes
+an integer-indexed load, bit-identical by construction, and
+tests/test_scale_ops.py re-derives the table to pin it.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_long
+
+# Register-count exponent: m = 2^P registers per group (standard error
+# ~1.04/sqrt(m) ≈ 6.5%).  CAP bounds the power-of-two register terms
+# so their sum is integer-exact in 64-bit and double (< 2^39).
+P = 8
+M = 1 << P
+REST_BITS = 60 - P  # md5_long yields 60 bits; P go to the bucket index
+CAP = 30
+
+# Linear-counting lookup: LC_TABLE[V-1] = m·ln(m/V) for V empty
+# registers.  Precomputed doubles shared verbatim by both engines.
+LC_TABLE: list[float] = [float(M) * math.log(float(M) / v) for v in range(1, M)]
+# Small-range threshold: below 2.5·m the raw estimator's bias exceeds
+# the sketch's standard error, so linear counting wins (HLL paper §4).
+SMALL_RANGE = 2.5 * M
+
+
+def _hash(value: Column) -> Column:
+    """60-bit salted hash of the value's string form."""
+    return md5_long(F.concat(F.lit("hll:"), value.cast("string")))
+
+
+def _sql_hash(expr: str) -> str:
+    return f"('0x' || substr(md5('hll:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _sci(x: float) -> str:
+    """Render a double so DuckDB parses it as DOUBLE, not DECIMAL."""
+    s = repr(x)
+    return s if "e" in s or "E" in s else s + "e0"
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``value_col``.
+
+    Plan shape: per-row hash/bucket/rho projection (codegen, no
+    Python) -> groupBy (group, bucket) max(rho) — 256·|groups| rows
+    after the partial agg, so the shuffle moves registers, not data ->
+    groupBy (group) register fold.  Two shuffles on tiny frames; the
+    raw scan is touched once.
+    """
+    h = _hash(F.col(value_col))
+    bucket = h.bitwiseAND(F.lit(M - 1))
+    rest = F.shiftright(h, P)
+    first_one = F.instr(F.lpad(F.bin(rest), REST_BITS, "0"), "1")
+    rho = F.when(first_one == 0, F.lit(REST_BITS + 1)).otherwise(first_one)
+
+    regs = (
+        df.select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    term = (
+        F.when(
+            F.col("__mj") <= CAP,
+            F.pow(F.lit(2.0), (F.lit(CAP) - F.col("__mj")).cast("double")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    folded = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("__z_occ"), F.count(F.lit(1)).alias("__nb")
+    )
+    z = F.col("__z_occ") + (F.lit(M) - F.col("__nb")) * F.lit(1 << CAP)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(M)))
+    raw = alpha * F.lit(float(M * M)) * F.lit(float(1 << CAP)) / z.cast("double")
+    v = F.lit(M) - F.col("__nb")  # empty registers
+    lc = F.element_at(F.array(*[F.lit(x) for x in LC_TABLE]), v.cast("int"))
+    est = F.when((v > 0) & (F.col("__raw") <= F.lit(SMALL_RANGE)), lc).otherwise(
+        F.col("__raw")
+    )
+    return (
+        folded.withColumn("__raw", raw)
+        .select(*group_cols, est.alias("hll_distinct"))
+    )
+
+
+def sql_hll_distinct(
+    table: str, group_col: str, value_expr: str
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (single group column), as a
+    complete SELECT suitable for a CTE."""
+    rest = f"({_sql_hash(value_expr)} >> {P})"
+    first_one = f"instr(lpad(bin({rest}), {REST_BITS}, '0'), '1')"
+    # Scientific-notation literals parse directly as DOUBLE (strtod).
+    # Plain decimal literals would parse as DECIMAL first, and the
+    # DECIMAL->DOUBLE cast double-rounds once the scaled integer
+    # exceeds 2^53 — a measured last-ulp divergence from F.lit.
+    lc_list = "[" + ", ".join(_sci(x) for x in LC_TABLE) + "]"
+    return f"""
+    SELECT {group_col},
+           CASE WHEN ({M} - nb) > 0 AND raw <= {SMALL_RANGE!r}::DOUBLE
+                THEN list_extract({lc_list}, {M} - nb)
+                ELSE raw END AS hll_distinct
+    FROM (
+    SELECT {group_col}, nb,
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {float(M)}::DOUBLE)
+             * {float(M * M)}::DOUBLE * {float(1 << CAP)}::DOUBLE
+             / (z_occ + ({M} - nb) * {1 << CAP})::DOUBLE AS raw
+    FROM (
+        SELECT {group_col},
+               sum(CASE WHEN mj <= {CAP}
+                        THEN CAST(pow(2.0, {CAP} - mj) AS BIGINT)
+                        ELSE 0 END) AS z_occ,
+               count(*) AS nb
+        FROM (
+            SELECT {group_col}, b, max(rho) AS mj
+            FROM (
+                SELECT {group_col},
+                       {_sql_hash(value_expr)} & {M - 1} AS b,
+                       CASE WHEN {first_one} = 0 THEN {REST_BITS + 1}
+                            ELSE {first_one} END AS rho
+                FROM {table}
+            ) GROUP BY {group_col}, b
+        ) GROUP BY {group_col}
+    )
+    )
+    """
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+SCALE = 10_000  # sampling resolution: rates are per-ten-thousand
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    ``rates`` maps stratum value -> fraction in [0, 1].  Membership is
+    ``md5(key) % SCALE < rate·SCALE`` — a pure per-row predicate: no
+    shuffle, no RNG state, reproducible across engines/runs/retries
+    (the property random samplers lose under task re-execution), and
+    the SAME rows stay selected as the table grows — a consistent
+    sample across pipeline versions.  Spark's df.sampleBy is
+    per-partition RNG — none of those properties hold there.
+    """
+    h = md5_long(F.concat(F.lit("strat:"), F.col(key_col).cast("string"))) % SCALE
+    expr = None
+    for value, rate in sorted(rates.items()):
+        branch = (F.col(stratum_col) == value, F.lit(int(round(rate * SCALE))))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    thr = expr.otherwise(F.lit(int(round(default_rate * SCALE))))
+    return df.filter(h < thr)
+
+
+def sql_stratified_predicate(
+    stratum_expr: str, rates: dict[str, float], key_expr: str, default_rate: float = 0.0
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
+    h = f"(('0x' || substr(md5('strat:' || CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT % {SCALE})"
+    branches = " ".join(
+        f"WHEN '{v}' THEN {int(round(r * SCALE))}" for v, r in sorted(rates.items())
+    )
+    return (
+        f"{h} < (CASE {stratum_expr} {branches} "
+        f"ELSE {int(round(default_rate * SCALE))} END)"
+    )

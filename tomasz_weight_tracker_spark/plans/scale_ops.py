@@ -1,0 +1,158 @@
+"""Scale-path catalog queries: sketches, deterministic sampling,
+Z-order layout keys, and streaming dedup.
+
+These operators exist FOR the 100 TB posture (constant-size sketch
+state, shuffle-free sampling, file-pruning layout, bounded streaming
+state) — yet every one still carries an exact DuckDB oracle because
+each is defined in portable integer/double arithmetic rather than
+engine-private RNG or sketch formats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import sketches as SK
+from ..operators.layout import sql_zorder_key, zorder_key
+from .catalog import load, register
+
+# --- HyperLogLog vs exact --------------------------------------------------
+
+
+@register(
+    "hll_user_counts",
+    f"""
+    WITH hll AS (
+        {SK.sql_hll_distinct('events', 'event_type', 'user_id')}
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT exact.event_type, exact.n_exact, hll.hll_distinct,
+           (hll.hll_distinct - exact.n_exact::DOUBLE) / exact.n_exact::DOUBLE
+               AS rel_err
+    FROM exact JOIN hll ON exact.event_type = hll.event_type
+    """,
+    survey_ids=("A3", "A8"),
+    doc="HyperLogLog distinct users per event type, reported against "
+    "the exact count.  The sketch shuffles 256 registers per group "
+    "instead of every distinct value — the COUNT(DISTINCT) that still "
+    "works when the value set itself is 100 TB.  Deterministic md5 "
+    "hashing + integer-exact register sums make even the approximate "
+    "estimate bit-reproducible in DuckDB (operators/sketches.py).",
+)
+def q_hll_user_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hll = SK.hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(hll, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_distinct",
+        (
+            (F.col("hll_distinct") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+_RATES = {"click": 0.10, "view": 0.05, "purchase": 1.0, "signup": 0.5, "error": 0.25}
+
+
+@register(
+    "stratified_sample_events",
+    f"""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE {SK.sql_stratified_predicate('event_type', _RATES, 'event_id')}
+    """,
+    survey_ids=("P5",),
+    doc="Per-stratum deterministic sampling: rare strata kept whole, "
+    "bulk strata thinned, membership decided by md5(event_id) — a "
+    "pure scan-side predicate (no shuffle, no RNG state) that keeps "
+    "the SAME rows across runs, retries, and engine versions, which "
+    "per-partition RNG samplers (df.sampleBy) cannot.",
+)
+def q_stratified_sample_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return SK.stratified_sample(ev, "event_type", _RATES, "event_id").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+
+# --- Z-order layout key ----------------------------------------------------
+
+
+@register(
+    "zorder_events",
+    f"""
+    SELECT event_id,
+           {sql_zorder_key('user_id', 'CAST(floor(value * 100.0) AS BIGINT)')} AS z_key
+    FROM events
+    """,
+    survey_ids=("O4",),
+    doc="Morton (Z-order) key over (user_id, quantized value): the "
+    "clustering key that gives every parquet file a compact bounding "
+    "box in BOTH dimensions, so min/max footer stats prune files for "
+    "predicates on either column.  Flat unrolled integer expression — "
+    "codegen'd, shuffle-free (operators/layout.py:zorder_key; "
+    "cluster_by_zorder adds the range-partition + local sort).",
+)
+def q_zorder_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 100.0).cast("long")
+    return ev.select(
+        "event_id", zorder_key(F.col("user_id"), q).alias("z_key")
+    )
+
+
+# --- streaming dedup -------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    survey_ids=("ST1", "A6"),
+    doc="Stateful streaming deduplication: file-source replay of the "
+    "events table -> watermark -> dropDuplicates on the key, keys-only "
+    "output so the batch oracle is SELECT DISTINCT.  The watermark "
+    "bounds the dedup state for unbounded streams — without it the "
+    "key set grows forever; with it, state older than the horizon is "
+    "evicted (the bounded-state posture streaming_bucket_15min uses "
+    "for windows, applied to dedup).",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = raw
+    if dict(raw.dtypes).get("ts") == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        df.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
