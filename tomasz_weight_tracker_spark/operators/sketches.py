@@ -67,6 +67,37 @@ def _sci(x: float) -> str:
     return s if "e" in s or "E" in s else s + "e0"
 
 
+def register_cols(value: Column) -> tuple[Column, Column]:
+    """(bucket, rho) register coordinates for one value — the per-row
+    map side of the sketch.  Pure codegen expressions."""
+    h = _hash(value)
+    bucket = h.bitwiseAND(F.lit(M - 1))
+    rest = F.shiftright(h, P)
+    first_one = F.instr(F.lpad(F.bin(rest), REST_BITS, "0"), "1")
+    rho = F.when(first_one == 0, F.lit(REST_BITS + 1)).otherwise(first_one)
+    return bucket, rho
+
+
+def register_term(mj: Column) -> Column:
+    """2^(CAP-mj) as an exact integer (0 when mj > CAP or mj NULL)."""
+    return F.when(
+        mj <= CAP,
+        F.pow(F.lit(2.0), (F.lit(CAP) - mj).cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def estimate_expr(z_occ: Column, nb: Column) -> Column:
+    """Distinct estimate from a folded register sum ``z_occ`` (over
+    ``nb`` occupied registers): raw alpha·m²/Z estimator, replaced by
+    the linear-counting table in the small range."""
+    z = z_occ + (F.lit(M) - nb) * F.lit(1 << CAP)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(M)))
+    raw = alpha * F.lit(float(M * M)) * F.lit(float(1 << CAP)) / z.cast("double")
+    v = F.lit(M) - nb  # empty registers
+    lc = F.element_at(F.array(*[F.lit(x) for x in LC_TABLE]), v.cast("int"))
+    return F.when((v > 0) & (raw <= F.lit(SMALL_RANGE)), lc).otherwise(raw)
+
+
 def hll_distinct(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
@@ -78,39 +109,64 @@ def hll_distinct(
     groupBy (group) register fold.  Two shuffles on tiny frames; the
     raw scan is touched once.
     """
-    h = _hash(F.col(value_col))
-    bucket = h.bitwiseAND(F.lit(M - 1))
-    rest = F.shiftright(h, P)
-    first_one = F.instr(F.lpad(F.bin(rest), REST_BITS, "0"), "1")
-    rho = F.when(first_one == 0, F.lit(REST_BITS + 1)).otherwise(first_one)
-
+    bucket, rho = register_cols(F.col(value_col))
     regs = (
         df.select(*group_cols, bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*group_cols, "__b")
         .agg(F.max("__rho").alias("__mj"))
     )
-    term = (
-        F.when(
-            F.col("__mj") <= CAP,
-            F.pow(F.lit(2.0), (F.lit(CAP) - F.col("__mj")).cast("double")).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-    )
     folded = regs.groupBy(*group_cols).agg(
-        F.sum(term).alias("__z_occ"), F.count(F.lit(1)).alias("__nb")
+        F.sum(register_term(F.col("__mj"))).alias("__z_occ"),
+        F.count(F.lit(1)).alias("__nb"),
     )
-    z = F.col("__z_occ") + (F.lit(M) - F.col("__nb")) * F.lit(1 << CAP)
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(M)))
-    raw = alpha * F.lit(float(M * M)) * F.lit(float(1 << CAP)) / z.cast("double")
-    v = F.lit(M) - F.col("__nb")  # empty registers
-    lc = F.element_at(F.array(*[F.lit(x) for x in LC_TABLE]), v.cast("int"))
-    est = F.when((v > 0) & (F.col("__raw") <= F.lit(SMALL_RANGE)), lc).otherwise(
-        F.col("__raw")
+    return folded.select(
+        *group_cols,
+        estimate_expr(F.col("__z_occ"), F.col("__nb")).alias("hll_distinct"),
     )
+
+
+def sql_register_exprs(value_expr: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`register_cols`: (bucket, rho) SQL."""
+    rest = f"({_sql_hash(value_expr)} >> {P})"
+    first_one = f"instr(lpad(bin({rest}), {REST_BITS}, '0'), '1')"
+    bucket = f"({_sql_hash(value_expr)} & {M - 1})"
+    rho = (
+        f"CASE WHEN {first_one} = 0 THEN {REST_BITS + 1} "
+        f"ELSE {first_one} END"
+    )
+    return bucket, rho
+
+
+def sql_register_term(mj: str) -> str:
+    """DuckDB twin of :func:`register_term`."""
     return (
-        folded.withColumn("__raw", raw)
-        .select(*group_cols, est.alias("hll_distinct"))
+        f"CASE WHEN {mj} <= {CAP} THEN CAST(pow(2.0, {CAP} - {mj}) AS BIGINT) "
+        f"ELSE 0 END"
     )
+
+
+def sql_estimate(z_occ: str, nb: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`estimate_expr`, split in two because SQL
+    has no let-binding: returns (raw_select_expr, final_case_expr);
+    compute ``raw_select_expr AS raw`` in an inner SELECT (alongside
+    ``nb``) and apply the final CASE outside.
+
+    Scientific-notation table literals parse directly as DOUBLE
+    (strtod).  Plain decimal literals would parse as DECIMAL first,
+    and the DECIMAL->DOUBLE cast double-rounds once the scaled integer
+    exceeds 2^53 — a measured last-ulp divergence from F.lit.
+    """
+    raw = (
+        f"0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {float(M)}::DOUBLE)"
+        f" * {float(M * M)}::DOUBLE * {float(1 << CAP)}::DOUBLE"
+        f" / ({z_occ} + ({M} - {nb}) * {1 << CAP})::DOUBLE"
+    )
+    lc_list = "[" + ", ".join(_sci(x) for x in LC_TABLE) + "]"
+    final = (
+        f"CASE WHEN ({M} - nb) > 0 AND raw <= {SMALL_RANGE!r}::DOUBLE "
+        f"THEN list_extract({lc_list}, {M} - nb) ELSE raw END"
+    )
+    return raw, final
 
 
 def sql_hll_distinct(
@@ -118,36 +174,20 @@ def sql_hll_distinct(
 ) -> str:
     """DuckDB twin of :func:`hll_distinct` (single group column), as a
     complete SELECT suitable for a CTE."""
-    rest = f"({_sql_hash(value_expr)} >> {P})"
-    first_one = f"instr(lpad(bin({rest}), {REST_BITS}, '0'), '1')"
-    # Scientific-notation literals parse directly as DOUBLE (strtod).
-    # Plain decimal literals would parse as DECIMAL first, and the
-    # DECIMAL->DOUBLE cast double-rounds once the scaled integer
-    # exceeds 2^53 — a measured last-ulp divergence from F.lit.
-    lc_list = "[" + ", ".join(_sci(x) for x in LC_TABLE) + "]"
+    bucket, rho = sql_register_exprs(value_expr)
+    raw, final = sql_estimate("z_occ", "nb")
     return f"""
-    SELECT {group_col},
-           CASE WHEN ({M} - nb) > 0 AND raw <= {SMALL_RANGE!r}::DOUBLE
-                THEN list_extract({lc_list}, {M} - nb)
-                ELSE raw END AS hll_distinct
+    SELECT {group_col}, {final} AS hll_distinct
     FROM (
-    SELECT {group_col}, nb,
-           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {float(M)}::DOUBLE)
-             * {float(M * M)}::DOUBLE * {float(1 << CAP)}::DOUBLE
-             / (z_occ + ({M} - nb) * {1 << CAP})::DOUBLE AS raw
+    SELECT {group_col}, nb, {raw} AS raw
     FROM (
         SELECT {group_col},
-               sum(CASE WHEN mj <= {CAP}
-                        THEN CAST(pow(2.0, {CAP} - mj) AS BIGINT)
-                        ELSE 0 END) AS z_occ,
+               sum({sql_register_term('mj')}) AS z_occ,
                count(*) AS nb
         FROM (
             SELECT {group_col}, b, max(rho) AS mj
             FROM (
-                SELECT {group_col},
-                       {_sql_hash(value_expr)} & {M - 1} AS b,
-                       CASE WHEN {first_one} = 0 THEN {REST_BITS + 1}
-                            ELSE {first_one} END AS rho
+                SELECT {group_col}, {bucket} AS b, {rho} AS rho
                 FROM {table}
             ) GROUP BY {group_col}, b
         ) GROUP BY {group_col}

@@ -58,6 +58,104 @@ def q_hll_user_counts(spark, sf_dir):
     )
 
 
+def _rolling_oracle() -> str:
+    bucket, rho = SK.sql_register_exprs("user_id")
+    raw, final = SK.sql_estimate("z_occ", "nb")
+    term = SK.sql_register_term("mj7")
+    return f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS day, {bucket} AS b, {rho} AS rho FROM events
+    ), regs AS (
+        SELECT day, b, max(rho) AS mj FROM base GROUP BY day, b
+    ), days AS (SELECT DISTINCT day FROM base),
+    buckets AS (SELECT unnest(range(0, {SK.M})) AS b),
+    grid AS (SELECT days.day, buckets.b FROM days, buckets),
+    joined AS (
+        SELECT grid.day, grid.b, regs.mj
+        FROM grid LEFT JOIN regs ON grid.day = regs.day AND grid.b = regs.b
+    ), rolled AS (
+        SELECT day, b,
+               max(mj) OVER (PARTITION BY b
+                             ORDER BY datediff('day', DATE '1970-01-01', day)
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mj7
+        FROM joined
+    ), folded AS (
+        SELECT day, sum({term}) AS z_occ, count(mj7) AS nb
+        FROM rolled GROUP BY day
+    ), est AS (
+        SELECT day, {final} AS hll_users_7d
+        FROM (SELECT day, nb, {raw} AS raw FROM folded)
+    ), pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS ed, user_id FROM events
+    ), exact AS (
+        SELECT days.day, count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM days JOIN pairs
+          ON datediff('day', pairs.ed, days.day) BETWEEN 0 AND 6
+        GROUP BY days.day
+    )
+    SELECT exact.day, exact.n_exact, est.hll_users_7d,
+           (est.hll_users_7d - exact.n_exact::DOUBLE) / exact.n_exact::DOUBLE
+               AS rel_err
+    FROM exact JOIN est ON exact.day = est.day
+    """
+
+
+@register(
+    "hll_rolling_users_7d",
+    _rolling_oracle(),
+    survey_ids=("A3", "W3"),
+    doc="Rolling 7-day distinct users per day via HLL register MERGE: "
+    "daily (bucket, max-rho) registers -> dense day x 256 grid -> "
+    "per-bucket trailing-range window max -> per-day register fold.  "
+    "Rolling COUNT(DISTINCT) is not decomposable — the exact form "
+    "re-touches every event 7x — but register max() IS, so the "
+    "window slides over 256-value sketch state per day regardless of "
+    "data volume.  The exact count rides along for accuracy review "
+    "(at 100 TB you would drop it; here it doubles as the oracle's "
+    "verification column).",
+)
+def q_hll_rolling_users_7d(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bucket, rho = SK.register_cols(F.col("user_id"))
+    base = ev.select(F.to_date("ts").alias("day"), bucket.alias("b"), rho.alias("rho"))
+    regs = base.groupBy("day", "b").agg(F.max("rho").alias("mj"))
+    days = base.select("day").distinct()
+    buckets = spark.range(SK.M).select(F.col("id").alias("b"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    joined = grid.join(regs, ["day", "b"], "left")
+    w = (
+        Window.partitionBy("b")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    rolled = joined.withColumn("mj7", F.max("mj").over(w))
+    folded = rolled.groupBy("day").agg(
+        F.sum(SK.register_term(F.col("mj7"))).alias("z_occ"),
+        F.count("mj7").alias("nb"),
+    )
+    est = folded.select(
+        "day", SK.estimate_expr(F.col("z_occ"), F.col("nb")).alias("hll_users_7d")
+    )
+    pairs = ev.select(F.to_date("ts").alias("ed"), "user_id").distinct()
+    dd = F.datediff(F.col("day"), F.col("ed"))
+    exact = (
+        days.join(pairs, (dd >= 0) & (dd <= 6))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "n_exact",
+        "hll_users_7d",
+        (
+            (F.col("hll_users_7d") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
 # --- deterministic stratified sampling -------------------------------------
 
 _RATES = {"click": 0.10, "view": 0.05, "purchase": 1.0, "signup": 0.5, "error": 0.25}
