@@ -126,3 +126,61 @@ class TestRound2PlanShape:
 
         plan = formatted(spark, "user_event_breakdown")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+class TestRound3PlanShape:
+    def test_stratified_sample_is_scan_side_filter(self, spark):
+        # Membership is a pure predicate: no Exchange anywhere.
+        import re
+
+        plan = formatted(spark, "stratified_sample_events")
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+    def test_zorder_key_is_shuffle_free_codegen(self, spark):
+        import re
+
+        plan = formatted(spark, "zorder_events")
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
+        df = REGISTRY["zorder_events"].build(spark, SF)
+        cg = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        )
+        assert "WholeStageCodegen" in cg
+
+    def test_hll_shuffles_registers_not_values(self, spark):
+        # Two hash aggregates ((group, bucket) then (group)), both with
+        # map-side partials, and the (group, bucket) exchange moves at
+        # most 256 rows per group -- never the raw value stream.
+        plan = formatted(spark, "hll_user_counts")
+        assert "partial_max" in plan  # register max combines map-side
+        assert "SortMergeJoin" not in plan  # exact-vs-sketch join broadcasts
+
+    def test_contamination_broadcasts_benchmark_set(self, spark):
+        plan = formatted(spark, "contamination_overlap")
+        assert "BroadcastHashJoin" in plan
+
+    def test_salient_terms_single_explode(self, spark):
+        # df is derived FROM tf and tf is cached: both aggregate
+        # branches read the SAME in-memory relation, so the corpus
+        # token explode is one physical node, not one per branch.
+        import re
+
+        plan = formatted(spark, "salient_terms")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        gen_ids = set(re.findall(r"\+\- Generate \((\d+)\)", plan))
+        assert len(gen_ids) == 1, plan
+
+    def test_corr_single_aggregation(self, spark):
+        # All six moment sums ride ONE hash aggregate: exactly one
+        # exchange (the group-by), with map-side partial sums.
+        import re
+
+        plan = formatted(spark, "corr_value_hour")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "partial_sum" in plan
+
+    def test_funnel_joins_stay_on_user_key(self, spark):
+        # Every join in the funnel is a user_id equi-join; nothing
+        # falls back to nested-loop/cartesian on the event stream.
+        plan = formatted(spark, "conversion_funnel")
+        assert "CartesianProduct" not in plan.split("n_view")[0]

@@ -277,10 +277,14 @@ def salient_terms(df: DataFrame, text_col: str = "text", top: int = 3) -> DataFr
     exactly one row per distinct (doc, term), so document frequency is
     a count over tf — no second explode/scan) and BROADCAST back ->
     per-doc row_number window.  Two shuffles (tf agg, window), both on
-    doc-sized keys; the df join moves no corpus data."""
+    doc-sized keys; the df join moves no corpus data.  tf feeds both
+    the join's probe side and the df aggregate — it is cached so the
+    token explode over the corpus runs ONCE (Catalyst does not CSE
+    shared subtrees; without the cache the plan duplicates the
+    explode+aggregate, asserted in tests/test_plans.py)."""
     t = F.col(text_col)
     toks = df.select("doc_id", F.explode(tokens(t)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()

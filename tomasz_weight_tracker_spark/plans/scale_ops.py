@@ -208,6 +208,127 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- exact-arithmetic Pearson correlation ----------------------------------
+
+
+@register(
+    "corr_value_hour",
+    """
+    SELECT event_type, n_rows,
+           (n*sxy - sx*sy)::DOUBLE
+             / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+               AS corr_xy
+    FROM (
+        SELECT event_type,
+               count(*)::BIGINT AS n_rows,
+               count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy,
+               sum(x*y)::HUGEINT AS sxy
+        FROM (
+            SELECT event_type, hour(ts)::BIGINT AS x,
+                   CAST(floor(value * 100.0) AS BIGINT) AS y
+            FROM events
+        ) GROUP BY event_type
+    )
+    """,
+    survey_ids=("A1", "A8"),
+    doc="Pearson correlation (value vs hour-of-day) per event type from "
+    "EXACT integer moment sums: quantized inputs, decimal(38) partials "
+    "(order-independent, overflow-safe), then one double conversion + "
+    "IEEE-correctly-rounded sqrt — so even a float statistic is "
+    "bit-identical across engines.  Single map-side-combined "
+    "aggregation: the moment sums are the whole shuffle.",
+)
+def q_corr_value_hour(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        "n_rows",
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr_xy"),
+    )
+
+
+# --- conversion funnel ------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_view_click_purchase
+    """,
+    survey_ids=("J1", "A1", "A8"),
+    doc="Ordered conversion funnel (view -> later click -> later "
+    "purchase), the sequential-dependency aggregation dashboards run: "
+    "each stage is a keyed min-aggregate joined to the previous "
+    "stage's anchor time, so every shuffle is on user_id and AQE can "
+    "co-locate the three stages; no window over the full event "
+    "stream, no per-user sort.",
+)
+def q_conversion_funnel(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_view_click_purchase"))
+        )
+    )
+
+
 # --- streaming dedup -------------------------------------------------------
 
 
