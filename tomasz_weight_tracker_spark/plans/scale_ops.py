@@ -208,6 +208,58 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- null-semantics audit ---------------------------------------------------
+
+
+@register(
+    "null_semantics_audit",
+    """
+    WITH d AS (
+        SELECT nullif(CAST(floor(value * 100.0) AS BIGINT) % 5, 4) AS g,
+               nullif(CAST(floor(value * 100.0) AS BIGINT) % 97, 0) AS a,
+               nullif(CAST(floor(value * 100.0) AS BIGINT) % 89, 0) AS b
+        FROM events
+    )
+    SELECT g,
+           count(*)::BIGINT AS n_rows,
+           count(a)::BIGINT AS n_a,
+           count(DISTINCT a)::BIGINT AS nd_a,
+           coalesce(sum(a), 0)::BIGINT AS sum_a,
+           sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)::BIGINT
+               AS n_nullsafe_eq,
+           sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS n_plain_eq,
+           sum(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_both_null
+    FROM d GROUP BY g
+    """,
+    survey_ids=("G8", "A2", "A9"),
+    doc="NULL-semantics conformance audit: NULL as a grouping key (its "
+    "own group), null-skipping count/sum/count-distinct, null-safe "
+    "vs plain equality (<=> / IS NOT DISTINCT FROM), and both-null "
+    "detection — the semantics every merge/dedup operator in the "
+    "engine leans on (G5 tolerant equality, J3 coalesce folds), "
+    "pinned against the oracle in one query.",
+)
+def q_null_semantics_audit(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100.0).cast("long")
+    d = ev.select(
+        F.nullif(v % 5, F.lit(4)).alias("g"),
+        F.nullif(v % 97, F.lit(0)).alias("a"),
+        F.nullif(v % 89, F.lit(0)).alias("b"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("a").cast("long").alias("n_a"),
+        F.count_distinct(F.col("a")).cast("long").alias("nd_a"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("sum_a"),
+        one_if(F.col("a").eqNullSafe(F.col("b"))).alias("n_nullsafe_eq"),
+        one_if(F.col("a") == F.col("b")).alias("n_plain_eq"),
+        one_if(F.col("a").isNull() & F.col("b").isNull()).alias("n_both_null"),
+    )
+
+
 # --- exact-arithmetic Pearson correlation ----------------------------------
 
 
