@@ -53,6 +53,16 @@ HEADLINE = [
     "asof_join_purchases",
     "rollup_revenue",
     "weekly_resample",
+    # Round-3 families, one representative each (BASELINE.md round-3
+    # table records both engines' numbers; the set includes queries
+    # where DuckDB wins — zscore's Python boundary, per-row repetition
+    # metrics — as well as the corpus-explode ops where Spark does).
+    "contamination_overlap",
+    "boilerplate_ngrams",
+    "doc_repetition",
+    "salient_terms",
+    "hll_user_counts",
+    "user_zscore_arrow",
 ]
 
 
