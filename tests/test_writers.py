@@ -97,3 +97,38 @@ class TestCompaction:
         after = len(glob.glob(str(path / "*.parquet")))
         assert n == 1 and after == 1
         assert {(r.id, r.v) for r in spark.read.parquet(str(path)).collect()} == rows_before
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_old_and_new_files(self, spark, tmp_path):
+        # A table accretes a column over its lifetime: old files lack
+        # it, new files carry it.  mergeSchema unions the schemas and
+        # NULL-fills the old files -- the read-side contract an
+        # evolving 100 TB table depends on (no rewrite of old data).
+        path = tmp_path / "evolving"
+        spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+            "append"
+        ).parquet(str(path))
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        ).write.mode("append").parquet(str(path))
+
+        merged = spark.read.option("mergeSchema", "true").parquet(str(path))
+        assert set(merged.columns) == {"id", "v", "score"}
+        rows = {r.id: (r.v, r.score) for r in merged.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    def test_upsert_rejects_schema_drift(self, spark, tmp_path):
+        # The WRITE side stays strict: upsert_by_key refuses a batch
+        # whose schema drifted from the table (silent column loss is
+        # the failure mode), while the read side above stays lenient.
+        import pytest as _pytest
+
+        from tomasz_weight_tracker_spark.sources.writers import upsert_by_key
+
+        path = tmp_path / "strict"
+        base = spark.createDataFrame([(1, "x")], "id long, v string")
+        upsert_by_key(spark, base, path, keys=["id"])
+        drifted = spark.createDataFrame([(1, "y", 1.0)], "id long, v string, extra double")
+        with _pytest.raises(ValueError, match="schema must match"):
+            upsert_by_key(spark, drifted, path, keys=["id"])

@@ -208,6 +208,77 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- data-quality audit -----------------------------------------------------
+
+
+@register(
+    "dq_audit_orders",
+    """
+    SELECT
+        (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+        (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))::BIGINT
+            AS n_orphan_custkey,
+        (SELECT count(*) FROM orders WHERE o_totalprice <= 0
+            OR o_totalprice IS NULL)::BIGINT AS n_bad_price,
+        (SELECT count(*) FROM
+            (SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT AS n_dup_keys,
+        (SELECT count(*) FROM orders
+          WHERE o_orderdate < DATE '1992-01-01'
+             OR o_orderdate > DATE '2000-12-31')::BIGINT AS n_date_out_of_range
+    """,
+    survey_ids=("A8", "J4", "A9"),
+    doc="Data-quality audit over orders: referential integrity to "
+    "customer (left-anti probe against the broadcast dim), positive-"
+    "price and date-range expectations (scan-side predicates), and "
+    "key-uniqueness (one keyed aggregation).  Each check is a shape "
+    "that scales — no check materializes violating ROWS, only counts; "
+    "a production run would add a capped violation sample per check.",
+)
+def q_dq_audit_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n_rows = o.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_custkey"))
+    )
+    bad_price = o.agg(
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_price")
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_keys"))
+    )
+    dates = o.agg(
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2000-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_date_out_of_range")
+    )
+    return (
+        n_rows.crossJoin(orphans)
+        .crossJoin(bad_price)
+        .crossJoin(dups)
+        .crossJoin(dates)
+    )
+
+
 # --- null-semantics audit ---------------------------------------------------
 
 
