@@ -208,6 +208,82 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- robust statistics ------------------------------------------------------
+
+
+@register(
+    "mad_value_by_type",
+    """
+    WITH q AS (
+        SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS q
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(q, 0.5) AS med FROM q
+        GROUP BY event_type
+    )
+    SELECT q.event_type,
+           quantile_cont(abs(q.q::DOUBLE - med.med), 0.5) AS mad
+    FROM q JOIN med ON q.event_type = med.event_type
+    GROUP BY q.event_type
+    """,
+    survey_ids=("A8",),
+    doc="Median absolute deviation per event type — the robust spread "
+    "statistic.  Nested median: per-group median (exact percentile "
+    "over quantized ints), broadcast back, second exact percentile of "
+    "absolute deviations.  The deviations are exact doubles (integer "
+    "minus half-integer median), so both engines interpolate "
+    "identically.  Two keyed aggregations, one broadcast join.",
+)
+def q_mad_value_by_type(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.select("event_type", F.floor(F.col("value") * 1000000).cast("long").alias("q"))
+    med = q.groupBy("event_type").agg(F.percentile(F.col("q"), F.lit(0.5)).alias("med"))
+    return (
+        q.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("q").cast("double") - F.col("med")).alias("d"))
+        .groupBy("event_type")
+        .agg(F.percentile(F.col("d"), F.lit(0.5)).alias("mad"))
+    )
+
+
+@register(
+    "mode_value_by_type",
+    """
+    SELECT event_type, q AS mode_q, n FROM (
+        SELECT event_type, q, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, q ASC) AS rn
+        FROM (
+            SELECT event_type, CAST(floor(value * 10.0) AS BIGINT) AS q,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type, q
+        )
+    ) WHERE rn = 1
+    """,
+    survey_ids=("A1", "W4"),
+    doc="Exact mode (most frequent decile-quantized value) per event "
+    "type: count aggregation with map-side partials, then a top-1 "
+    "window over the small (group, bucket) count frame with a total "
+    "tie-break order.  The heavy shuffle carries (group, bucket) "
+    "counts, never rows.",
+)
+def q_mode_value_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.select("event_type", F.floor(F.col("value") * 10.0).cast("long").alias("q"))
+        .groupBy("event_type", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("q").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("q").alias("mode_q"), "n")
+    )
+
+
 # --- data-quality audit -----------------------------------------------------
 
 
