@@ -208,6 +208,89 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- windowed robust statistics + cohorts -----------------------------------
+
+
+@register(
+    "rolling_median_7d",
+    """
+    SELECT user_id, event_id,
+           quantile_cont(q, 0.5) OVER (PARTITION BY user_id ORDER BY di
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS q,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di
+        FROM events
+    )
+    """,
+    survey_ids=("W3", "A8"),
+    doc="Trailing 7-day rolling MEDIAN per user — the robust twin of "
+    "rolling_avg_7d.  Exact percentile as a range-frame window "
+    "aggregate over quantized ints (Spark percentile().over and "
+    "DuckDB quantile_cont share the interpolation definition).  One "
+    "shuffle on the series key; the rolling median is recomputed "
+    "per frame, the documented cost of exact vs sketched quantiles.",
+)
+def q_rolling_median_7d(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("q"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("di"),
+    )
+    w = Window.partitionBy("user_id").orderBy("di").rangeBetween(-6, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.percentile(F.col("q"), F.lit(0.5)).over(w).alias("med7"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firstw AS (
+        SELECT user_id, min(date_trunc('week', CAST(ts AS DATE))) AS cohort
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS w
+        FROM events
+    )
+    SELECT f.cohort, ((a.w - f.cohort) // 7)::BIGINT AS week_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM act a JOIN firstw f ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    """,
+    survey_ids=("A1", "A3", "J1"),
+    doc="Weekly retention cohorts: first-activity week per user -> "
+    "distinct (user, week) activity -> users per (cohort, week "
+    "offset).  Both week anchors are ISO Mondays in both engines, so "
+    "the day difference is an exact multiple of 7.  The cohort frame "
+    "is per-user-small and broadcast back; the heavy input collapses "
+    "to distinct (user, week) before any join.",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firstw = ev.select("user_id", wk.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort")
+    )
+    act = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        act.join(F.broadcast(firstw), "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 # --- robust statistics ------------------------------------------------------
 
 
