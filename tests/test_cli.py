@@ -49,3 +49,17 @@ def test_upsert_and_compact_cli(spark, tmp_path):
 
     assert len(glob.glob(f"{table}/*.parquet")) == 1
     assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == got
+
+
+def test_explain_cli_prints_physical_plan(spark, capsys):
+    from tomasz_weight_tracker_spark.__main__ import run
+
+    class A:
+        cmd = "explain"
+        query = "pricing_summary"
+        sf_dir = "/root/testdata/sf0.001"
+        mode = "formatted"
+
+    assert run(spark, A()) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out

@@ -8,6 +8,7 @@ equivalent is one subcommand per pipeline, same inputs, same outputs:
     python -m tomasz_weight_tracker_spark weight TXT_GLOB OUT_CSV [--freq W-FRI]
     python -m tomasz_weight_tracker_spark jobsearch MHTML_GLOB OUT_MD [--cutoff 2025-01-01]
     python -m tomasz_weight_tracker_spark catalog QUERY_NAME [--sf-dir DIR]
+    python -m tomasz_weight_tracker_spark explain QUERY_NAME [--mode formatted]
     python -m tomasz_weight_tracker_spark upsert BATCH_DIR TABLE_DIR --keys id[,day]
     python -m tomasz_weight_tracker_spark compact TABLE_DIR [--target-mb 128]
 """
@@ -47,6 +48,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("query")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser(
+        "explain", help="show a catalog query's physical plan (formatted)"
+    )
+    p.add_argument("query")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "codegen", "cost"],
+    )
 
     p = sub.add_parser("upsert", help="MERGE a parquet batch into a keyed table")
     p.add_argument("batch_path")
@@ -135,6 +147,22 @@ def run(spark, args) -> int:
             return 2
         df = REGISTRY[args.query].build(spark, args.sf_dir)
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "explain":
+        from .plans import REGISTRY
+
+        if args.query not in REGISTRY:
+            print(f"unknown query; available: {', '.join(sorted(REGISTRY))}")
+            return 2
+        df = REGISTRY[args.query].build(spark, args.sf_dir)
+        print(
+            df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    args.mode
+                )
+            )
+        )
         return 0
 
     if args.cmd == "upsert":
