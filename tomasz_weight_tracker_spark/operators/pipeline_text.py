@@ -69,14 +69,29 @@ def trigram_array(tok: Column) -> Column:
 def top_token_count(tok: Column) -> Column:
     """Occurrence count of the most frequent token (mode count).
 
-    O(distinct x n) per row, but fully JVM-side and shuffle-free —
-    the per-row cost is what executors divide at scale, which beats
-    an explode+groupBy round trip for a per-document metric."""
-    return F.array_max(
-        F.transform(
-            F.array_distinct(tok), lambda d: F.size(F.filter(tok, lambda t: t == d))
-        )
+    sort + longest-run fold: O(n log n) per row (was O(distinct·n)
+    as a distinct×filter scan — ~3× slower on the soak corpus), fully
+    JVM-side and shuffle-free; the per-row cost is what executors
+    divide at scale, which beats an explode+groupBy round trip for a
+    per-document metric.  Returns 0 for an empty array (the previous
+    form returned NULL; callers guard on n > 0 either way)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(tok), init, step, lambda acc: acc["best"])
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

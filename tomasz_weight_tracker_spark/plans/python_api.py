@@ -28,6 +28,35 @@ def q_user_zscore_arrow(spark, sf_dir):
 
 
 @register(
+    "user_zscore_native",
+    V.sql_zscore(),
+    survey_ids=("A1", "W2"),
+    doc="The JVM-native twin of user_zscore_arrow — SAME oracle, same "
+    "values: one moment-sum aggregation (decimal(38) partials, "
+    "map-side combined) broadcast back onto the stream, z computed in "
+    "codegen.  Exists so the Python-boundary cost is a measured "
+    "delta between two catalog entries, not a claim.",
+)
+def q_user_zscore_native(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", F.floor(F.col("value") * 100).cast("long").alias("q")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("q"))).alias("sq"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("sqq"),
+    )
+    num = (F.col("n") * F.col("q") - F.col("sq")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double"))
+    return (
+        base.join(F.broadcast(s), "user_id")
+        .select("user_id", "event_id", (num / den).alias("zscore"))
+    )
+
+
+@register(
     "event_outlier_counts",
     V.sql_outlier_counts(),
     survey_ids=("A2",),
