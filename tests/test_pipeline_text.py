@@ -109,3 +109,34 @@ class TestSalientTerms:
             .collect()
         )
         assert [(r.term, r.rank) for r in out] == [("aa", 1), ("bb", 2), ("cc", 3)]
+
+
+class TestCurateCorpus:
+    def test_dedups_and_gates_on_dirty_corpus(self, spark):
+        good = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (1, good),                              # canonical
+            (2, good),                              # exact duplicate
+            (3, "  " + good.upper() + "  "),        # case/whitespace dup
+            (4, "dog lazy the over jumps fox brown quick the again and again today"),  # reordered
+            (5, "spam " * 30),                      # degenerate repetition
+            (6, ";;; ///''' !!! ??? %%% &&& ***"),  # punctuation soup (low quality)
+            (7, "email me at a@b.co or the deal is off entirely my friend"),  # PII
+        ]
+        out = {
+            r.doc_id: r
+            for r in PT.curate_corpus(_docs(spark, rows)).collect()
+        }
+        assert 1 in out            # canonical kept
+        assert 2 not in out        # exact dup dropped
+        assert 3 not in out        # normalized dup dropped
+        assert 4 not in out        # reordered dup dropped
+        assert 5 not in out        # repetition gate
+        assert 6 not in out        # quality gate
+        assert 7 in out and "<EMAIL>" in out[7].clean_text
+        assert "@" not in out[7].clean_text
+
+    def test_clean_corpus_passes_through(self, spark):
+        rows = [(i, f"a perfectly ordinary sentence about topic number {i} here") for i in range(20)]
+        out = PT.curate_corpus(_docs(spark, rows))
+        assert out.count() == 20

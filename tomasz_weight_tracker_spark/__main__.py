@@ -9,6 +9,7 @@ equivalent is one subcommand per pipeline, same inputs, same outputs:
     python -m tomasz_weight_tracker_spark jobsearch MHTML_GLOB OUT_MD [--cutoff 2025-01-01]
     python -m tomasz_weight_tracker_spark catalog QUERY_NAME [--sf-dir DIR]
     python -m tomasz_weight_tracker_spark explain QUERY_NAME [--mode formatted]
+    python -m tomasz_weight_tracker_spark curate DOCS_PARQUET OUT_PARQUET [--quality-min 0.35]
     python -m tomasz_weight_tracker_spark upsert BATCH_DIR TABLE_DIR --keys id[,day]
     python -m tomasz_weight_tracker_spark compact TABLE_DIR [--target-mb 128]
 """
@@ -59,6 +60,14 @@ def main(argv: list[str] | None = None) -> int:
         default="formatted",
         choices=["simple", "extended", "formatted", "codegen", "cost"],
     )
+
+    p = sub.add_parser(
+        "curate", help="run the corpus-curation pass over a documents parquet"
+    )
+    p.add_argument("docs_parquet")
+    p.add_argument("out_parquet")
+    p.add_argument("--quality-min", type=float, default=0.35)
+    p.add_argument("--top-token-max", type=float, default=0.2)
 
     p = sub.add_parser("upsert", help="MERGE a parquet batch into a keyed table")
     p.add_argument("batch_path")
@@ -163,6 +172,18 @@ def run(spark, args) -> int:
                 )
             )
         )
+        return 0
+
+    if args.cmd == "curate":
+        from .operators.pipeline_text import curate_corpus
+
+        docs = spark.read.parquet(args.docs_parquet)
+        out = curate_corpus(
+            docs, quality_min=args.quality_min, top_token_max=args.top_token_max
+        )
+        out.write.mode("overwrite").parquet(args.out_parquet)
+        kept = spark.read.parquet(args.out_parquet).count()
+        print(f"curated {args.docs_parquet}: kept {kept} docs -> {args.out_parquet}")
         return 0
 
     if args.cmd == "upsert":

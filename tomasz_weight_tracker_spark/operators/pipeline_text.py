@@ -277,6 +277,102 @@ def sql_redact_pii(expr: str) -> dict[str, str]:
     return {**counts, "clean": clean}
 
 
+# --- end-to-end corpus curation --------------------------------------------
+
+
+def curate_corpus(
+    df: DataFrame,
+    quality_min: float = 0.35,
+    top_token_max: float = 0.2,
+) -> DataFrame:
+    """The full pretraining-data curation pass, composed from this
+    module's operators in the order a production pipeline runs them:
+
+    1. quality gate (stopword/length/punctuation composite >= min) —
+       scan-side predicate, drops garbage before anything shuffles;
+    2. exact dedup: md5 of whitespace-normalized lowercase text,
+       keep the smallest doc_id per fingerprint;
+    3. reorder-robust dedup: md5 of the SORTED token bag — catches
+       shuffled/reflowed copies exact hashing misses;
+    4. repetition gate (top-token fraction <= max) — degenerate
+       generation filter;
+    5. PII redaction -> ``clean_text``.
+
+    Shuffle budget: two keyed min-aggregations (the dedups); every
+    other stage is per-row.  On a clean corpus the dedup stages pass
+    everything through; on a duplicated corpus they keep one canonical
+    doc per content class (tested both ways)."""
+    from .text_analysis import fingerprint, quality_score
+
+    t = F.col("text")
+    q = df.select(
+        "doc_id", t, quality_score(t).alias("quality")
+    ).filter(F.col("quality") >= F.lit(quality_min))
+
+    f1 = q.withColumn("__fp", fingerprint(t))
+    k1 = f1.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    d1 = f1.join(k1, ["__fp", "doc_id"]).drop("__fp")
+
+    bag = F.md5(F.array_join(F.array_sort(tokens(F.lower(t))), " "))
+    f2 = d1.withColumn("__bag", bag)
+    k2 = f2.groupBy("__bag").agg(F.min("doc_id").alias("doc_id"))
+    d2 = f2.join(k2, ["__bag", "doc_id"]).drop("__bag")
+
+    d3 = d2.withColumn("__tk", tokens(t))
+    n = F.size("__tk").cast("long")
+    frac = F.when(
+        n > 0, top_token_count(F.col("__tk")).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    d3 = d3.withColumn("n_tokens", n).filter(frac <= F.lit(top_token_max))
+
+    red = redact_pii(d3.select("doc_id", "quality", "n_tokens", "text"))
+    return red.select("doc_id", "quality", "n_tokens", "clean_text")
+
+
+def sql_curate_corpus(
+    table: str = "documents",
+    quality_min: float = 0.35,
+    top_token_max: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`curate_corpus`, composed from the same
+    SQL helper generators stage by stage."""
+    from .text_analysis import sql_fingerprint, sql_quality_score, sql_tokens
+
+    quality = sql_quality_score("text")
+    fp = sql_fingerprint("text")
+    bag = f"md5(array_to_string(list_sort({sql_tokens('lower(text)')}), ' '))"
+    tok = sql_tokens("text")
+    top = sql_top_token_count(tok)
+    clean = sql_redact_pii("text")["clean"]
+    return f"""
+    WITH q AS (
+        SELECT doc_id, text, {quality} AS quality FROM {table}
+        WHERE {quality} >= {quality_min!r}
+    ), f1 AS (
+        SELECT doc_id, text, quality, {fp} AS fp FROM q
+    ), k1 AS (
+        SELECT fp, min(doc_id) AS doc_id FROM f1 GROUP BY fp
+    ), d1 AS (
+        SELECT f1.doc_id, f1.text, f1.quality
+        FROM f1 JOIN k1 ON f1.fp = k1.fp AND f1.doc_id = k1.doc_id
+    ), f2 AS (
+        SELECT doc_id, text, quality, {bag} AS bag FROM d1
+    ), k2 AS (
+        SELECT bag, min(doc_id) AS doc_id FROM f2 GROUP BY bag
+    ), d2 AS (
+        SELECT f2.doc_id, f2.text, f2.quality
+        FROM f2 JOIN k2 ON f2.bag = k2.bag AND f2.doc_id = k2.doc_id
+    ), d3 AS (
+        SELECT doc_id, text, quality, len({tok})::BIGINT AS n_tokens
+        FROM d2
+        WHERE CASE WHEN len({tok}) > 0
+                   THEN {top}::DOUBLE / len({tok})::DOUBLE
+                   ELSE 0.0 END <= {top_token_max!r}
+    )
+    SELECT doc_id, quality, n_tokens, {clean} AS clean_text FROM d3
+    """
+
+
 # --- salient terms (tf + rarity, integer-ranked) ---------------------------
 
 

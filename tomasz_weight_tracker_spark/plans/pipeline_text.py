@@ -123,6 +123,21 @@ def q_pii_redact(spark, sf_dir):
 
 
 @register(
+    "corpus_curation",
+    PT.sql_curate_corpus(),
+    survey_ids=("A6", "A7", "P5", "G1"),
+    doc="The end-to-end pretraining-data curation pass: quality gate "
+    "-> exact dedup (normalized md5, keep-min) -> reorder-robust "
+    "dedup (sorted-token-bag md5) -> repetition gate -> PII "
+    "redaction.  Composed from the module's operators with a "
+    "stage-by-stage SQL twin; two keyed min-aggregations are the "
+    "whole shuffle budget (operators/pipeline_text.py:curate_corpus).",
+)
+def q_corpus_curation(spark, sf_dir):
+    return PT.curate_corpus(load(spark, sf_dir, "documents"))
+
+
+@register(
     "salient_terms",
     f"""
     WITH toks AS (
