@@ -611,6 +611,68 @@ def q_conversion_funnel(spark, sf_dir):
     )
 
 
+# --- streaming sessionization ----------------------------------------------
+
+
+@register(
+    "streaming_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_ids=("ST1", "W1"),
+    doc="session_window sessionization in the gate: file-source replay "
+    "-> watermark -> per-user session windows (30-minute gap), one "
+    "output row per session.  The batch oracle replays the EXACT "
+    "session_window merge rule (new session iff gap >= 30 min — "
+    "strict window-overlap semantics, not the lag-gap > convention "
+    "the batch sessionize query uses).  Session state is bounded by "
+    "the watermark horizon at scale.",
+)
+def q_streaming_sessionize(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipelines import stream_sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = raw
+    if dict(raw.dtypes).get("ts") == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = stream_sessionize(df).select("user_id", "session_start", "n_events")
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # --- streaming dedup -------------------------------------------------------
 
 
