@@ -611,6 +611,71 @@ def q_conversion_funnel(spark, sf_dir):
     )
 
 
+# --- custom stateful streaming op in the gate -------------------------------
+
+
+@register(
+    "streaming_stateful_counts",
+    "SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id",
+    survey_ids=("ST1", "A1"),
+    doc="applyInPandasWithState in the gate: a per-user running counter "
+    "maintained in the state store across micro-batches (the "
+    "arbitrary-state API built-in aggs can't express), replayed over "
+    "the events file and checked against the batch GROUP BY.  Output "
+    "is integer-only so the Python state path stays hash-exact; "
+    "state is O(keys), independent of stream length.",
+)
+def q_streaming_stateful_counts(spark, sf_dir):
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = raw
+    if dict(raw.dtypes).get("ts") == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)  # .get is a property
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n}])
+
+    counted = (
+        df.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    name = f"sstate_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # One file -> one micro-batch -> one update row per key; a multi-
+    # batch replay would need keep-last-per-key here.
+    return spark.table(name)
+
+
 # --- streaming sessionization ----------------------------------------------
 
 
