@@ -208,6 +208,106 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- reshaping / set-op variants --------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_discount' AS measure,
+               l_discount AS value FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    """,
+    survey_ids=("A4",),
+    doc="UNPIVOT (melt) — the inverse of the A4 pivot: three measure "
+    "columns become (measure, value) rows via Spark's native unpivot "
+    "(one Expand node, no join/shuffle; 3x row amplification is the "
+    "semantics, not a plan defect).  Oracle spelled as UNION ALL for "
+    "portability.",
+)
+def q_unpivot_lineitem_measures(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_discount", "l_extendedprice", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "set_ops_all_users",
+    """
+    SELECT 'intersect_all' AS op, count(*)::BIGINT AS n FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'except_all', count(*)::BIGINT FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    survey_ids=("U1", "U3"),
+    doc="Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve "
+    "duplicity (min/difference of per-key multiplicities) where the "
+    "existing intersect_users/except_users are set-semantics.  Both "
+    "engines implement the same bag algebra; counts compared.",
+)
+def q_set_ops_all_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ia = clicks.intersectAll(buys).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("intersect_all").alias("op"), "n")
+    ea = clicks.exceptAll(buys).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("except_all").alias("op"), "n")
+    return ia.unionByName(ea)
+
+
+def _trigrams_outer_oracle() -> str:
+    from ..operators.pipeline_text import sql_trigrams
+    from ..operators.text_analysis import sql_tokens
+
+    tg = sql_trigrams(sql_tokens("text"))
+    return f"""
+    SELECT d.doc_id, u.ngram
+    FROM (
+        SELECT doc_id, {tg} AS tg FROM documents WHERE doc_id < 100
+    ) d
+    LEFT JOIN LATERAL (SELECT unnest(d.tg) AS ngram) u ON true
+    """
+
+
+@register(
+    "doc_trigrams_outer",
+    _trigrams_outer_oracle(),
+    survey_ids=("T4", "P4"),
+    doc="explode_outer null-preservation: documents too short for a "
+    "trigram keep their row with a NULL ngram (an inner explode would "
+    "silently drop them — the off-by-one that breaks per-document "
+    "accounting downstream).  Oracle is a LEFT JOIN LATERAL unnest.",
+)
+def q_doc_trigrams_outer(spark, sf_dir):
+    from ..functions import tokens
+    from ..operators.pipeline_text import trigram_array
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = d.select("doc_id", trigram_array(tokens(F.col("text"))).alias("__tg"))
+    return d.select("doc_id", F.explode_outer("__tg").alias("ngram"))
+
+
 # --- windowed robust statistics + cohorts -----------------------------------
 
 
