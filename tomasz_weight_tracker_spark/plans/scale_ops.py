@@ -208,6 +208,111 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- time-series aggregates -------------------------------------------------
+
+
+@register(
+    "twap_value_by_user",
+    """
+    WITH s AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nt
+        FROM events
+    )
+    SELECT user_id,
+           (sum(CAST(floor(value * 1000000) AS BIGINT)::HUGEINT
+                * (nt - t)::HUGEINT)
+            // sum((nt - t)::HUGEINT))::BIGINT AS twap_e6
+    FROM s WHERE nt IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey_ids=("T6", "W1", "A1"),
+    doc="Time-weighted average value per user: each observation is "
+    "weighted by its holding duration until the next event (the "
+    "reading-to-reading allocation semantics of the electricity "
+    "pipeline, T6, as an aggregate).  Result stays INTEGER end to "
+    "end — exact 128-bit sums, then floor division to a 1e-6-"
+    "quantized average — because int128->double conversion is not "
+    "correctly rounded in DuckDB (measured last-ulp drift vs Spark's "
+    "BigDecimal path).  One window shuffle on the series key, then "
+    "the aggregation reuses the same partitioning.",
+)
+def q_twap_value_by_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    s = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("q"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    dur = (F.col("nt") - F.col("t")).cast("decimal(38,0)")
+    agg = s.groupBy("user_id").agg(
+        F.sum(F.col("q").cast("decimal(38,0)") * dur).alias("__num"),
+        F.sum(dur).alias("__den"),
+    )
+    return agg.select(
+        "user_id", F.expr("__num div __den").cast("long").alias("twap_e6")
+    )
+
+
+@register(
+    "daily_ohlc",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER w AS rn_a,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, day,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*)::BIGINT AS n
+    FROM s GROUP BY user_id, day
+    """,
+    survey_ids=("A1", "W4", "T9"),
+    doc="Daily OHLC bars per user: open/close via first/last row under "
+    "a TOTAL (ts, event_id) order — min_by/arg_min tie-break across "
+    "engines is unspecified, so both sides use the same row_number "
+    "discipline — high/low as plain min/max.  One shuffle; values "
+    "pass through unchanged (no float arithmetic at all).",
+)
+def q_daily_ohlc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    wa = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    s = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return s.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 # --- reshaping / set-op variants --------------------------------------------
 
 
