@@ -169,3 +169,69 @@ def test_parsers_never_raise_on_garbage(data):
     parse_wav(data)
     parse_bmp(b"BM" + data)
     parse_wav(b"RIFF" + data)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator properties: sketch invariants and Z-order bijectivity.
+
+
+class TestSketchProperties:
+    @SLOW
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300),
+        st.integers(min_value=2, max_value=7),
+    )
+    def test_hll_is_a_function_of_the_value_set(self, values, n_parts):
+        # Duplicates and partitioning must not change the estimate:
+        # the sketch sees the distinct-value set, nothing else.
+        from tomasz_weight_tracker_spark.operators.sketches import hll_distinct
+
+        spark = get_session()
+        base = [(int(v),) for v in values]
+        a = spark.createDataFrame(base, "v long").withColumn("g", F.lit("g"))
+        b = (
+            spark.createDataFrame(base + base, "v long")  # doubled multiset
+            .withColumn("g", F.lit("g"))
+            .repartition(n_parts)
+        )
+        ea = hll_distinct(a, ["g"], "v").first().hll_distinct
+        eb = hll_distinct(b, ["g"], "v").first().hll_distinct
+        assert ea == eb
+
+    @SLOW
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=65535),
+                st.integers(min_value=0, max_value=65535),
+            ),
+            min_size=1,
+            max_size=200,
+            unique=True,
+        )
+    )
+    def test_zorder_key_is_injective(self, pairs):
+        # Distinct (a, b) pairs must map to distinct keys — the
+        # interleave is a bijection on 16-bit coordinates, so range
+        # pruning can't conflate two different points.
+        from tomasz_weight_tracker_spark.operators.layout import zorder_key
+
+        spark = get_session()
+        df = spark.createDataFrame(list(pairs), "a long, b long")
+        keys = [r.z for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z")).collect()]
+        assert len(set(keys)) == len(pairs)
+
+    @SLOW
+    @given(st.integers(min_value=0, max_value=9999), st.integers(min_value=1, max_value=9999))
+    def test_stratified_threshold_monotone(self, lo, delta):
+        # A higher rate can only ADD rows, never swap them — the
+        # property that makes deterministic samples comparable across
+        # pipeline versions.
+        from tomasz_weight_tracker_spark.operators.sketches import SCALE, stratified_sample
+
+        spark = get_session()
+        hi = min(lo + delta, SCALE)
+        df = spark.createDataFrame([(i, "s") for i in range(500)], "k long, s string")
+        small = {r.k for r in stratified_sample(df, "s", {"s": lo / SCALE}, "k").collect()}
+        big = {r.k for r in stratified_sample(df, "s", {"s": hi / SCALE}, "k").collect()}
+        assert small <= big
