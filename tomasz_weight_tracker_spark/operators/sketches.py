@@ -196,6 +196,94 @@ def sql_hll_distinct(
     """
 
 
+# --- Count-Min frequency sketch --------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def _cms_col(value: Column, i: int) -> Column:
+    return md5_long(
+        F.concat(F.lit(f"cms{i}:"), value.cast("string"))
+    ) % CMS_W
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Build a Count-Min sketch over ``value_col``: D x W counter cells
+    ``(i, col, n)``.
+
+    The per-row explode emits D tiny structs; map-side partial
+    aggregation collapses them before the shuffle, which therefore
+    moves at most D·W = 1024 cells per partition — frequency counting
+    whose state is CONSTANT in both stream length and key cardinality
+    (the companion to hll_distinct's constant-state cardinality).
+    Mergeable: cell-wise sum."""
+    v = F.col(value_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_col(v, i).alias("col"))
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_probe(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-estimate each key's frequency: min over the D cells the
+    key hashes to.  Guarantees est >= true count (collisions only ADD);
+    the cells frame is 1024 rows -> broadcast, so probing any number of
+    keys is shuffle-free on the cells side."""
+    k = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_col(k, i).alias("col"))
+            for i in range(CMS_D)
+        ]
+    )
+    exploded = keys.select(k.alias("__key"), F.explode(pairs).alias("p")).select(
+        "__key", "p.i", "p.col"
+    )
+    return (
+        exploded.join(F.broadcast(cells), ["i", "col"], "left")
+        .groupBy("__key")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("cms_est"))
+        .withColumnRenamed("__key", key_col)
+    )
+
+
+def sql_cms(table: str, value_expr: str, key_select: str) -> str:
+    """DuckDB twin: build + probe in one query.  ``key_select`` is a
+    SELECT yielding one column named ``key``."""
+    def col_expr(ref: str, i: int) -> str:
+        return (
+            f"(('0x' || substr(md5('cms{i}:' || CAST({ref} AS VARCHAR)), 1, 15))"
+            f"::BIGINT % {CMS_W})"
+        )
+
+    build_arms = " UNION ALL ".join(
+        f"SELECT {i} AS i, {col_expr(value_expr, i)} AS col FROM {table}"
+        for i in range(CMS_D)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT key, {i} AS i, {col_expr('key', i)} AS col FROM keys"
+        for i in range(CMS_D)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT i, col, count(*)::BIGINT AS n FROM ({build_arms}) GROUP BY i, col
+    ), keys AS ({key_select}),
+    probes AS ({probe_arms})
+    SELECT probes.key, min(coalesce(cells.n, 0))::BIGINT AS cms_est
+    FROM probes LEFT JOIN cells ON probes.i = cells.i AND probes.col = cells.col
+    GROUP BY probes.key
+    """
+
+
 # --- deterministic stratified sampling -------------------------------------
 
 SCALE = 10_000  # sampling resolution: rates are per-ten-thousand

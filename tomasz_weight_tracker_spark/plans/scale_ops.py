@@ -58,6 +58,44 @@ def q_hll_user_counts(spark, sf_dir):
     )
 
 
+@register(
+    "cms_user_counts",
+    f"""
+    WITH est AS (
+        {SK.sql_cms('events', 'user_id',
+                    'SELECT DISTINCT user_id AS key FROM events')}
+    ), exact AS (
+        SELECT user_id, count(*)::BIGINT AS n_exact
+        FROM events GROUP BY user_id
+    )
+    SELECT exact.user_id, exact.n_exact, est.cms_est,
+           (est.cms_est - exact.n_exact)::BIGINT AS overcount
+    FROM exact JOIN est ON exact.user_id = est.key
+    """,
+    survey_ids=("A1", "A8"),
+    doc="Count-Min frequency sketch: 4 x 256 counter cells built with "
+    "one map-side-combined aggregation (shuffle moves <= 1024 cells "
+    "per partition regardless of stream length or key cardinality — "
+    "the frequency companion to hll_user_counts), probed per user "
+    "against the broadcast cells.  est >= exact always (collisions "
+    "only add); the overcount column exposes the error in-data.",
+)
+def q_cms_user_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cells = SK.cms_build(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = SK.cms_probe(cells, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
 def _rolling_oracle() -> str:
     bucket, rho = SK.sql_register_exprs("user_id")
     raw, final = SK.sql_estimate("z_occ", "nb")
