@@ -246,6 +246,52 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- forward fill (LOCF) ----------------------------------------------------
+
+
+@register(
+    "locf_forward_fill",
+    """
+    SELECT user_id, event_id, a,
+           last_value(a IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN CAST(floor(value * 100.0) AS BIGINT) % 7 = 0
+                    THEN NULL ELSE value END AS a
+        FROM events
+    )
+    """,
+    survey_ids=("W2", "G7", "P5"),
+    doc="Forward fill (last observation carried forward): sensor "
+    "readings with deterministic ~1/7 nulls filled by last_value "
+    "IGNORE NULLS over the per-user row frame — the gap-repair twin "
+    "of gap_fill_interpolate for state-like series where "
+    "interpolation would invent values.  Values pass through "
+    "unchanged (no arithmetic); one series-key shuffle.",
+)
+def q_locf_forward_fill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    a = F.when(
+        F.floor(F.col("value") * 100.0).cast("long") % 7 == 0, F.lit(None)
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.select("user_id", "event_id", "ts", a.alias("a"))
+    return base.select(
+        "user_id",
+        "event_id",
+        "a",
+        F.last("a", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 # --- time-series aggregates -------------------------------------------------
 
 
