@@ -246,6 +246,43 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- distribution-position windows ------------------------------------------
+
+
+@register(
+    "value_rank_positions",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           CAST(floor(value * 1000000) AS BIGINT) AS q
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(floor(value * 1000000) AS BIGINT), event_id)
+    """,
+    survey_ids=("W4", "A8"),
+    doc="Distribution positions per event type: percent_rank "
+    "((rank-1)/(n-1)) and cume_dist (rows<=current / n) — both exact "
+    "integer ratios converted once to double, identical across "
+    "engines.  The (quantized value, event_id) order is total, so "
+    "rank assignment is deterministic.  One window shuffle.",
+)
+def q_value_rank_positions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    q = F.floor(F.col("value") * 1000000).cast("long")
+    w = Window.partitionBy("event_type").orderBy(q.asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        q.alias("q"),
+    )
+
+
 # --- forward fill (LOCF) ----------------------------------------------------
 
 
