@@ -246,6 +246,34 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- row provenance ----------------------------------------------------------
+
+
+@register(
+    "doc_provenance",
+    """
+    SELECT doc_id, 'documents.parquet' AS src_file FROM documents
+    """,
+    survey_ids=("S5", "G3", "O4"),
+    doc="Row provenance / lineage: every row tagged with its source "
+    "file basename via input_file_name() — the filename-keyed "
+    "attribution the reference's sensor pipeline builds by hand from "
+    "globs (utils/20251223-csv-to-separate-sensors.py), as a zero-"
+    "cost scan-metadata column.  At 100 TB this is the debugging "
+    "handle for bad-file quarantine (join provenance against a "
+    "known-bad list, rewrite only those files).  The oracle states "
+    "the expected basename from the known single-file layout (the "
+    "oracle SQL cannot be parameterized by path), so the check "
+    "verifies the extraction per row, not the listing.",
+)
+def q_doc_provenance(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("src_file"),
+    )
+
+
 # --- distribution-position windows ------------------------------------------
 
 
