@@ -281,3 +281,43 @@ class TestStreamUpsert:
         stream = spark.readStream.schema(schema).parquet(src)
         stream_upsert(stream, table, keys=["id"], checkpoint=ckpt).start().awaitTermination(120)
         assert {(r.id, r.v) for r in spark.read.parquet(table).collect()} == expect
+
+
+class TestDedupStateRecovery:
+    def test_keys_survive_restart(self, spark, tmp_path):
+        # Dedup state must be durable: keys seen before a restart are
+        # still deduplicated after it (checkpoint = the key store).
+        import pyspark.sql.functions as F
+
+        src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend((r.k,) for r in batch_df.collect())
+
+        def run_once():
+            stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+            q = (
+                stream.withWatermark("ts", "1 hour")
+                .dropDuplicates(["k"])
+                .select("k")
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        t = "2024-01-01 00:00:00"
+        spark.createDataFrame([(1, t), (2, t)], "k long, ts_s string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(src)
+        run_once()
+        assert sorted(k for (k,) in emitted) == [1, 2]
+
+        # Restart with overlapping keys: only the genuinely new one emits.
+        spark.createDataFrame([(2, t), (3, t)], "k long, ts_s string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(src)
+        run_once()
+        assert sorted(k for (k,) in emitted) == [1, 2, 3]
