@@ -184,3 +184,30 @@ class TestRound3PlanShape:
         # falls back to nested-loop/cartesian on the event stream.
         plan = formatted(spark, "conversion_funnel")
         assert "CartesianProduct" not in plan.split("n_view")[0]
+
+
+class TestJoinStrategyHints:
+    """The engine exposes all three equi-join physical strategies via
+    hints — the lever for overriding Catalyst when table stats mislead
+    it (tiny-but-unknown dims, known-huge builds)."""
+
+    def _plan(self, spark, hint):
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        o = load(spark, "/root/testdata/sf0.001", "orders")
+        c = load(spark, "/root/testdata/sf0.001", "customer").hint(hint)
+        df = o.join(c, o.o_custkey == c.c_custkey)
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    def test_broadcast_hint(self, spark):
+        assert "BroadcastHashJoin" in self._plan(spark, "broadcast")
+
+    def test_merge_hint(self, spark):
+        assert "SortMergeJoin" in self._plan(spark, "merge")
+
+    def test_shuffle_hash_hint(self, spark):
+        assert "ShuffledHashJoin" in self._plan(spark, "shuffle_hash")
