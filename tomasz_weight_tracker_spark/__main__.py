@@ -9,6 +9,7 @@ equivalent is one subcommand per pipeline, same inputs, same outputs:
     python -m tomasz_weight_tracker_spark jobsearch MHTML_GLOB OUT_MD [--cutoff 2025-01-01]
     python -m tomasz_weight_tracker_spark catalog QUERY_NAME [--sf-dir DIR]
     python -m tomasz_weight_tracker_spark explain QUERY_NAME [--mode formatted]
+    python -m tomasz_weight_tracker_spark materialize QUERY OUT_DIR [--sf-dir DIR]
     python -m tomasz_weight_tracker_spark curate DOCS_PARQUET OUT_PARQUET [--quality-min 0.35]
     python -m tomasz_weight_tracker_spark upsert BATCH_DIR TABLE_DIR --keys id[,day]
     python -m tomasz_weight_tracker_spark compact TABLE_DIR [--target-mb 128]
@@ -60,6 +61,13 @@ def main(argv: list[str] | None = None) -> int:
         default="formatted",
         choices=["simple", "extended", "formatted", "codegen", "cost"],
     )
+
+    p = sub.add_parser(
+        "materialize", help="precompute a catalog query to parquet (with manifest)"
+    )
+    p.add_argument("query")
+    p.add_argument("out_dir")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
 
     p = sub.add_parser(
         "curate", help="run the corpus-curation pass over a documents parquet"
@@ -172,6 +180,19 @@ def run(spark, args) -> int:
                 )
             )
         )
+        return 0
+
+    if args.cmd == "materialize":
+        from .plans import REGISTRY
+        from .plans.materialized import is_fresh, read_materialized
+
+        if args.query not in REGISTRY:
+            print(f"unknown query; available: {', '.join(sorted(REGISTRY))}")
+            return 2
+        fresh = is_fresh(args.query, args.sf_dir, args.out_dir)
+        df = read_materialized(spark, args.query, args.sf_dir, args.out_dir)
+        verb = "served fresh" if fresh else "materialized"
+        print(f"{verb} {args.query} ({df.count()} rows) at {args.out_dir}")
         return 0
 
     if args.cmd == "curate":

@@ -1,0 +1,78 @@
+"""Materialized catalog queries: precompute a registered query to
+parquet once, serve subsequent reads from the stored result, and
+detect staleness from the INPUT tables' file state.
+
+The reference's closest behavior is its cached master table
+(utils/20251223-weight-for-streamlit.py:135-189): load the stored
+result if inputs haven't changed, recompute otherwise.  Generalized
+here to any catalog query, with the validity check made explicit: a
+manifest records each input file's (path, size, mtime_ns) at
+materialization time; a mismatch marks the view stale.
+
+At scale this is the poor-engine's materialized view: refresh cost is
+one query run, read cost is a parquet scan of the (usually tiny)
+result, and the staleness check is a file-listing, not a data read.
+A table-format catalog (Delta/Iceberg) would replace the manifest
+with snapshot ids; the control flow is identical.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import REGISTRY
+
+_MANIFEST = "_manifest.json"
+
+
+def _input_state(sf_dir: str) -> dict[str, list]:
+    state = {}
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        st = p.stat()
+        state[p.name] = [st.st_size, st.st_mtime_ns]
+    return state
+
+
+def materialize(
+    spark: SparkSession, name: str, sf_dir: str, out_dir: str | Path
+) -> DataFrame:
+    """Run catalog query ``name`` against ``sf_dir`` and persist the
+    result + input manifest under ``out_dir``."""
+    out_dir = Path(out_dir)
+    df = REGISTRY[name].build(spark, sf_dir)
+    df.write.mode("overwrite").parquet(str(out_dir / "data"))
+    manifest = {
+        "query": name,
+        "sf_dir": sf_dir,
+        "inputs": _input_state(sf_dir),
+    }
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / _MANIFEST).write_text(json.dumps(manifest, indent=2))
+    return spark.read.parquet(str(out_dir / "data"))
+
+
+def is_fresh(name: str, sf_dir: str, out_dir: str | Path) -> bool:
+    """True iff a materialization exists for this (query, sf_dir) and
+    every input file is byte-for-byte unchanged since."""
+    mf = Path(out_dir) / _MANIFEST
+    if not mf.exists():
+        return False
+    manifest = json.loads(mf.read_text())
+    return (
+        manifest.get("query") == name
+        and manifest.get("sf_dir") == sf_dir
+        and manifest.get("inputs") == _input_state(sf_dir)
+    )
+
+
+def read_materialized(
+    spark: SparkSession, name: str, sf_dir: str, out_dir: str | Path
+) -> DataFrame:
+    """Serve the stored result if fresh; recompute + re-materialize if
+    stale or absent."""
+    if is_fresh(name, sf_dir, out_dir):
+        return spark.read.parquet(str(Path(out_dir) / "data"))
+    return materialize(spark, name, sf_dir, out_dir)
