@@ -246,6 +246,57 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- cumulative / ratio-to-report windows ------------------------------------
+
+
+@register(
+    "cumulative_daily_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+                      AND o_orderdate < DATE '1996-04-01'
+        GROUP BY o_orderdate
+    )
+    SELECT day, rev_c,
+           sum(rev_c) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev_c,
+           rev_c::DOUBLE / (sum(rev_c) OVER ())::DOUBLE AS share
+    FROM d
+    """,
+    survey_ids=("A1", "W3", "A8"),
+    doc="Daily revenue, running cumulative total, and share-of-period "
+    "(ratio-to-report) — the reporting trio in one pass: keyed "
+    "aggregation to days, then two window frames over the TINY daily "
+    "frame (cumulative rows-frame + unbounded total), so the window "
+    "cost is per-day, not per-order.  Cents-quantized integer sums; "
+    "one double division for the share.",
+)
+def q_cumulative_daily_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return d.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(wcum).alias("cum_rev_c"),
+        (
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(wall).cast("double")
+        ).alias("share"),
+    )
+
+
 # --- row provenance ----------------------------------------------------------
 
 
