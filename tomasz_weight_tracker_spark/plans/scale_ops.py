@@ -246,6 +246,37 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- batch tumbling windows ---------------------------------------------------
+
+
+@register(
+    "tumbling_6h_counts",
+    """
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+               AS window_start,
+           count(*)::BIGINT AS n,
+           sum(CAST(floor(value * 1000000) AS BIGINT)) AS v_sum_e6
+    FROM events GROUP BY window_start
+    """,
+    survey_ids=("T7", "A1"),
+    doc="Batch-mode tumbling windows via the built-in window() "
+    "function — the same grouping expression the streaming queries "
+    "use, exercised against a plain epoch-division oracle to pin "
+    "that window() boundaries are exactly floor(epoch / slide) in "
+    "batch too.  Single map-side-combined aggregation.",
+)
+def q_tumbling_6h_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("v_sum_e6"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "v_sum_e6")
+    )
+
+
 # --- cumulative / ratio-to-report windows ------------------------------------
 
 
