@@ -246,6 +246,53 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- multi-granularity time rollup --------------------------------------------
+
+
+@register(
+    "time_rollup_multi",
+    """
+    SELECT
+        grouping(h)::BIGINT * 4 + grouping(d)::BIGINT * 2
+            + grouping(w)::BIGINT AS gid,
+        h, d, w, count(*)::BIGINT AS n,
+        sum(CAST(floor(value * 1000000) AS BIGINT)) AS v_sum_e6
+    FROM (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(ts AS DATE) AS d,
+               date_trunc('week', CAST(ts AS DATE)) AS w,
+               value
+        FROM events WHERE user_id < 20
+    )
+    GROUP BY GROUPING SETS ((h), (d), (w))
+    """,
+    survey_ids=("A1", "T9"),
+    doc="Hourly, daily, AND weekly aggregates from ONE scan via "
+    "GROUPING SETS over derived time columns (Expand feeds a single "
+    "hash aggregate) — the multi-granularity dashboard feed computed "
+    "without re-reading the fact table per granularity, disambiguated "
+    "by grouping_id.",
+)
+def q_time_rollup_multi(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.to_date("ts").alias("d"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        "value",
+    )
+    gid = (
+        F.grouping("h").cast("long") * 4
+        + F.grouping("d").cast("long") * 2
+        + F.grouping("w").cast("long")
+    )
+    return base.groupingSets([["h"], ["d"], ["w"]], "h", "d", "w").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("v_sum_e6"),
+    ).select("gid", "h", "d", "w", "n", "v_sum_e6")
+
+
 # --- batch tumbling windows ---------------------------------------------------
 
 
