@@ -246,6 +246,54 @@ def q_zorder_events(spark, sf_dir):
     )
 
 
+# --- co-occurrence / market basket --------------------------------------------
+
+
+@register(
+    "event_type_affinity",
+    """
+    WITH b AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    )
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           count(*)::BIGINT AS n_baskets
+    FROM b a JOIN b c
+      ON a.user_id = c.user_id AND a.day = c.day
+     AND a.event_type < c.event_type
+    GROUP BY type_a, type_b
+    """,
+    survey_ids=("J1", "A1", "A3"),
+    doc="Market-basket co-occurrence: (user, day) baskets -> distinct "
+    "items per basket BEFORE the self-join (the anti-explosion move: "
+    "the join is over item SETS, so a basket with k item types emits "
+    "k·(k-1)/2 pairs, never |events|²) -> ordered-pair counts.  The "
+    "self-join key is (user_id, day): both sides share one hash "
+    "partitioning, and item-vocabulary skew is bounded by the small "
+    "per-basket set size.",
+)
+def q_event_type_affinity(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.day") == F.col("c.day"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+
+
 # --- multi-granularity time rollup --------------------------------------------
 
 
