@@ -186,6 +186,46 @@ class TestRound3PlanShape:
         assert "CartesianProduct" not in plan.split("n_view")[0]
 
 
+class TestRound4PlanShape:
+    def test_lsh_verify_is_not_a_second_join(self, spark):
+        """Round-3 scale defect: the verify stage joined candidate pairs
+        back to the signature table with BOTH sides broadcast — a
+        corpus-cardinality broadcast that OOMs at scale.  The fix
+        threads the signature columns through the band join, so the
+        whole plan must contain exactly ONE join (the band-key
+        self-join) and no broadcast hint anywhere."""
+        import re
+
+        df = REGISTRY["lsh_near_dup"].build(spark, SF)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in optimized.lower(), optimized
+        plan = formatted(spark, "lsh_near_dup")
+        # Count physical nodes via their "(id) Name" detail headers so
+        # the tree and detail sections don't double-count.
+        joins = re.findall(
+            r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+        assert len(joins) == 1, f"expected exactly the band self-join, got {joins}"
+
+    def test_lsh_pairs_carry_signature_columns(self, spark):
+        # The carried a_mh*/b_mh* columns make the verify stage a pure
+        # projection over the pair stream.
+        from tomasz_weight_tracker_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z")], ["doc_id", "text"]
+        )
+        sig = D.minhash_signature(df, "text", k=4)
+        pairs = D.lsh_candidate_pairs(
+            sig, "doc_id", k=4, bands=2, carry=["mh0", "mh1", "mh2", "mh3"]
+        )
+        assert {"id_a", "id_b", "a_mh0", "b_mh3"} <= set(pairs.columns)
+        row = pairs.collect()[0]
+        assert row.a_mh0 == row.b_mh0  # identical docs -> identical sigs
+
+
 class TestJoinStrategyHints:
     """The engine exposes all three equi-join physical strategies via
     hints — the lever for overriding Catalyst when table stats mislead

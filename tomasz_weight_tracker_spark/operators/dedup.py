@@ -121,6 +121,7 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     max_bucket: int | None = 64,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     k/bands rows each; docs sharing any full band become a candidate
@@ -139,6 +140,17 @@ def lsh_candidate_pairs(
     is band-key degeneracy (near-constant tokens), not near-duplicate
     signal.  The window count shares the band-key hash partitioning
     with the join that follows, so the cap adds no extra shuffle.
+
+    ``carry`` lists signature columns to thread THROUGH the band join,
+    emitted as ``a_<col>`` / ``b_<col>`` on each pair.  This is how a
+    verify stage (full-signature agreement, Jaccard, etc.) gets both
+    sides' data without a second join back to the signature table —
+    which at corpus scale would either shuffle the whole signature
+    table twice more or (worse) broadcast a corpus-cardinality frame.
+    Cost: the band shuffle carries ``bands`` copies of the carried
+    columns per doc; for k=16 longs that is ~0.5 KB/doc, far cheaper
+    than re-joining at 100 TB.  Carried values are functionally
+    dependent on the id, so the pair-level ``distinct`` stays exact.
     """
     rows_per_band = k // bands
     band_structs = []
@@ -148,8 +160,8 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
         )
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+        F.col(id_col), *carry, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, *carry, "band.band_id", "band.band_key")
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
         banded = (
@@ -167,7 +179,10 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
         )
         .distinct()
     )

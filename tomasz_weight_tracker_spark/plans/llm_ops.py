@@ -294,33 +294,28 @@ _BANDED_SQL = "\n      UNION ALL\n".join(
 )
 def q_lsh_near_dup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    # The signature frame feeds THREE plan branches (banding + both
-    # sides of the verify join); cache it so the minhash work runs
-    # once, not three times.  At 100 TB signatures would be persisted
-    # as a table between the stages.
-    sig = (
-        D.minhash_signature(d.select("doc_id", "text"), "text", k=LSH_K)
-        .drop("text")
-        .cache()
-    )
+    # Single-pass plan: the full k-wide signature is threaded THROUGH
+    # the band join (``carry``), so the verify stage is a per-row
+    # expression over a_mh*/b_mh* — no second join back to the
+    # signature table.  The earlier design broadcast both sides of a
+    # verify join; a signature table is corpus-cardinality (one row
+    # per document), so at 100 TB that broadcast OOMs every executor.
+    # Carrying costs ~0.5 KB/doc in the band shuffle instead.
+    sig = D.minhash_signature(d.select("doc_id", "text"), "text", k=LSH_K).drop("text")
     pairs = D.lsh_candidate_pairs(
-        sig, "doc_id", k=LSH_K, bands=LSH_BANDS, max_bucket=LSH_CAP
-    )
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(LSH_K)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(LSH_K)],
+        sig,
+        "doc_id",
+        k=LSH_K,
+        bands=LSH_BANDS,
+        max_bucket=LSH_CAP,
+        carry=[f"mh{i}" for i in range(LSH_K)],
     )
     matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(LSH_K)
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(LSH_K)
     )
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn("sig_matches", matches.cast("long"))
+        pairs.withColumn("sig_matches", matches.cast("long"))
         .filter(F.col("sig_matches") >= LSH_THRESH)
         .select("id_a", "id_b", "sig_matches")
     )
