@@ -65,6 +65,50 @@ class TestMinHashLsh:
         assert (100, 101) in got
         assert all(a >= 100 for a, _ in got)
 
+    def test_aqe_splits_skewed_band_join(self, spark):
+        """SCALE.md claims skewed band buckets (under the cap) are
+        handled by AQE skew-join splitting.  Pin it: build a band join
+        with one hot bucket, force the sort-merge path with scaled-down
+        skew thresholds (the local-mode stand-in for 256 MB partitions),
+        execute, and assert the skew split actually fired."""
+        confs = {
+            # 8 reduce partitions give the skew detector a meaningful
+            # median (4 partitions put cold keys next to the hot one).
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128b",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            # One hot band bucket (150 identical docs) among many cold
+            # ones; cap disabled so the skew reaches the join.
+            rows = [(i, "hot shared text") for i in range(150)]
+            rows += [(1000 + i, f"cold unique {i} doc {i * 7}") for i in range(50)]
+            df = spark.createDataFrame(rows, "doc_id int, text string")
+            sig = D.minhash_signature(df, "text", k=16)
+            pairs = D.lsh_candidate_pairs(
+                sig, "doc_id", k=16, bands=4, max_bucket=None
+            )
+            # Materialize THIS DataFrame's own query execution: AQE
+            # finalizes (and records the skew split) per-execution, so
+            # a derived count() would leave this plan un-adapted.
+            pairs.collect()
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, plan[:4000]
+            assert "AQEShuffleRead skewed" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_no_cap_when_disabled(self, spark):
         rows = [(i, "same text every time") for i in range(5)]
         df = spark.createDataFrame(rows, "doc_id int, text string")

@@ -185,12 +185,14 @@ BLOCK_SCHEMA = StructType(
 )
 
 
-def parse_mhtml_snapshots(spark: SparkSession, path_glob: str) -> DataFrame:
-    """S7 + F4/F5: binaryFile scan -> per-document block extraction.
+def extract_blocks(binary: DataFrame) -> DataFrame:
+    """F4/F5 core: per-document block extraction over any (path,
+    content: binary) frame — file scans and generated documents share
+    this path (the catalog's ``block_capture`` feeds it synthesized
+    MIME blobs so the gate covers the UDF).
 
     Documents whose filename lacks the 8-digit date prefix are skipped
     (P9, utils/loose_thoughts.py:41-43)."""
-    binary = spark.read.format("binaryFile").load(path_glob)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -225,6 +227,11 @@ def parse_mhtml_snapshots(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA.fields])
 
     return binary.select("path", "content").mapInPandas(extract, BLOCK_SCHEMA)
+
+
+def parse_mhtml_snapshots(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S7 + F4/F5: binaryFile scan -> per-document block extraction."""
+    return extract_blocks(spark.read.format("binaryFile").load(path_glob))
 
 
 def dedup_blocks(blocks: DataFrame) -> DataFrame:

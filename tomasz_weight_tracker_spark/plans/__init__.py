@@ -10,3 +10,4 @@ from . import tpch_full  # noqa: F401  (TPC-H shape completion Q2..Q21)
 from . import pipeline_text  # noqa: F401  (corpus curation: repetition, PII, contamination)
 from . import scale_ops  # noqa: F401  (HLL sketch, stratified sample, z-order, streaming dedup)
 from . import python_api  # noqa: F401  (applyInPandas, pandas UDAF, Python UDTF)
+from . import pathbound  # noqa: F401  (W1/W2/W4 pipelines gate-embedded via derived inputs)
