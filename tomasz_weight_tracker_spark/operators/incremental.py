@@ -18,6 +18,8 @@ per-key aggregate table (see sources/writers.upsert_by_key) instead.
 
 from __future__ import annotations
 
+import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,16 +44,34 @@ def incremental_topk(
     history size.  ``tiebreak_cols`` make the ranking total so the
     stored state is deterministic (same discipline as the catalog's
     ordered queries).
+
+    Crash safety: the new top-k is written to a SIBLING directory and
+    swapped in with directory renames (state -> .bak, .tmp -> state),
+    never overwriting live state in place — a failure at any point
+    leaves either the old state or the old state's ``.bak`` intact,
+    and the read path falls back to ``.bak`` when a crash happened
+    between the two renames.  (The previous read-checkpoint-overwrite
+    cycle could truncate the only copy mid-write.)
     """
     state_path = Path(state_path)
+    tmp = state_path.parent / (state_path.name + ".tmp")
+    bak = state_path.parent / (state_path.name + ".bak")
     order = [F.col(order_col).desc()] + [
         F.col(c).asc() for c in (tiebreak_cols or [])
     ]
-    if state_path.exists():
-        prev = spark.read.parquet(str(state_path)).select(*new_batch.columns)
+    live = state_path if state_path.exists() else bak
+    if live.exists():
+        prev = spark.read.parquet(str(live)).select(*new_batch.columns)
         merged = prev.unionByName(new_batch)
     else:
         merged = new_batch
-    top = merged.orderBy(*order).limit(k).localCheckpoint()
-    top.write.mode("overwrite").parquet(str(state_path))
-    return top
+    # The plan reads the live directory and writes a DIFFERENT one, so
+    # no checkpoint is needed to break a read-then-overwrite cycle.
+    merged.orderBy(*order).limit(k).write.mode("overwrite").parquet(str(tmp))
+    if bak.exists():
+        shutil.rmtree(bak)
+    if state_path.exists():
+        os.rename(state_path, bak)
+    os.rename(tmp, state_path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return spark.read.parquet(str(state_path))

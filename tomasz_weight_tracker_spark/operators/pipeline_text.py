@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_cache
 from ..functions import tokens
 
 # --- repetition signals (per-row, no shuffle) ------------------------------
@@ -199,9 +200,9 @@ def contamination_overlap(
     sizes, corpus explode) — cache it so the tokenize+trigram work
     runs once per row, not three times."""
     t = F.col(text_col)
-    base = df.select(
-        "doc_id", F.array_distinct(trigram_array(tokens(t))).alias("__tg")
-    ).cache()
+    base = track_cache(
+        df.select("doc_id", F.array_distinct(trigram_array(tokens(t))).alias("__tg"))
+    )
     bench = (
         base.filter(F.col("doc_id") % bench_mod == 0)
         .select(F.explode("__tg").alias("ngram"))
@@ -395,7 +396,9 @@ def salient_terms(df: DataFrame, text_col: str = "text", top: int = 3) -> DataFr
     explode+aggregate, asserted in tests/test_plans.py)."""
     t = F.col(text_col)
     toks = df.select("doc_id", F.explode(tokens(t)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = track_cache(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()

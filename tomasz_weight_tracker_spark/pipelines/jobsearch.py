@@ -276,11 +276,15 @@ def render_report(grouped: DataFrame, max_groups: int | None = 1000) -> list[str
     """S12: markdown-ish ordered report lines (driver-side; reports are
     human-scale by definition).
 
-    ``max_groups`` bounds the driver-side collect so pointing this at a
-    big table can't OOM the driver; pass ``None`` to EXPLICITLY opt in
-    to an unbounded collect."""
+    Driver memory is bounded CONTRACTUALLY: ``max_groups`` caps the
+    collect, and ``None`` streams via ``toLocalIterator`` (one
+    partition in driver memory at a time) instead of an unbounded
+    ``collect()`` — pointing this at a big table can slow down, but
+    it cannot OOM the driver."""
     rows = (
-        grouped.limit(max_groups).collect() if max_groups is not None else grouped.collect()
+        grouped.limit(max_groups).collect()
+        if max_groups is not None
+        else grouped.toLocalIterator()
     )
     out: list[str] = []
     for r in rows:

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import release_caches, track_cache  # noqa: F401  (re-export)
 from ..functions import md5_long, md5_long_sql
 from ..operators import dedup as D
 from ..operators import similarity as S

@@ -37,17 +37,28 @@ def _input_state(sf_dir: str) -> dict[str, list]:
 
 
 def materialize(
-    spark: SparkSession, name: str, sf_dir: str, out_dir: str | Path
+    spark: SparkSession, name: str, sf_dir: str, out_dir: str | Path, _retries: int = 1
 ) -> DataFrame:
     """Run catalog query ``name`` against ``sf_dir`` and persist the
-    result + input manifest under ``out_dir``."""
+    result + input manifest under ``out_dir``.
+
+    The manifest records the input state captured BEFORE the query ran:
+    if an input file changes mid-run, the stored result (computed from
+    the old data) is paired with the old state, so ``is_fresh`` sees
+    the mismatch and the next read recomputes — stale data is never
+    served as fresh.  One bounded retry handles the common
+    changed-while-running case immediately; past that the conservative
+    pre-run manifest stands."""
     out_dir = Path(out_dir)
+    inputs_before = _input_state(sf_dir)
     df = REGISTRY[name].build(spark, sf_dir)
     df.write.mode("overwrite").parquet(str(out_dir / "data"))
+    if _retries > 0 and _input_state(sf_dir) != inputs_before:
+        return materialize(spark, name, sf_dir, out_dir, _retries - 1)
     manifest = {
         "query": name,
         "sf_dir": sf_dir,
-        "inputs": _input_state(sf_dir),
+        "inputs": inputs_before,
     }
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / _MANIFEST).write_text(json.dumps(manifest, indent=2))

@@ -1202,9 +1202,16 @@ def q_streaming_stateful_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    # One file -> one micro-batch -> one update row per key; a multi-
-    # batch replay would need keep-last-per-key here.
-    return spark.table(name)
+    # Update-mode emits one row per key PER MICRO-BATCH that touched
+    # the key.  The running counter is monotone, so keep-last-per-key
+    # is exactly max(n_events): correct for the single-file replay
+    # (no-op) AND for any multi-batch replay (keeps each key's final
+    # count), instead of relying on the one-file/one-batch layout.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
 
 
 # --- streaming sessionization ----------------------------------------------

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import dsum, load, register, sql_dsum
+from .catalog import dsum, load, register, sql_dsum, track_cache
 
 
 def _dec(col, scale=4, prec=18):
@@ -453,8 +453,8 @@ def q_important_parts(spark, sf_dir):
                 "part_value"
             )
         )
-        .cache()
     )
+    v = track_cache(v)
     total = v.agg(
         (F.sum(_dec("part_value", 6)).cast("double") * F.lit(0.002)).alias("__thresh")
     )
@@ -509,8 +509,8 @@ def q_top_revenue_supplier(spark, sf_dir):
                 "total_revenue"
             )
         )
-        .cache()
     )
+    rev = track_cache(rev)
     mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -746,8 +746,8 @@ def q_waiting_suppliers(spark, sf_dir):
                 F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
             ).alias("late"),
         )
-        .cache()
     )
+    l = track_cache(l)
     per_order = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),

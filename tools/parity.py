@@ -102,6 +102,7 @@ def main():
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a]
 
+    from tomasz_weight_tracker_spark.caching import release_caches
     from tomasz_weight_tracker_spark.plans import REGISTRY
     from tomasz_weight_tracker_spark.session import get_spark
 
@@ -116,6 +117,8 @@ def main():
             res = compare_one(spark, con, q, sf_dir)
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": "ERROR", "error": str(e)[:500]}
+        finally:
+            release_caches()  # per-query caches must not outlive the query
         ok = res["status"] in ("OK", "rows_only")
         if not ok:
             failures += 1
