@@ -209,6 +209,43 @@ class TestRound4PlanShape:
         )
         assert len(joins) == 1, f"expected exactly the band self-join, got {joins}"
 
+    def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
+        """The 100 TB semi-join-reduction lever: with a selective filter
+        on the build side of a shuffle join, Spark injects a runtime
+        Bloom filter that prunes the fact side BEFORE the shuffle.
+        Pinned here because it is easy to silently lose: the local-mode
+        widen repartition (plans.catalog.load) suppresses the injection
+        — harmless locally where the rule's scan-size gates wouldn't
+        pass anyway, but this test documents that raw scans (the real
+        cluster layout, where widen is a no-op) do get the filter."""
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+                F.col("o_totalprice") > 300000
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            optimized = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in optimized, optimized[:2000]
+            assert "might_contain" in optimized
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_lsh_pairs_carry_signature_columns(self, spark):
         # The carried a_mh*/b_mh* columns make the verify stage a pure
         # projection over the pair stream.

@@ -690,3 +690,195 @@ def q_embed_quantize(spark, sf_dir):
         F.array_min(F.col("__qv")).alias("q_min"),
         F.array_max(F.col("__qv")).alias("q_max"),
     )
+
+
+# ===========================================================================
+# Fuzzy string matching (edit-distance join with candidate blocking)
+# ===========================================================================
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    vars AS (
+        SELECT DISTINCT name FROM (
+            SELECT name FROM names
+            UNION ALL
+            SELECT substring(name, 1, length(name) - 1) FROM names
+        )
+    ),
+    v AS (SELECT name, split_part(name, ' ', 1) AS blk FROM vars)
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name)::BIGINT AS dist
+    FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    survey_ids=("A7", "G5"),
+    doc="Edit-distance similarity join with candidate blocking: distinct "
+    "part names plus a deterministic typo variant (last char dropped), "
+    "blocked on the first token, verified with levenshtein <= 2.  "
+    "Scale discipline: the pairwise stage runs on the distinct-NAME "
+    "domain (vocabulary-bounded), never the row domain — a corpus "
+    "first collapses through the exact-dedup hash aggregate, so 100 TB "
+    "of rows contribute only their distinct strings here; the block "
+    "join shuffles once on the block key (AQE-skew-splittable, and "
+    "cap-able via the lsh_candidate_pairs max_bucket pattern when the "
+    "name domain is unbounded).  levenshtein is bit-portable (classic "
+    "DP distance, integer result) so the oracle is exact.",
+)
+def q_fuzzy_name_match(spark, sf_dir):
+    names = load(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    variants = (
+        names.union(names.select(F.expr("substring(name, 1, length(name) - 1)").alias("name")))
+        .distinct()
+        .withColumn("blk", F.substring_index("name", " ", 1))
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+# ===========================================================================
+# Embedding near-dup via random-hyperplane LSH (vector SimHash)
+# ===========================================================================
+
+# 24 deterministic integer hyperplanes over the first 32 dims, banded
+# 2 x 12 bits.  Sign bits are computed in EXACT integer arithmetic
+# (embedding components floor-quantized to 2^20, plane components in
+# [-8, 8] from md5), so the signature — unlike a float dot-product
+# sign — cannot flip between engines on a last-ulp difference.
+_EMB_BITS, _EMB_BANDS, _EMB_DIMS, _EMB_Q = 24, 2, 32, 1048576.0
+_EMB_ROWS = _EMB_BITS // _EMB_BANDS
+
+
+def _emb_plane(j: int) -> list[int]:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"plane_{j}_{i}".encode()).hexdigest()[:15], 16) % 17) - 8
+        for i in range(_EMB_DIMS)
+    ]
+
+
+_EMB_PLANES = [_emb_plane(j) for j in range(_EMB_BITS)]
+
+
+def _emb_band_sql(b: int) -> str:
+    terms = []
+    for t in range(_EMB_ROWS):
+        p = "[" + ",".join(map(str, _EMB_PLANES[_EMB_ROWS * b + t])) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(qv, (x,i) -> x * {p}[i])) > 0 "
+            f"THEN {1 << t} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "embed_lsh_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id, emb,
+                 list_transform((emb)[1:{_EMB_DIMS}],
+                                x -> floor(x * {_EMB_Q})::BIGINT) AS qv
+          FROM e),
+    sig AS (SELECT vec_id, emb, {_emb_band_sql(0)} AS b0, {_emb_band_sql(1)} AS b1
+            FROM q),
+    banded AS (
+        SELECT vec_id, emb, 0 AS band_id, b0 AS band_key FROM sig
+        UNION ALL
+        SELECT vec_id, emb, 1 AS band_id, b1 AS band_key FROM sig)
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor({S.sql_cosine('a.emb', 'b.emb')} * 1000000.0)::BIGINT AS cos_e6,
+           (floor({S.sql_cosine('a.emb', 'b.emb')} * 1000000.0) >= 250000) AS is_near
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+    """,
+    survey_ids=(),
+    doc="Vector near-dup via random-hyperplane LSH (the dedup-oriented "
+    "ANN path, complementing brute-force kNN and IVF): 24 sign bits "
+    "from integer-exact quantized dot products against md5-derived "
+    "hyperplanes, banded 2x12 so only bucket-mates pair (candidate "
+    "rate ~2/4096 of all pairs); full-precision cosine then scores "
+    "each candidate.  Same single-join shape as lsh_near_dup: the "
+    "embedding rides THROUGH the band join, no second join and no "
+    "corpus-side broadcast.  Integer sign bits make the bucketing "
+    "bit-portable; the cosine fold matches DuckDB evaluation order.",
+)
+def q_embed_lsh_near_dup(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.withColumn(
+        "__qv",
+        F.transform(
+            F.slice("emb", 1, _EMB_DIMS),
+            lambda x: F.floor(x * F.lit(_EMB_Q)).cast("long"),
+        ),
+    )
+
+    def _mul(plane):
+        # Closure factory: a default-arg lambda would change the
+        # introspected arity (F.transform treats 2 params as
+        # (element, index)); the plane must be captured by closure.
+        return lambda x, i: x * F.element_at(plane, i + 1)
+
+    def _band(b: int):
+        val = F.lit(0)
+        for t in range(_EMB_ROWS):
+            plane = F.array(*[F.lit(p) for p in _EMB_PLANES[_EMB_ROWS * b + t]])
+            s = F.aggregate(
+                F.transform(F.col("__qv"), _mul(plane)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            val = val + F.when(s > 0, F.lit(1 << t)).otherwise(F.lit(0))
+        return val
+
+    banded = q.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), _band(b).alias("band_key")
+                    )
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "emb", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cos_e6 = F.floor(
+        S.cosine(F.col("a.emb"), F.col("b.emb")) * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos_e6.alias("cos_e6"),
+            (cos_e6 >= F.lit(250000)).alias("is_near"),
+        )
+        .distinct()
+    )

@@ -1322,3 +1322,81 @@ def q_streaming_dedup_events(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# --- heavy hitters (sample -> CMS -> exact verify) --------------------------
+
+
+@register(
+    "heavy_hitters",
+    f"""
+    WITH cand AS (
+        SELECT user_id, count(*)::BIGINT AS sampled_n
+        FROM events
+        WHERE ('0x' || substr(md5('hh:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 16 = 0
+        GROUP BY user_id
+        HAVING count(*) >= 4
+    ), est AS (
+        {{cms}}
+    ), exact AS (
+        SELECT e.user_id, count(*)::BIGINT AS n_exact
+        FROM events e JOIN cand ON e.user_id = cand.user_id
+        GROUP BY e.user_id
+    )
+    SELECT cand.user_id, cand.sampled_n, est.cms_est, exact.n_exact,
+           (exact.n_exact >= 64) AS is_heavy
+    FROM cand
+    JOIN est ON cand.user_id = est.key
+    JOIN exact ON cand.user_id = exact.user_id
+    """.format(
+        cms=SK.sql_cms(
+            "events",
+            "user_id",
+            """SELECT user_id AS key FROM (
+                 SELECT user_id FROM events
+                 WHERE ('0x' || substr(md5('hh:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
+                 GROUP BY user_id HAVING count(*) >= 4)""",
+        )
+    ),
+    survey_ids=("A1", "A8"),
+    doc="Bounded-memory heavy hitters, the pattern that replaces a "
+    "full GROUP BY when the key domain itself is too large to hold: "
+    "(1) a deterministic 1/16 row sample (md5 on event_id — "
+    "retry-stable, no RNG) nominates candidate keys, (2) the "
+    "constant-state Count-Min sketch estimates their frequency, "
+    "(3) an exact count restricted to the candidate set (joined "
+    "against the bounded candidate frame) verifies.  Only step 3 "
+    "touches per-candidate state; steps 1-2 are map-side "
+    "sample-filter + 1024 sketch cells regardless of cardinality.",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from ..functions import md5_long
+
+    ev = load(spark, sf_dir, "events")
+    sampled = ev.filter(
+        md5_long(F.concat(F.lit("hh:"), F.col("event_id").cast("string"))) % 16 == 0
+    )
+    cand = (
+        sampled.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("sampled_n"))
+        .filter(F.col("sampled_n") >= 4)
+    )
+    cells = SK.cms_build(ev, "user_id")
+    est = SK.cms_probe(cells, cand.select("user_id"), "user_id")
+    exact = (
+        ev.join(F.broadcast(cand.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        cand.join(est, "user_id")
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            "sampled_n",
+            "cms_est",
+            "n_exact",
+            (F.col("n_exact") >= 64).alias("is_heavy"),
+        )
+    )
