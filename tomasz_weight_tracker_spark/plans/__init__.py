@@ -11,3 +11,4 @@ from . import pipeline_text  # noqa: F401  (corpus curation: repetition, PII, co
 from . import scale_ops  # noqa: F401  (HLL sketch, stratified sample, z-order, streaming dedup)
 from . import python_api  # noqa: F401  (applyInPandas, pandas UDAF, Python UDTF)
 from . import pathbound  # noqa: F401  (W1/W2/W4 pipelines gate-embedded via derived inputs)
+from . import advanced  # noqa: F401  (SCD2, PageRank, sorted-neighborhood, bitmap distinct)

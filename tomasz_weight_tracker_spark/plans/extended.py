@@ -14,6 +14,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup import dedup_keep_last
 from ..operators.time_ops import week_anchor_offset
 from ..pipelines.jobsearch import KNOWN_STATUSES, classify_status
+from ..streaming.tuning import state_partitions
 from .catalog import davg, dsum, load, register, sql_davg, sql_dsum
 
 
@@ -476,14 +477,15 @@ def q_streaming_bucket_15min(spark, sf_dir):
         .select(F.col("w.start").alias("bucket"), "n_events", "p_value", "op_value")
     )
     name = f"sbucket_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import sketches as SK
 from ..operators.layout import sql_zorder_key, zorder_key
+from ..streaming.tuning import state_partitions
 from .catalog import load, register
 
 # --- HyperLogLog vs exact --------------------------------------------------
@@ -1194,14 +1195,15 @@ def q_streaming_stateful_counts(spark, sf_dir):
         )
     )
     name = f"sstate_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # Update-mode emits one row per key PER MICRO-BATCH that touched
     # the key.  The running counter is monotone, so keep-last-per-key
     # is exactly max(n_events): correct for the single-file replay
@@ -1265,14 +1267,15 @@ def q_streaming_sessionize(spark, sf_dir):
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sess = stream_sessionize(df).select("user_id", "session_start", "n_events")
     name = f"ssess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -1313,14 +1316,15 @@ def q_streaming_dedup_events(spark, sf_dir):
         .select("user_id", "event_type")
     )
     name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 

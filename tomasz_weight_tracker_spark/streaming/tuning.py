@@ -1,0 +1,42 @@
+"""Streaming-execution tuning helpers."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily size a stream's state-store partitioning.
+
+    A stateful streaming query fixes its number of state-store
+    partitions at FIRST start, from ``spark.sql.shuffle.partitions``
+    (after that it lives in the checkpoint and cannot change).  The
+    session default — one partition per core — is right for big batch
+    shuffles, but each streaming state partition costs a store-provider
+    load, a maintenance task, and a snapshot/delta file per
+    micro-batch, so a small keyed stream pays ~32 provider setups to
+    hold a few thousand keys.
+
+    Sizing rule (same arithmetic as batch shuffles, applied to state):
+    partitions ~ expected_state_bytes / target_partition_bytes, floored
+    at the stream's sustained parallelism.  For the gate-scale replays
+    (<=1M keys) single-digit partitions are right; a 100 TB ingest with
+    billions of keys wants the core count back — pass ``n``
+    accordingly, and note the choice is sticky per checkpoint.
+
+    Restores the previous session value on exit, so surrounding batch
+    plans keep their partitioning.  Use ONLY around start()+drain of a
+    self-contained stream (availableNow); a stream left running after
+    exit keeps the small setting for its lifetime, which is the sticky
+    semantics described above.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
