@@ -159,3 +159,95 @@ class TestStatePartitions:
         except RuntimeError:
             pass
         assert spark.conf.get(key) == before
+
+
+class TestSnapshotDiff:
+    def test_statuses_match_residue_construction(self, spark):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _DIFF_CHANGE,
+            _DIFF_DELETE,
+            _DIFF_INSERT,
+            q_snapshot_diff,
+        )
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        out = q_snapshot_diff(spark, SF).collect()
+        by_status = {}
+        for r in out:
+            by_status.setdefault(r.status, []).append(r)
+        keys = [r.o_orderkey for r in load(spark, SF, "orders").select("o_orderkey").collect()]
+        assert len(by_status.get("removed", [])) == sum(1 for k in keys if k % _DIFF_DELETE == 0)
+        assert len(by_status.get("added", [])) == sum(1 for k in keys if k % _DIFF_INSERT == 0)
+        # changed = price-bumped keys that were not deleted
+        assert len(by_status.get("changed", [])) == sum(
+            1 for k in keys if k % _DIFF_CHANGE == 0 and k % _DIFF_DELETE != 0
+        )
+        assert all(r.changed_cols == "o_totalprice" for r in by_status.get("changed", []))
+
+
+class TestSequencePacking:
+    def test_offsets_tile_the_token_stream(self, spark):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _PACK_BUDGET,
+            q_sequence_packing,
+        )
+
+        rows = sorted(q_sequence_packing(spark, SF).collect(), key=lambda r: r.doc_id)
+        # Prefix-sum property: each doc starts where the previous ended.
+        run = 0
+        for r in rows:
+            assert r.global_start == run
+            assert r.pack_id == run // _PACK_BUDGET
+            run += r.n_tokens
+
+    def test_no_full_corpus_global_window(self, spark):
+        # The only unpartitioned window runs over shard SUBTOTALS; the
+        # per-document window must be shard-partitioned.
+        import io, contextlib
+
+        from tomasz_weight_tracker_spark.plans.advanced import q_sequence_packing
+
+        df = q_sequence_packing(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        import re
+
+        # Window over doc tokens is partitioned by shard (partial-window
+        # spec renders as "windowspecdefinition(shard#..., doc_id#...").
+        assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id", plan), plan
+
+
+class TestValueDeciles:
+    def test_bins_are_ordered_and_balanced(self, spark):
+        from tomasz_weight_tracker_spark.plans.advanced import q_value_deciles
+
+        rows = q_value_deciles(spark, SF).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for t, bins in by_type.items():
+            bins.sort(key=lambda r: r.decile)
+            assert [b.decile for b in bins] == list(range(1, 11))
+            # Equal-frequency: ntile sizes differ by at most 1.
+            sizes = [b.n for b in bins]
+            assert max(sizes) - min(sizes) <= 1
+            for lo, hi in zip(bins, bins[1:]):
+                assert hi.min_v >= lo.max_v or abs(hi.min_v - lo.max_v) < 1e-12
+
+
+class TestDatasetSplit:
+    def test_user_disjoint_and_total(self, spark):
+        from tomasz_weight_tracker_spark.functions import md5_long
+        from tomasz_weight_tracker_spark.plans.advanced import q_dataset_split
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        out = {r.split: r for r in q_dataset_split(spark, SF).collect()}
+        ev = load(spark, SF, "events")
+        assert sum(r.n_events for r in out.values()) == ev.count()
+        # Group-aware: per-user split assignment is a function of user_id,
+        # so split user counts partition the distinct-user set.
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(r.n_users for r in out.values()) == n_users
+        assert set(out) <= {"train", "val", "test"}

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_long_sql
 from .catalog import load, register
 
 # ===========================================================================
@@ -323,4 +324,269 @@ def q_bitmap_distinct_users(spark, sf_dir):
     )
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_users")
+    )
+
+
+# ===========================================================================
+# Snapshot diff (CDC reconciliation between two table versions)
+# ===========================================================================
+
+# The "new" snapshot is derived deterministically from orders so the
+# gate needs no second input: rows with key % 97 == 0 are deleted,
+# key % 31 == 0 get a price bump, key % 113 == 0 spawn an inserted
+# twin under key -(k+1) (order keys are non-negative, so negatives
+# cannot collide with the live domain — including the k=0 row).
+
+_DIFF_DELETE, _DIFF_CHANGE, _DIFF_INSERT = 97, 31, 113
+
+
+def _diff_new_sql() -> str:
+    return f"""
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % {_DIFF_CHANGE} = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % {_DIFF_DELETE} <> 0
+        UNION ALL
+        SELECT -(o_orderkey + 1), o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % {_DIFF_INSERT} = 0
+    """
+
+
+@register(
+    "snapshot_diff",
+    f"""
+    WITH new_snap AS ({_diff_new_sql()})
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           concat_ws(',',
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_orderstatus <> n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                         AND o.o_totalprice <> n.o_totalprice
+                    THEN 'o_totalprice' END) AS changed_cols
+    FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) o
+    FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+    survey_ids=("J3", "U3"),
+    doc="Table-version reconciliation (CDC diff): full-outer join two "
+    "snapshots on the key, classify each row added/removed/changed, "
+    "and name the changed columns.  The audit primitive behind "
+    "incremental syncs and MERGE validation: ONE keyed shuffle join "
+    "however wide the table, column comparison stays in codegen, and "
+    "unchanged rows are filtered before they leave the join — output "
+    "is proportional to the DELTA, not the table.  The 'new' snapshot "
+    "is derived in-query (delete/update/insert by key residues) so "
+    "both engines construct it identically.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % _DIFF_DELETE != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % _DIFF_CHANGE == 0,
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % _DIFF_INSERT == 0).withColumn(
+                "o_orderkey", -(F.col("o_orderkey") + 1)
+            )
+        )
+    )
+    o = orders.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    both = F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
+    status_diff = F.col("o.o_orderstatus") != F.col("n.o_orderstatus")
+    price_diff = F.col("o.o_totalprice") != F.col("n.o_totalprice")
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | status_diff
+        | price_diff
+    ).select(
+        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.concat_ws(
+            ",",
+            F.when(both & status_diff, "o_orderstatus"),
+            F.when(both & price_diff, "o_totalprice"),
+        ).alias("changed_cols"),
+    )
+
+
+# ===========================================================================
+# Sequence packing (LLM concat-then-chunk) via distributed prefix sum
+# ===========================================================================
+
+_PACK_BUDGET = 2048  # tokens per pack
+_PACK_SHARD = 128  # docs per prefix-sum shard
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+                   AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS global_start
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, global_start,
+           (global_start // {_PACK_BUDGET})::BIGINT AS pack_id
+    FROM cum
+    """,
+    survey_ids=("W1", "A1"),
+    doc="LLM sequence packing (concat-then-chunk): documents are laid "
+    "end-to-end in doc_id order and cut into fixed token-budget packs "
+    "— each doc's global token offset decides its pack.  The global "
+    "running sum is a DISTRIBUTED PREFIX SUM, not a single-partition "
+    "window: per-shard subtotals (tiny: one row per {_PACK_SHARD} "
+    "docs) are cumulated and joined back, so each row's offset = "
+    "shard offset + within-shard cumsum.  Two keyed shuffles on "
+    "shard, no global sort of the corpus — the oracle's "
+    "ORDER BY-everything window is exactly what does NOT scale.",
+)
+def q_sequence_packing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+    )
+    # Within-shard running sum (shard-keyed window: bounded partitions).
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("in_cum", F.sum("n_tokens").over(w_in))
+    # Shard subtotals are one row per shard — cumulating THEM with a
+    # global window is O(n_shards), then the offsets broadcast-join back.
+    totals = toks.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    w_sh = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("shard_total").over(w_sh), F.lit(0)).alias("shard_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("shard_off") + F.col("in_cum") - F.col("n_tokens")).alias(
+                "global_start"
+            ),
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("global_start") / _PACK_BUDGET).cast("long")
+        )
+    )
+
+
+# ===========================================================================
+# Quantile binning (ntile feature bucketing)
+# ===========================================================================
+
+
+@register(
+    "value_deciles",
+    """
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, decile::BIGINT AS decile, count(*)::BIGINT AS n,
+           min(value) AS min_v, max(value) AS max_v
+    FROM t GROUP BY event_type, decile
+    """,
+    survey_ids=("W3", "A1"),
+    doc="Quantile feature binning: ntile(10) per event type assigns "
+    "equal-frequency deciles (ties broken by event_id so the binning "
+    "is deterministic), then per-bin count/min/max — the cut-point "
+    "table feature preprocessing needs.  One keyed sort-window plus "
+    "an aggregation reusing the same partitioning; at scale the "
+    "group key bounds the window partition, never the corpus.",
+)
+def q_value_deciles(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return t.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+# ===========================================================================
+# Leakage-safe dataset split (train/val/test by USER, not by row)
+# ===========================================================================
+
+
+@register(
+    "dataset_split",
+    f"""
+    WITH assigned AS (
+        SELECT user_id, event_type,
+               CASE WHEN {md5_long_sql("'split:' || CAST(user_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                    WHEN {md5_long_sql("'split:' || CAST(user_id AS VARCHAR)")} % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM events
+    )
+    SELECT split, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM assigned GROUP BY split
+    """,
+    survey_ids=("A1", "G5"),
+    doc="Deterministic train/val/test split keyed on the USER, not the "
+    "row: every event of a user lands in the same split (the "
+    "group-aware discipline that prevents leakage between train and "
+    "eval), via an md5 hash threshold — RNG-free, so re-runs and "
+    "retries assign identically, and adding data never reassigns "
+    "existing users.  80/10/10; per-split event and user counts "
+    "verify the assignment.",
+)
+def q_dataset_split(spark, sf_dir):
+    from ..functions import md5_long as _md5
+
+    ev = load(spark, sf_dir, "events")
+    bucket = _md5(F.concat(F.lit("split:"), F.col("user_id").cast("string"))) % 100
+    assigned = ev.select(
+        "user_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
