@@ -251,3 +251,116 @@ class TestDatasetSplit:
         n_users = ev.select("user_id").distinct().count()
         assert sum(r.n_users for r in out.values()) == n_users
         assert set(out) <= {"train", "val", "test"}
+
+
+class TestTriangleStats:
+    def test_known_graph_k4(self, spark, tmp_path):
+        # One part supplied by 4 suppliers -> co-supply graph K4:
+        # 6 edges, 12 wedges, 4 triangles, clustering 1.0.
+        from tomasz_weight_tracker_spark.plans.advanced import q_graph_triangle_stats
+
+        rows = [(1, s, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)) for s in (1, 2, 3, 4)]
+        df = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        path = str(tmp_path / "li")
+        df.write.parquet(path + "/lineitem.parquet")
+        r = q_graph_triangle_stats(spark, path).first()
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+        assert r.clustering == 1.0
+
+    def test_triangle_free_bipartite(self, spark, tmp_path):
+        # Two parts with disjoint supplier pairs -> 2 disjoint edges, no
+        # wedges/triangles.
+        from tomasz_weight_tracker_spark.plans.advanced import q_graph_triangle_stats
+
+        rows = [(1, 1, 1), (1, 2, 1), (2, 3, 2), (2, 4, 2)]
+        df = spark.createDataFrame(
+            [(o, s, p, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)) for o, s, p in rows],
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        path = str(tmp_path / "li2")
+        df.write.parquet(path + "/lineitem.parquet")
+        r = q_graph_triangle_stats(spark, path).first()
+        assert (r.n_edges, r.n_wedges, r.n_triangles) == (2, 0, 0)
+
+
+class TestInvertedIndex:
+    def test_df_and_posting_cap(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _IDX_MIN_DF,
+            _IDX_POSTINGS,
+            q_inverted_index,
+        )
+
+        # "common" in 12 docs (cap postings at 8); "rare" in 2 (pruned);
+        # repeated occurrences inside one doc count once.
+        rows = [(i, "common common filler%d" % i, "en", "s", 10) for i in range(12)]
+        rows += [(100, "rare", "en", "s", 4), (101, "rare", "en", "s", 4)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = str(tmp_path / "docs")
+        df.write.parquet(path + "/documents.parquet")
+        out = {r.token: r for r in q_inverted_index(spark, path).collect()}
+        assert "rare" not in out  # below min-df
+        assert out["common"].df == 12
+        postings = out["common"].postings.split(",")
+        assert len(postings) == _IDX_POSTINGS
+        assert postings == [str(i) for i in range(_IDX_POSTINGS)]
+        assert _IDX_MIN_DF <= 12
+
+
+class TestDedupThrottle:
+    def test_suppresses_within_horizon(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import q_dedup_throttle
+
+        base = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        rows = [
+            (1, 1, base, "click", 0.0, ""),
+            (2, 1, base + datetime.timedelta(seconds=30), "click", 0.0, ""),  # dropped
+            (3, 1, base + datetime.timedelta(seconds=90), "click", 0.0, ""),  # kept (60s from #2)
+            (4, 1, base + datetime.timedelta(seconds=30), "view", 0.0, ""),  # other type: kept
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path + "/events.parquet")
+        kept = sorted(r.event_id for r in q_dedup_throttle(spark, path).collect())
+        assert kept == [1, 3, 4]
+
+
+class TestStreamingJoinClicks:
+    def test_matches_batch_interval_join(self, spark):
+        from tomasz_weight_tracker_spark.plans.advanced import q_streaming_join_clicks
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in q_streaming_join_clicks(spark, SF).collect()
+        }
+        ev = load(spark, SF, "events")
+        p = ev.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        c = ev.filter("event_type = 'click'").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        want = {
+            (r.purchase_id, r.click_id)
+            for r in p.join(
+                c,
+                (F.col("user_id") == F.col("c_user"))
+                & (F.col("c_ts") >= F.col("p_ts"))
+                & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 15 MINUTES")),
+            ).collect()
+        }
+        assert got == want

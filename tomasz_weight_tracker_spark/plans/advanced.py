@@ -590,3 +590,259 @@ def q_dataset_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ===========================================================================
+# Triangle counting / clustering coefficient (graph analytics #3)
+# ===========================================================================
+
+
+@register(
+    "graph_triangle_stats",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+        SELECT node, count(*)::BIGINT AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ), tri AS (
+        SELECT count(*)::BIGINT AS t
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(DISTINCT s) FROM ps)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+           (SELECT sum((d * (d - 1)) // 2) FROM deg)::BIGINT AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           (3.0::DOUBLE * (SELECT t FROM tri))
+               / nullif((SELECT sum((d * (d - 1)) // 2) FROM deg), 0)
+               AS clustering
+    """,
+    survey_ids=("J1", "A8"),
+    doc="Triangle counting + global clustering coefficient over the "
+    "supplier co-supply graph (suppliers adjacent iff they supply a "
+    "common part).  The standard distributed algorithm: orient every "
+    "edge low-id -> high-id, then triangles = wedges (e1.v=e2.u) "
+    "closed by a third edge — each triangle counted exactly once in "
+    "its u<v<w orientation, so the join never re-counts and the "
+    "wedge join is the only quadratic-risk step (bounded by max "
+    "degree, AQE-skew-splittable on the shared vertex).  Row volume "
+    "collapses FIRST through DISTINCT (part,supplier): 100 TB of "
+    "lineitem contributes only its vocabulary-sized projection.",
+)
+def q_graph_triangle_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_nodes = ps.select("s").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.try_divide(F.lit(3.0) * F.col("t"), F.col("n_wedges")).alias(
+                "clustering"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Inverted index build (search / retrieval primitive)
+# ===========================================================================
+
+_IDX_MIN_DF = 5
+_IDX_POSTINGS = 8
+
+
+@register(
+    "inverted_index",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '\\w+')))
+                   AS token
+        FROM documents
+    )
+    SELECT token, count(*)::BIGINT AS df,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1,
+                                      {_IDX_POSTINGS}), ',') AS postings
+    FROM tok GROUP BY token
+    HAVING count(*) >= {_IDX_MIN_DF}
+    """,
+    survey_ids=("G2", "A1"),
+    doc="Inverted-index build: token -> document frequency + the first "
+    f"{_IDX_POSTINGS} postings (sorted doc ids).  The retrieval-side "
+    "primitive of a training-data search stack: per-doc tokens are "
+    "de-duplicated BEFORE the explode (array_distinct inside the row "
+    "— no shuffle), then one token-keyed aggregation builds the "
+    "posting lists; min-df pruning bounds the emitted vocabulary.  "
+    "Posting lists are capped, so no single hot token (stopwords) "
+    "can blow up a reducer; at full scale the same plan shards by "
+    "(token, doc_id range) for unbounded lists.",
+)
+def q_inverted_index(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+            )
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _IDX_POSTINGS),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= _IDX_MIN_DF)
+    )
+
+
+# ===========================================================================
+# Throttle dedup (time-horizon repeat suppression)
+# ===========================================================================
+
+_THROTTLE_US = 60_000_000  # 60 s
+
+
+@register(
+    "dedup_throttle",
+    f"""
+    WITH w AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM w
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= {_THROTTLE_US}
+    """,
+    survey_ids=("A6", "W1"),
+    doc="Time-horizon repeat suppression: drop an event when the SAME "
+    "(user, type) fired within the last 60 s — the telemetry/dedup "
+    "rule for chatty emitters.  Throttle semantics (gap measured to "
+    "the previous RAW event) so it stays one keyed lag-window; true "
+    "debounce (gap to the previous KEPT event) is inherently "
+    "sequential per key and lives in the streaming layer "
+    "(dropDuplicatesWithinWatermark) where state is per-key bounded.",
+)
+def q_dedup_throttle(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                >= F.lit(_THROTTLE_US)
+            )
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ===========================================================================
+# Stream-stream join in the gate (attribution shape)
+# ===========================================================================
+
+
+@register(
+    "streaming_join_clicks",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 15 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    survey_ids=("ST1", "J2"),
+    doc="Watermarked stream-STREAM inner join replayed in the gate: "
+    "purchases and clicks (two filtered views of one file-source "
+    "stream) join on user within a 15-minute event-time range; the "
+    "drained pairs must equal the batch interval-join oracle.  Both "
+    "sides carry watermarks and the range bound lets Spark evict "
+    "buffered rows once the watermark passes ts+15min — join state "
+    "is rate x interval, never stream length, which is what makes "
+    "attribution viable on an unbounded stream.",
+)
+def q_streaming_join_clicks(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipelines import stream_stream_join
+    from ..streaming.tuning import state_partitions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = raw
+    if dict(raw.dtypes).get("ts") == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_stream_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+        watermark="1 hour", within="15 minutes",
+    ).select("purchase_id", "click_id")
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
