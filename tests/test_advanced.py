@@ -364,3 +364,26 @@ class TestStreamingJoinClicks:
             ).collect()
         }
         assert got == want
+
+
+class TestIntervalUnion:
+    def test_islands_merge_overlaps(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import q_interval_union_time
+
+        base = datetime.datetime(2024, 1, 1, 9, 0, 0)
+        mins = datetime.timedelta(minutes=1)
+        # user 1: events at 9:00 and 9:10 overlap (30-min cover) -> one
+        # island 9:00-9:40 = 40 min; a third at 11:00 is its own island.
+        rows = [
+            (1, 1, base, "click", 0.0, ""),
+            (2, 1, base + 10 * mins, "click", 0.0, ""),
+            (3, 1, base + 120 * mins, "click", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path + "/events.parquet")
+        r = q_interval_union_time(spark, path).first()
+        assert r.n_islands == 2
+        assert r.covered_minutes == 40 + 30

@@ -846,3 +846,93 @@ def q_streaming_join_clicks(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(name)
+
+
+# ===========================================================================
+# Interval union (gaps-and-islands): total covered time per user
+# ===========================================================================
+
+_COVER_MIN = 30  # each event opens a 30-minute activity interval
+
+
+@register(
+    "interval_union_time",
+    f"""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL {_COVER_MIN} MINUTE AS e,
+               event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                         OR max(e) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id
+                                     ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island, min(s) AS island_start, max(e) AS island_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, count(*)::BIGINT AS n_islands,
+           (sum(epoch_us(island_end) - epoch_us(island_start))
+               // 60000000)::BIGINT AS covered_minutes
+    FROM merged GROUP BY user_id
+    """,
+    survey_ids=("W1", "T7"),
+    doc="Interval union (gaps-and-islands): each event opens a "
+    f"{_COVER_MIN}-minute activity interval; overlapping intervals "
+    "merge into islands and the total covered time per user is the "
+    "sum of island lengths — the uptime/coverage computation that a "
+    "naive approach solves with an interval self-join.  Here it is "
+    "one keyed sort: an island starts where an interval's start "
+    "exceeds the running max of prior ends, islands number by a "
+    "running sum of those flags, and two keyed aggregations finish.  "
+    "All windows share the (user_id) partitioning — one shuffle.",
+)
+def q_interval_union_time(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_COVER_MIN} MINUTES")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        (
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+        ).cast("int"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    # Integer div: DuckDB's double->BIGINT cast ROUNDS while Spark's
+    # truncates, so a float division here diverges on half-minutes.
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr(
+            "sum(unix_micros(island_end) - unix_micros(island_start)) div 60000000"
+        ).alias("covered_minutes"),
+    )
