@@ -164,13 +164,19 @@ def _pagerank_oracle() -> str:
     "lineitem first collapses through the DISTINCT.",
 )
 def q_pagerank_part_supplier(spark, sf_dir):
+    from ..caching import track_cache
+
     li = load(spark, sf_dir, "lineitem")
     fwd = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges/deg feed every iteration — cache them or each round
+    # re-runs the lineitem DISTINCT (Catalyst does not CSE subtrees).
+    edges = track_cache(
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    )
+    deg = track_cache(edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -636,10 +642,17 @@ def q_dataset_split(spark, sf_dir):
     "lineitem contributes only its vocabulary-sized projection.",
 )
 def q_graph_triangle_stats(spark, sf_dir):
+    from ..caching import track_cache
+
     li = load(spark, sf_dir, "lineitem")
-    ps = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    ps = track_cache(
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    )
     a, b = ps.alias("a"), ps.alias("b")
-    edges = (
+    # Catalyst does not CSE shared subtrees: edges feeds SIX branches
+    # (e1/e2/e3, degree, edge count) — cache it or the distinct+join
+    # pipeline runs six times.
+    edges = track_cache(
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
