@@ -69,6 +69,13 @@ HEADLINE = [
     # SIDEBAR metric below — it exists as API coverage, not as the
     # recommended plan, so it does not belong in the headline total.
     "user_zscore_native",
+    # Round-4 families, one representative each: CDC (SCD2 history
+    # build + snapshot diff), time-horizon dedup, and the inverted
+    # index (explode-heavy corpus op).
+    "scd2_user_state",
+    "snapshot_diff",
+    "dedup_throttle",
+    "inverted_index",
 ]
 
 SIDEBAR = ["user_zscore_arrow"]
