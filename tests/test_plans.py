@@ -288,3 +288,59 @@ class TestJoinStrategyHints:
 
     def test_shuffle_hash_hint(self, spark):
         assert "ShuffledHashJoin" in self._plan(spark, "shuffle_hash")
+
+
+class TestRound4PlanShapes:
+    """Physical-plan regressions for the round-4 additions: the scale
+    claims in their docstrings, pinned."""
+
+    def test_scd2_single_shuffle(self, spark):
+        # Both windows (change-detect lag, interval-close lead) share
+        # the user_id partitioning -> exactly ONE exchange.
+        plan = formatted(spark, "scd2_user_state")
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+
+    def test_sequence_packing_no_global_corpus_window(self, spark):
+        # The per-document window must be shard-partitioned; the only
+        # single-partition window runs over shard SUBTOTALS.  The shard
+        # offsets join must broadcast (|shards| rows).
+        plan = formatted(spark, "sequence_packing")
+        import re
+
+        assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id", plan)
+        assert "BroadcastHashJoin" in plan
+
+    def test_snapshot_diff_no_corpus_broadcast(self, spark):
+        # Both sides are table-sized snapshots: the join must be a
+        # keyed shuffle join (SMJ full outer), never a broadcast.
+        plan = formatted(spark, "snapshot_diff")
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_bitmap_distinct_partial_aggregates(self, spark):
+        # Map-side combine on (event_type, word) is the point: raw ids
+        # must not cross the wire.  Partial HashAggregates precede both
+        # exchanges.
+        plan = formatted(spark, "bitmap_distinct_users")
+        import re
+
+        assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+    def test_snm_single_scan_single_shuffle(self, spark):
+        # Neighbors gathered in one window pass and exploded — a
+        # per-offset UNION would re-scan and re-sort per arm.
+        plan = formatted(spark, "snm_near_dup")
+        import re
+
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_inverted_index_dedups_before_explode(self, spark):
+        # array_distinct must sit under the Generate node so only
+        # distinct (doc, token) pairs are emitted into the shuffle.
+        plan = formatted(spark, "inverted_index")
+        gen = plan.index("Generate")
+        assert "array_distinct" in plan[gen : gen + 2000]

