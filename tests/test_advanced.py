@@ -387,3 +387,84 @@ class TestIntervalUnion:
         r = q_interval_union_time(spark, path).first()
         assert r.n_islands == 2
         assert r.covered_minutes == 40 + 30
+
+
+class TestReviewRegressions:
+    """Fixes from the round-4 review, pinned."""
+
+    def test_bitmap_handles_negative_ids(self, spark):
+        # Truncating div would collide id -1 with id 63 in word 0;
+        # shiftright (floor div) keeps them in separate words.
+        df = spark.createDataFrame(
+            [("t", -1), ("t", 63)], "event_type string, user_id long"
+        )
+        words = df.groupBy(
+            "event_type", F.expr("shiftright(user_id, 6)").alias("word")
+        ).agg(
+            F.expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))").alias(
+                "bits"
+            )
+        )
+        n = (
+            words.groupBy("event_type")
+            .agg(F.sum(F.bit_count("bits")).alias("n"))
+            .first()
+            .n
+        )
+        assert n == 2
+
+    def test_interval_union_deterministic_on_tied_timestamps(self, spark, tmp_path):
+        # Two events at the SAME ts after a gap: island assignment must
+        # not depend on sort stability of a non-unique (s, e) order.
+        from tomasz_weight_tracker_spark.plans.advanced import q_interval_union_time
+
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [
+            (1, 1, base, "a", 0.0, ""),
+            (2, 1, base + datetime.timedelta(hours=2), "a", 0.0, ""),
+            (3, 1, base + datetime.timedelta(hours=2), "b", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path + "/events.parquet")
+        r = q_interval_union_time(spark, path).first()
+        assert r.n_islands == 2
+        assert r.covered_minutes == 60  # two 30-min islands, never 180
+
+    def test_snm_head_is_ascii_normalized(self, spark, tmp_path):
+        # Multibyte chars must not reach levenshtein (byte-counted in
+        # DuckDB, codepoint-counted in Spark).
+        from tomasz_weight_tracker_spark.plans.advanced import q_snm_near_dup
+
+        base = "café latte ritual " * 4
+        rows = [
+            (1, base, "en", "s", len(base)),
+            (2, base + "x", "en", "s", len(base) + 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = str(tmp_path / "docs")
+        df.write.parquet(path + "/documents.parquet")
+        pairs = q_snm_near_dup(spark, path).collect()
+        # The accented char is stripped before comparison; the docs
+        # still pair up on the ASCII remainder.
+        assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+    def test_drain_to_memory_raises_on_timeout(self, spark):
+        import pytest as _pytest
+
+        from tomasz_weight_tracker_spark.streaming.pipelines import (
+            drain_to_memory,
+            stream_events,
+        )
+
+        # A 1 ms deadline cannot fit stream startup + a micro-batch:
+        # the drain must raise, not hand back a truncated table.
+        df = stream_events(spark, SF).select("event_id")
+        with _pytest.raises(RuntimeError, match="did not finish"):
+            drain_to_memory(spark, df, "t_timeout", "append", timeout_sec=0.001)

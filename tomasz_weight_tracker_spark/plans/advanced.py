@@ -9,8 +9,8 @@ the catalog does not yet demonstrate:
 - ``pagerank_part_supplier`` — fixed-iteration PageRank over the
   part<->supplier co-occurrence graph: the second iterative-algorithm
   surface next to connected components (operators/clusters.py), with
-  exact-decimal contribution sums so the result is order-independent
-  and oracle-checkable.
+  integer-quantized contribution sums so the result is
+  order-independent and oracle-checkable.
 - ``snm_near_dup`` — sorted-neighborhood near-dup detection: the
   classic blocking alternative to LSH (sort once, compare a sliding
   window of w neighbors).  One sort-shuffle total; pair count is
@@ -152,14 +152,13 @@ def _pagerank_oracle() -> str:
     "join (edges shuffled once on src, rank/deg co-keyed) plus a "
     "group-by on dst — the standard distributed PageRank round; "
     "symmetric edges mean no dangling-mass correction is needed.  "
-    "Contribution sums are cast to DECIMAL(28,10) before aggregation "
-    "in BOTH engines, so the per-round totals are exact and "
-    "order-independent — an iterative float algorithm that is still "
-    "value-hash-checkable.  (Quantization is floor(x*1e8) in INTEGER "
-    "arithmetic, not a double->decimal cast: IEEE multiply+floor are "
-    "bit-identical across engines, while decimal casts of doubles "
-    "round from different representations.)  Edge count is "
-    "vocabulary-bounded "
+    "Contributions are floor(x*1e8)-quantized in INTEGER arithmetic "
+    "and summed as BIGINT in BOTH engines, so the per-round totals "
+    "are exact and order-independent — an iterative float algorithm "
+    "that is still value-hash-checkable.  (Integer floor, NOT a "
+    "double->decimal cast: IEEE multiply+floor are bit-identical "
+    "across engines, while decimal casts of doubles round from "
+    "different representations.)  Edge count is vocabulary-bounded "
     "(distinct part-supplier pairs), not row-bounded: 100 TB of "
     "lineitem first collapses through the DISTINCT.",
 )
@@ -229,7 +228,9 @@ def _snm_oracle() -> str:
         )
     return f"""
     WITH k AS (
-        SELECT doc_id, substr(text, 1, {_SNM_HEAD}) AS head,
+        SELECT doc_id,
+               substr(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+                      1, {_SNM_HEAD}) AS head,
                substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
                       1, {_SNM_KEY_LEN}) AS skey
         FROM documents
@@ -256,13 +257,21 @@ def _snm_oracle() -> str:
     "bit-portable so the oracle is exact.  Blocks are key-prefix "
     "partitions, so AQE's skew split applies if one prefix is hot; "
     "near-identical docs share normalized prefixes, which is exactly "
-    "what sorting exploits.",
+    "what sorting exploits.  The compared prefix is ASCII-normalized "
+    "because DuckDB's levenshtein counts bytes and Spark's counts "
+    "codepoints — identical only on single-byte text.",
 )
 def q_snm_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
+    # The compare head is ASCII-normalized: DuckDB's levenshtein is
+    # BYTE-based while Spark's is codepoint-based, so any multibyte
+    # char in the prefix would diverge the distances.  The [a-zA-Z0-9 ]
+    # class keeps both engines in single-byte territory.
     k = docs.select(
         "doc_id",
-        F.substring("text", 1, _SNM_HEAD).alias("head"),
+        F.substring(
+            F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")), 1, _SNM_HEAD
+        ).alias("head"),
         F.substring(
             F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")), 1, _SNM_KEY_LEN
         ).alias("skey"),
@@ -323,8 +332,11 @@ def q_snm_near_dup(spark, sf_dir):
 )
 def q_bitmap_distinct_users(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
+    # Arithmetic shift = FLOOR division, consistent with pmod's floor
+    # modulus for negative ids (`div` truncates toward zero, which
+    # would collide id -1 with id 63 in word 0).
     words = ev.groupBy(
-        "event_type", F.expr("user_id div 64").alias("word")
+        "event_type", F.expr("shiftright(user_id, 6)").alias("word")
     ).agg(
         F.expr("bit_or(shiftleft(1L, cast(pmod(user_id, 64) as int)))").alias("bits")
     )
@@ -391,8 +403,14 @@ def _diff_new_sql() -> str:
     "both engines construct it identically.",
 )
 def q_snapshot_diff(spark, sf_dir):
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    from ..caching import track_cache
+
+    # orders feeds three branches (old side, the delete/update arm,
+    # the insert arm) — cache the projection so it scans once.
+    orders = track_cache(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
     )
     new_snap = (
         orders.filter(F.col("o_orderkey") % _DIFF_DELETE != 0)
@@ -473,16 +491,23 @@ _PACK_SHARD = 128  # docs per prefix-sum shard
     "ORDER BY-everything window is exactly what does NOT scale.",
 )
 def q_sequence_packing(spark, sf_dir):
+    from ..caching import track_cache
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        (
-            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + 1
+    # toks feeds both the within-shard window and the shard totals —
+    # cache it or the full-text tokenization runs twice (no CSE).
+    toks = track_cache(
+        docs.select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
         )
-        .cast("long")
-        .alias("n_tokens"),
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
     )
     # Within-shard running sum (shard-keyed window: bounded partitions).
     w_in = (
@@ -818,24 +843,13 @@ def q_dedup_throttle(spark, sf_dir):
     "attribution viable on an unbounded stream.",
 )
 def q_streaming_join_clicks(spark, sf_dir):
-    import uuid
-
-    from ..streaming.pipelines import stream_stream_join
-    from ..streaming.tuning import state_partitions
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from ..streaming.pipelines import (
+        drain_to_memory,
+        stream_events,
+        stream_stream_join,
     )
-    df = raw
-    if dict(raw.dtypes).get("ts") == "bigint":
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    df = stream_events(spark, sf_dir)
     purchases = df.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
@@ -848,17 +862,7 @@ def q_streaming_join_clicks(spark, sf_dir):
         purchases, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
         watermark="1 hour", within="15 minutes",
     ).select("purchase_id", "click_id")
-    name = f"sjoin_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    return drain_to_memory(spark, joined, "sjoin", "append")
 
 
 # ===========================================================================
@@ -885,12 +889,13 @@ _COVER_MIN = 30  # each event opens a 30-minute activity interval
                                          ORDER BY s, event_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING) IS NULL
-                    THEN 1 ELSE 0 END AS new_island
+                    THEN 1 ELSE 0 END AS new_island,
+               event_id
         FROM iv
     ), islands AS (
         SELECT user_id, s, e,
                sum(new_island) OVER (PARTITION BY user_id
-                                     ORDER BY s, e
+                                     ORDER BY s, event_id
                                      ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     ), merged AS (
@@ -932,9 +937,12 @@ def q_interval_union_time(spark, sf_dir):
             F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
         ).cast("int"),
     )
+    # Same (s, event_id) TOTAL order as the flag window: ordering the
+    # running sum by the non-unique (s, e) would let a tied row land
+    # before its own flag and join the previous island.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.withColumn("island", F.sum("new_island").over(w_run))

@@ -14,7 +14,6 @@ from ..operators.asof import asof_join
 from ..operators.dedup import dedup_keep_last
 from ..operators.time_ops import week_anchor_offset
 from ..pipelines.jobsearch import KNOWN_STATUSES, classify_status
-from ..streaming.tuning import state_partitions
 from .catalog import davg, dsum, load, register, sql_davg, sql_dsum
 
 
@@ -440,26 +439,10 @@ _PEAK_MIN = "(hour(ts) * 60 + minute(ts)) > 390 AND (hour(ts) * 60 + minute(ts))
     "oracle — stream/batch parity, oracle-checked.",
 )
 def q_streaming_bucket_15min(spark, sf_dir):
-    import uuid
-
     from ..operators.time_ops import peak_category
+    from ..streaming.pipelines import drain_to_memory, stream_events
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Watermarks require TIMESTAMP (not NTZ); see plans/catalog.py:load.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    # File stream sources take a directory; pathGlobFilter narrows the
-    # listing to the events table.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    df = raw
-    if dict(raw.dtypes).get("ts") == "bigint":
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = stream_events(spark, sf_dir)
     shifted = F.col("ts") - F.expr("INTERVAL 1 MINUTE")
     agg = (
         df.withWatermark("ts", "1 hour")
@@ -476,17 +459,7 @@ def q_streaming_bucket_15min(spark, sf_dir):
         )
         .select(F.col("w.start").alias("bucket"), "n_events", "p_value", "op_value")
     )
-    name = f"sbucket_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    return drain_to_memory(spark, agg, "sbucket", "complete")
 
 
 @register(

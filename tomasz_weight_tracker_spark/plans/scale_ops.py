@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from ..operators import sketches as SK
 from ..operators.layout import sql_zorder_key, zorder_key
-from ..streaming.tuning import state_partitions
 from .catalog import load, register
 
 # --- HyperLogLog vs exact --------------------------------------------------
@@ -1158,21 +1157,9 @@ def q_conversion_funnel(spark, sf_dir):
     "state is O(keys), independent of stream length.",
 )
 def q_streaming_stateful_counts(spark, sf_dir):
-    import uuid
+    from ..streaming.pipelines import drain_to_memory, stream_events
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    df = raw
-    if dict(raw.dtypes).get("ts") == "bigint":
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = stream_events(spark, sf_dir)
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -1194,26 +1181,13 @@ def q_streaming_stateful_counts(spark, sf_dir):
             timeoutConf="NoTimeout",
         )
     )
-    name = f"sstate_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark):
-        q = (
-            counted.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    table = drain_to_memory(spark, counted, "sstate", "update")
     # Update-mode emits one row per key PER MICRO-BATCH that touched
     # the key.  The running counter is monotone, so keep-last-per-key
     # is exactly max(n_events): correct for the single-file replay
     # (no-op) AND for any multi-batch replay (keeps each key's final
     # count), instead of relying on the one-file/one-batch layout.
-    return (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
-    )
+    return table.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 # --- streaming sessionization ----------------------------------------------
@@ -1248,35 +1222,15 @@ def q_streaming_stateful_counts(spark, sf_dir):
     "the watermark horizon at scale.",
 )
 def q_streaming_sessionize(spark, sf_dir):
-    import uuid
-
-    from ..streaming.pipelines import stream_sessionize
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from ..streaming.pipelines import (
+        drain_to_memory,
+        stream_events,
+        stream_sessionize,
     )
-    df = raw
-    if dict(raw.dtypes).get("ts") == "bigint":
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    df = stream_events(spark, sf_dir)
     sess = stream_sessionize(df).select("user_id", "session_start", "n_events")
-    name = f"ssess_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark):
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    return drain_to_memory(spark, sess, "ssess", "complete")
 
 
 # --- streaming dedup -------------------------------------------------------
@@ -1295,37 +1249,15 @@ def q_streaming_sessionize(spark, sf_dir):
     "for windows, applied to dedup).",
 )
 def q_streaming_dedup_events(spark, sf_dir):
-    import uuid
+    from ..streaming.pipelines import drain_to_memory, stream_events
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    df = raw
-    if dict(raw.dtypes).get("ts") == "bigint":
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = stream_events(spark, sf_dir)
     deduped = (
         df.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name)
+    return drain_to_memory(spark, deduped, "sdedup", "append")
 
 
 # --- heavy hitters (sample -> CMS -> exact verify) --------------------------

@@ -240,3 +240,67 @@ def stream_upsert(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the gate's events table, value-identical
+    to the batch ``plans.catalog.load`` view of it.
+
+    One definition instead of a per-query copy: the schema sniff, the
+    ``pathGlobFilter`` narrowing, and the TIMESTAMP(NANOS)-as-bigint
+    conversion (ns->us truncation by integer division — the same rule
+    ``load`` applies, so stream and batch/oracle see identical values)
+    live here.  A change to the events encoding is a one-place edit.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    timeout_sec: float = 300,
+    partitions: int = 8,
+) -> DataFrame:
+    """Run ``df`` as an availableNow stream into a memory sink and
+    return the drained table.
+
+    - State-store partitioning is sized via
+      :func:`..streaming.tuning.state_partitions` (``partitions``).
+    - ``awaitTermination``'s return value is CHECKED: on timeout the
+      query is stopped and we raise, instead of returning a silently
+      truncated memory table as if it were the result.
+    """
+    import uuid
+
+    from .tuning import state_partitions
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain '{prefix}' did not finish within "
+                f"{timeout_sec}s; refusing to return a partial result"
+            )
+    return spark.table(name)

@@ -2,9 +2,19 @@
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# spark.sql.shuffle.partitions is SESSION-global: two threads
+# save/set/restore-ing it concurrently can strand the session on the
+# small value (A saves 32, B saves A's 8, B restores 8 last).  The
+# engine's contract allows one session to serve parallel threads
+# (tests/test_concurrency.py), so the mutate-drain-restore must be a
+# critical section.  Streams drained here are short gate replays;
+# serializing them is the cost of not corrupting batch partitioning.
+_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -34,9 +44,10 @@ def state_partitions(spark: SparkSession, n: int = 8):
     semantics described above.
     """
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _CONF_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
