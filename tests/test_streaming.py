@@ -321,3 +321,171 @@ class TestDedupStateRecovery:
         ).write.mode("append").parquet(src)
         run_once()
         assert sorted(k for (k,) in emitted) == [1, 2, 3]
+
+
+class TestTransformWithState:
+    def test_tws_user_stats_matches_batch(self, spark):
+        """transformWithStateInPandas replay == batch GROUP BY.  Skipped
+        where the API's protobuf dependency is absent (this container's
+        google.protobuf is broken); the processor/plumbing is still
+        imported and constructed so regressions in the non-server parts
+        surface everywhere."""
+        import pytest as _pytest
+
+        from tomasz_weight_tracker_spark.streaming.pipelines import (
+            drain_to_memory,
+            stream_events,
+            tws_user_stats,
+        )
+
+        sf_small = "/root/testdata/sf0.001"
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            # Construction exercises the API surface even without a run.
+            df = stream_events(spark, sf_small).select(
+                "user_id", "ts", F.floor(F.col("value") * 1e6).alias("qv")
+            ).withWatermark("ts", "1 hour")
+            assert tws_user_stats(df).isStreaming
+            _pytest.skip("protobuf unavailable: transformWithState server cannot start")
+        prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            df = stream_events(spark, sf_small)
+            q = (
+                df.filter(F.col("value").isNotNull())
+                .select("user_id", "ts", F.floor(F.col("value") * 1e6).alias("qv"))
+                .withWatermark("ts", "1 hour")
+            )
+            table = drain_to_memory(spark, tws_user_stats(q), "stws", "update")
+            got = {
+                r.user_id: (r.n_events, r.max_qv)
+                for r in table.groupBy("user_id")
+                .agg(F.max("n_events").alias("n_events"), F.max("max_qv").alias("max_qv"))
+                .collect()
+            }
+            from tomasz_weight_tracker_spark.plans.catalog import load
+
+            want = {
+                r.user_id: (r.n, r.mx)
+                for r in load(spark, sf_small, "events")
+                .filter(F.col("value").isNotNull())
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.floor(F.col("value") * 1e6)).alias("mx"),
+                )
+                .collect()
+            }
+            assert got == want
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+class TestMultiBatchReplay:
+    """The gate replays are single-file (one micro-batch), so state
+    merge across batches never fires there.  This replays a 4-file
+    split of the events table with maxFilesPerTrigger=1 — four real
+    micro-batches through the SAME operators — and checks the drained
+    results still equal the batch semantics the oracles encode."""
+
+    def _split_events(self, spark, tmp_path, n_files=4):
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        out = str(tmp_path / "evsplit")
+        # Time-ordered files so watermarks advance monotonically
+        # between batches (the realistic replay of an append log).
+        from pyspark.sql import Window
+
+        ev.withColumn(
+            "__f", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+        ).repartition(1).sortWithinPartitions("ts").write.partitionBy(
+            "__f"
+        ).parquet(out)
+        return ev, out
+
+    def test_stateful_counts_across_batches(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.streaming.pipelines import drain_to_memory
+
+        ev, out = self._split_events(spark, tmp_path)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            (n,) = state.get if state.exists else (0,)
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame([{"user_id": key[0], "n_events": n}])
+
+        counted = (
+            stream.withWatermark("ts", "10 hours")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+        table = drain_to_memory(spark, counted, "mb_counts", "update")
+        # Update mode emits one row per touched key per BATCH — the
+        # multi-batch case the keep-last max-agg exists for.
+        emitted = table.groupBy("user_id").count()
+        assert emitted.filter("count > 1").count() > 0, (
+            "expected multiple micro-batches to emit repeated keys; "
+            "the split produced a single batch"
+        )
+        got = {
+            r.user_id: r.n_events
+            for r in table.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+        want = {
+            r.user_id: r.n
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+
+    def test_streaming_dedup_across_batches(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.streaming.pipelines import drain_to_memory
+
+        ev, out = self._split_events(spark, tmp_path)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+        )
+        deduped = (
+            stream.withWatermark("ts", "10 hours")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        table = drain_to_memory(spark, deduped, "mb_dedup", "append")
+        got = {(r.user_id, r.event_type) for r in table.collect()}
+        want = {
+            (r.user_id, r.event_type)
+            for r in ev.select("user_id", "event_type").distinct().collect()
+        }
+        # Dedup state carried across batches: a key seen in batch 1
+        # must NOT re-emit in batch 3, and nothing may be lost.
+        assert got == want
+        assert table.count() == len(want)

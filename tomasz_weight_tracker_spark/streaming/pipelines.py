@@ -304,3 +304,58 @@ def drain_to_memory(
                 f"{timeout_sec}s; refusing to return a partial result"
             )
     return spark.table(name)
+
+
+def tws_user_stats(df: DataFrame) -> DataFrame:
+    """Per-user (count, running max) via Spark 4's
+    ``transformWithStateInPandas`` — the successor arbitrary-state API
+    to ``applyInPandasWithState`` (:func:`stream_running_stats`), with
+    typed state handles, timers, and the RocksDB state store.
+
+    ENVIRONMENT GATE: the API's Python-side state server requires the
+    ``protobuf`` package; where it is absent (this container ships a
+    broken ``google.protobuf``), starting the stream raises
+    ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``.  The plumbing
+    here — processor, state schema, quantized integer outputs, update
+    semantics — is real and tested where the dependency exists
+    (``tests/test_streaming.py`` skips otherwise).  Callers must set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider, which transformWithState requires.
+
+    ``df`` must carry ``user_id``, a watermarked ``ts``, and an
+    integer-quantized ``qv`` column (floats stay out of the Python
+    state path so replays are hash-exact).  Both state fields are
+    monotone, so keep-last-per-key under update-mode replay is a
+    max-aggregate over the drained table.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", "n BIGINT, mx BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = int(pdf["qv"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                [{"user_id": int(key[0]), "n_events": n, "max_qv": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id long, n_events long, max_qv long",
+        outputMode="Update",
+        timeMode="None",
+    )
