@@ -468,3 +468,53 @@ class TestReviewRegressions:
         df = stream_events(spark, SF).select("event_id")
         with _pytest.raises(RuntimeError, match="did not finish"):
             drain_to_memory(spark, df, "t_timeout", "append", timeout_sec=0.001)
+
+
+class TestDocChunking:
+    def test_chunks_tile_with_overlap(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _CHUNK_LEN,
+            _CHUNK_STRIDE,
+            q_doc_chunking,
+        )
+
+        text = "x" * 700  # -> offsets 0,192,384,576 (4 chunks)
+        rows = [(1, text, "en", "s", len(text)), (2, "", "en", "s", 0)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = str(tmp_path / "docs")
+        df.write.parquet(path + "/documents.parquet")
+        out = sorted(
+            q_doc_chunking(spark, path).collect(), key=lambda r: (r.doc_id, r.chunk_idx)
+        )
+        doc1 = [r for r in out if r.doc_id == 1]
+        assert [r.chunk_idx for r in doc1] == [0, 1, 2, 3]
+        # Full chunks except the tail; consecutive chunks overlap.
+        assert [r.chunk_len for r in doc1] == [256, 256, 256, 700 - 3 * _CHUNK_STRIDE]
+        assert _CHUNK_LEN - _CHUNK_STRIDE == 64
+        # Coverage: every char position is inside >= 1 chunk.
+        covered = set()
+        for r in doc1:
+            start = r.chunk_idx * _CHUNK_STRIDE
+            covered.update(range(start, start + r.chunk_len))
+        assert covered == set(range(700))
+        # Empty doc still yields exactly one (empty) chunk — total fn.
+        doc2 = [r for r in out if r.doc_id == 2]
+        assert len(doc2) == 1 and doc2[0].chunk_len == 0
+
+
+class TestSourceRebalance:
+    def test_kept_counts_approach_uniform_target(self, spark):
+        from tomasz_weight_tracker_spark.plans.advanced import q_source_rebalance
+
+        rows = q_source_rebalance(spark, SF).collect()
+        per_source = min(r.n_total for r in rows)
+        for r in rows:
+            assert r.n_kept <= r.n_total
+            # Hash thresholding is binomial around the target rate;
+            # allow 30% relative slack at sf0.001 sizes.
+            assert abs(r.n_kept - per_source) <= max(10, 0.3 * per_source)
+        # The smallest source keeps everything (rate 1.0 exactly).
+        smallest = min(rows, key=lambda r: r.n_total)
+        assert smallest.n_kept == smallest.n_total

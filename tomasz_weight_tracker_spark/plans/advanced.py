@@ -957,3 +957,133 @@ def q_interval_union_time(spark, sf_dir):
             "sum(unix_micros(island_end) - unix_micros(island_start)) div 60000000"
         ).alias("covered_minutes"),
     )
+
+
+# ===========================================================================
+# Document chunking with overlap (RAG / pretraining prep)
+# ===========================================================================
+
+_CHUNK_LEN = 256  # chars per chunk
+_CHUNK_STRIDE = 192  # stride < len => 64-char overlap
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH spans AS (
+        SELECT doc_id, n_chars,
+               unnest(range(0, greatest(n_chars - {_CHUNK_LEN} + {_CHUNK_STRIDE},
+                                        1)::BIGINT, {_CHUNK_STRIDE})) AS off
+        FROM (SELECT doc_id, length(text) AS n_chars FROM documents)
+    )
+    SELECT s.doc_id, (s.off // {_CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           substr(d.text, (s.off + 1)::INTEGER, {_CHUNK_LEN}) AS chunk,
+           length(substr(d.text, (s.off + 1)::INTEGER, {_CHUNK_LEN}))::BIGINT
+               AS chunk_len
+    FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+    survey_ids=("T4", "G2"),
+    doc=f"Overlapping document chunking ({_CHUNK_LEN}-char windows, "
+    f"{_CHUNK_STRIDE}-char stride = {_CHUNK_LEN - _CHUNK_STRIDE} chars "
+    "of overlap): the RAG/pretraining prep step that turns long "
+    "documents into model-sized passages without losing sentences at "
+    "the boundaries.  Pure per-row explode(sequence) + substring — no "
+    "shuffle at all; chunk count scales with document length over "
+    "stride, never with corpus size, and the explode is the same "
+    "bounded-sequence pattern as the electricity minute grid (T4).  "
+    "Every document yields at least one chunk (empty docs included), "
+    "so the chunker is total — no silent drops.",
+)
+def q_doc_chunking(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.length("text") - F.lit(_CHUNK_LEN) + F.lit(_CHUNK_STRIDE) - 1,
+                    F.lit(0),
+                ),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("off"),
+    )
+    return spans.select(
+        "doc_id",
+        F.expr(f"off div {_CHUNK_STRIDE}").alias("chunk_idx"),
+        F.expr(f"substring(text, off + 1, {_CHUNK_LEN})").alias("chunk"),
+        F.length(F.expr(f"substring(text, off + 1, {_CHUNK_LEN})"))
+        .cast("long")
+        .alias("chunk_len"),
+    )
+
+
+# ===========================================================================
+# Mixture rebalancing (sample sources toward target proportions)
+# ===========================================================================
+
+# Target mixture: cap every source at the share of the SMALLEST
+# source (uniform mixture), the common pretraining rebalance.  The
+# acceptance rate per source derives from observed counts, and the
+# per-row accept decision is an md5 threshold — deterministic,
+# append-stable, engine-portable.
+
+
+@register(
+    "source_rebalance",
+    f"""
+    WITH counts AS (
+        SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+    ), target AS (
+        SELECT min(n) AS per_source FROM counts
+    ), decided AS (
+        SELECT d.source,
+               ({md5_long_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+                < (t.per_source * 1000000) // c.n) AS keep
+        FROM documents d
+        JOIN counts c ON d.source = c.source
+        CROSS JOIN target t
+    )
+    SELECT source, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM decided GROUP BY source
+    """,
+    survey_ids=("A1", "G5"),
+    doc="Mixture rebalancing: sample each source down toward the "
+    "smallest source's share (uniform target mixture) — the "
+    "pretraining-mix control knob.  Acceptance rate per source = "
+    "target/observed in exact integer arithmetic (parts-per-million "
+    "threshold); the per-row decision hashes the doc id, so the "
+    "sample is deterministic, append-stable, and identical across "
+    "engines and retries.  Plan: one tiny counts aggregate broadcast "
+    "back to the corpus — the corpus itself never shuffles.  "
+    "(Output is the per-source kept/total audit; the kept ROWS are "
+    "the same frame without the final aggregate.)",
+)
+def q_source_rebalance(spark, sf_dir):
+    from ..caching import track_cache
+    from ..functions import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    counts = track_cache(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
+    target = counts.agg(F.min("n").alias("per_source"))
+    decided = (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "source",
+            (
+                md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+                % 1_000_000
+                < F.expr("(per_source * 1000000) div n")
+            ).alias("keep"),
+        )
+    )
+    return decided.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+    )
