@@ -518,3 +518,32 @@ class TestSourceRebalance:
         # The smallest source keeps everything (rate 1.0 exactly).
         smallest = min(rows, key=lambda r: r.n_total)
         assert smallest.n_kept == smallest.n_total
+
+
+class TestBitmapRolling:
+    def test_trailing_window_carries_silent_words(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            q_bitmap_rolling_users_7d,
+        )
+
+        # user 100 appears only on day 1; user 1 on days 1 and 3.
+        # Day 3's 7-day window must still count user 100 (whose word is
+        # silent on day 3) — the dense-grid property.
+        d = datetime.datetime
+        rows = [
+            (1, 1, d(2024, 1, 1, 9), "a", 0.0, ""),
+            (2, 100, d(2024, 1, 1, 10), "a", 0.0, ""),
+            (3, 1, d(2024, 1, 3, 9), "a", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path + "/events.parquet")
+        out = {
+            str(r.day): r.n_users_7d
+            for r in q_bitmap_rolling_users_7d(spark, path).collect()
+        }
+        assert out == {"2024-01-01": 2, "2024-01-03": 2}

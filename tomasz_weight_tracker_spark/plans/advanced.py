@@ -1087,3 +1087,61 @@ def q_source_rebalance(spark, sf_dir):
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+# ===========================================================================
+# Rolling EXACT distinct via bitmap merge (windowable COUNT DISTINCT)
+# ===========================================================================
+
+
+@register(
+    "bitmap_rolling_users_7d",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS ed, user_id FROM events)
+    SELECT days.day, count(DISTINCT user_id)::BIGINT AS n_users_7d
+    FROM days JOIN pairs
+      ON datediff('day', pairs.ed, days.day) BETWEEN 0 AND 6
+    GROUP BY days.day
+    """,
+    survey_ids=("A3", "W3"),
+    doc="Rolling 7-day EXACT distinct users per day via bitmap merge: "
+    "daily (word, bits) bitmaps -> dense day x word grid -> per-word "
+    "trailing-range bit_or window -> per-day popcount sum.  The "
+    "companion to hll_rolling_users_7d with the same decomposition "
+    "trick (bit_or, like register max, IS window-mergeable even "
+    "though COUNT DISTINCT is not) but zero error, applicable when "
+    "ids are dense integers: the window slides over "
+    "|id-domain|/64-word state per day instead of re-touching every "
+    "event 7x, and the oracle is the plain rolling COUNT(DISTINCT) "
+    "it must equal.",
+)
+def q_bitmap_rolling_users_7d(spark, sf_dir):
+    from ..caching import track_cache
+
+    ev = load(spark, sf_dir, "events")
+    base = track_cache(
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.expr("shiftright(user_id, 6)").alias("word"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").alias("bit"),
+        )
+    )
+    daily = base.groupBy("day", "word").agg(F.expr("bit_or(bit)").alias("bits"))
+    days = base.select("day").distinct()
+    words = base.select("word").distinct()
+    # Dense grid: a word silent on day d must still carry its trailing
+    # bits into d's window (same shape as the HLL register grid).
+    grid = days.crossJoin(F.broadcast(words))
+    joined = grid.join(daily, ["day", "word"], "left")
+    w = (
+        Window.partitionBy("word")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    rolled = joined.withColumn("bits7", F.expr("bit_or(bits)").over(w))
+    return rolled.groupBy("day").agg(
+        F.sum(F.coalesce(F.bit_count("bits7"), F.lit(0)))
+        .cast("long")
+        .alias("n_users_7d")
+    )
