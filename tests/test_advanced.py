@@ -547,3 +547,24 @@ class TestBitmapRolling:
             for r in q_bitmap_rolling_users_7d(spark, path).collect()
         }
         assert out == {"2024-01-01": 2, "2024-01-03": 2}
+
+
+class TestDocNovelty:
+    def test_unique_vs_boilerplate(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import q_doc_novelty
+
+        shared = "abcdefghij" * 6  # 60 chars shared verbatim
+        rows = [
+            (1, shared, "en", "s", 60),
+            (2, shared, "en", "s", 60),  # exact clone: novelty 0
+            (3, "zq1x7vw93kpl2m48yt60ahrd5", "en", "s", 25),  # all-unique
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = str(tmp_path / "docs")
+        df.write.parquet(path + "/documents.parquet")
+        out = {r.doc_id: r for r in q_doc_novelty(spark, path).collect()}
+        assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+        assert out[3].novelty == 1.0
+        assert out[3].n_shingles == out[3].n_unique == 25 - 4

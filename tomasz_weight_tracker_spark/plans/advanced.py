@@ -1145,3 +1145,78 @@ def q_bitmap_rolling_users_7d(spark, sf_dir):
         .cast("long")
         .alias("n_users_7d")
     )
+
+
+# ===========================================================================
+# Document novelty (corpus-diversity contribution scoring)
+# ===========================================================================
+
+
+@register(
+    "doc_novelty",
+    r"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 5
+                  THEN list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i::INT, 5)))
+                  ELSE [t] END AS sh
+      FROM n
+    ),
+    pairs AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    df AS (SELECT g, count(*)::BIGINT AS df FROM pairs GROUP BY g)
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           (sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT
+                / count(*)::BIGINT) AS novelty
+    FROM pairs p JOIN df ON p.g = df.g
+    GROUP BY p.doc_id
+    """,
+    survey_ids=("A7", "A1"),
+    doc="Document novelty scoring: the fraction of a doc's distinct "
+    "5-gram shingles that appear NOWHERE else in the corpus — the "
+    "diversity-contribution metric curation uses to keep the long "
+    "tail that dedup thresholds would miss (novelty ~0 means the doc "
+    "is assembled from boilerplate even if no single document "
+    "near-matches it).  Shingles dedupe inside the row, the df "
+    "aggregate map-side combines on the shingle key, and the join "
+    "back ships only (shingle, df) — two keyed shuffles regardless "
+    "of corpus size.  The ratio divides two exact BIGINTs, so the "
+    "double is bit-identical across engines.",
+)
+def q_doc_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("__t"),
+    )
+    t = F.col("__t")
+    sh = F.when(
+        F.length(t) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 4),
+                lambda i: t.substr(i, F.lit(5)),
+            )
+        ),
+    ).otherwise(F.array(t))
+    pairs = d.select("doc_id", F.explode(sh).alias("g"))
+    df_counts = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pairs.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
