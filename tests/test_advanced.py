@@ -568,3 +568,33 @@ class TestDocNovelty:
         assert out[1].novelty == 0.0 and out[2].novelty == 0.0
         assert out[3].novelty == 1.0
         assert out[3].n_shingles == out[3].n_unique == 25 - 4
+
+
+class TestEmptyInputs:
+    """Every advanced query must run (not crash) on EMPTY tables — the
+    day-one state of any incremental pipeline."""
+
+    def test_all_advanced_queries_tolerate_empty_tables(self, spark, tmp_path):
+        import tomasz_weight_tracker_spark.plans.advanced as A
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        src = "/root/testdata/sf0.001"
+        path = str(tmp_path / "empty")
+        for table in ("events", "documents", "orders", "lineitem"):
+            load(spark, src, table).limit(0).write.parquet(
+                f"{path}/{table}.parquet"
+            )
+        advanced_queries = [
+            n
+            for n, q in REGISTRY.items()
+            if q.build.__module__ == A.__name__ and not n.startswith("streaming_")
+        ]
+        assert len(advanced_queries) >= 14
+        for name in advanced_queries:
+            rows = REGISTRY[name].build(spark, path).collect()
+            if name == "graph_triangle_stats":
+                # Scalar-aggregate query: one row of zeros/NULLs.
+                assert len(rows) == 1 and rows[0].n_edges == 0
+            else:
+                assert rows == [], f"{name} emitted rows from empty input"

@@ -1220,3 +1220,143 @@ def q_doc_novelty(spark, sf_dir):
             (F.col("n_unique") / F.col("n_shingles")).alias("novelty"),
         )
     )
+
+
+# ===========================================================================
+# Equi-width histogram (profiling primitive)
+# ===========================================================================
+
+_HIST_BINS = 20
+
+
+@register(
+    "value_histogram",
+    f"""
+    WITH ext AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           least(floor(((e.value - x.lo) * {_HIST_BINS}.0) / (x.hi - x.lo)),
+                 {_HIST_BINS - 1}.0)::BIGINT AS bin,
+           count(*)::BIGINT AS n
+    FROM events e JOIN ext x ON e.event_type = x.event_type
+    WHERE e.value IS NOT NULL AND x.hi > x.lo
+    GROUP BY 1, 2
+    """,
+    survey_ids=("A1", "A8"),
+    doc=f"Equi-width histogram ({_HIST_BINS} bins per event type): the "
+    "two-pass profiling primitive — a tiny per-group min/max "
+    "aggregate broadcasts back and every row bins itself with pure "
+    "IEEE arithmetic (identical across engines; the max value clamps "
+    "into the last bin).  Complements the equi-DEPTH value_deciles: "
+    "deciles need a per-group sort, histograms only the broadcast "
+    "and one keyed count — the cheap first look at a distribution "
+    "at 100 TB.  Degenerate groups (hi == lo) are excluded rather "
+    "than divided by zero.",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    joined = ev.join(F.broadcast(ext), "event_type").filter(F.col("hi") > F.col("lo"))
+    bin_col = F.least(
+        F.floor(((F.col("value") - F.col("lo")) * F.lit(float(_HIST_BINS))) / (F.col("hi") - F.col("lo"))),
+        F.lit(float(_HIST_BINS - 1)),
+    ).cast("long")
+    return joined.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# End-to-end pretraining prep (quality gate -> dedup -> chunk -> split)
+# ===========================================================================
+
+
+@register(
+    "pretraining_prep",
+    f"""
+    WITH gated AS (
+        SELECT doc_id, text FROM documents
+        WHERE lang = 'en' AND length(text) >= 64
+    ), keeper AS (
+        SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ), survivors AS (
+        SELECT g.doc_id, g.text FROM gated g JOIN keeper k ON g.doc_id = k.doc_id
+    ), chunks AS (
+        SELECT s.doc_id,
+               length(substr(s.text, (off + 1)::INTEGER, {_CHUNK_LEN}))::BIGINT
+                   AS chunk_len
+        FROM survivors s,
+             unnest(range(0, greatest(length(s.text) - {_CHUNK_LEN}
+                                      + {_CHUNK_STRIDE}, 1)::BIGINT,
+                          {_CHUNK_STRIDE})) AS t(off)
+    ), assigned AS (
+        SELECT doc_id, chunk_len,
+               CASE WHEN {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train'
+                    WHEN {md5_long_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'val' ELSE 'test' END AS split
+        FROM chunks
+    )
+    SELECT split, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_chunks,
+           sum(chunk_len)::BIGINT AS sum_chunk_chars
+    FROM assigned GROUP BY split
+    """,
+    survey_ids=("A6", "A7", "T4", "A1"),
+    doc="The end-to-end pretraining-prep pipeline as ONE lazy plan: "
+    "quality gate (language + length) -> exact dedup (min doc per "
+    "text hash) -> overlapping chunking -> doc-keyed train/val/test "
+    "split -> per-split audit counts.  Composition is the point: "
+    "each stage is an operator the catalog verifies in isolation "
+    "(doc_quality, exact_dedup, doc_chunking, dataset_split), and "
+    "chaining them stays a single Catalyst plan — the gate's filter "
+    "pushes below the dedup aggregate, the chunk explode runs on "
+    "survivors only, and the split needs no shuffle at all.  Two "
+    "keyed shuffles end to end (dedup hash, final audit), however "
+    "long the pipeline reads.",
+)
+def q_pretraining_prep(spark, sf_dir):
+    from ..functions import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (F.col("lang") == "en") & (F.length("text") >= 64)
+    ).select("doc_id", "text")
+    keeper = gated.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keeper.select("doc_id"), "doc_id")
+    chunks = survivors.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.length("text") - F.lit(_CHUNK_LEN) + F.lit(_CHUNK_STRIDE) - 1,
+                    F.lit(0),
+                ),
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("off"),
+        "text",
+    ).select(
+        "doc_id",
+        F.length(F.expr(f"substring(text, off + 1, {_CHUNK_LEN})"))
+        .cast("long")
+        .alias("chunk_len"),
+    )
+    bucket = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    assigned = chunks.select(
+        "doc_id",
+        "chunk_len",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("sum_chunk_chars"),
+    )
