@@ -1360,3 +1360,75 @@ def q_pretraining_prep(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_len").alias("sum_chunk_chars"),
     )
+
+
+# ===========================================================================
+# Table profiling (per-column statistics in one pass)
+# ===========================================================================
+
+
+@register(
+    "table_profile_orders",
+    """
+    SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*)::BIGINT,
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*)::BIGINT,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT,
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    survey_ids=("A8", "A9"),
+    doc="Table profiling (the describe()/summary() primitive with "
+    "EXACT statistics): per column — row count, null count, distinct "
+    "count, min, max — computed in ONE scan via a multi-aggregate "
+    "projection that unpivots to a row per column (the SQL oracle's "
+    "UNION ALL re-scans per column; Catalyst computes all aggregates "
+    "in a single pass, which is the point at 100 TB).  min/max of "
+    "strings compare binary in both engines (safe on ASCII; "
+    "collation-sensitive data needs an explicit collation key).  "
+    "Distinct counts are exact (the expensive honest version — the "
+    "approx_count_distinct profile is a one-word swap).",
+)
+def q_table_profile_orders(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            # min/max in the column's NATIVE order, cast after — a
+            # string-cast before the aggregate would order "999" above
+            # "1499".
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    # Unpivot the single wide row into one row per column.
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_v, max_v)"
+        )
+    )
