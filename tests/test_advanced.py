@@ -598,3 +598,33 @@ class TestEmptyInputs:
                 assert len(rows) == 1 and rows[0].n_edges == 0
             else:
                 assert rows == [], f"{name} emitted rows from empty input"
+
+
+class TestSensorFoldSparseGrid:
+    def test_conflict_columns_exist_on_short_span(self, spark, tmp_path):
+        """Events spanning <12 hours used to produce a grid with no
+        h%12==0 / h%15==0 hour, so the data-dependent conflict columns
+        never materialized on the Spark side while the oracle
+        hard-codes them (spurious schema mismatch).  The anchor hours
+        guarantee both columns for ANY grid."""
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        d = datetime.datetime
+        # Five events inside one afternoon: hours h with h%12 in 13..17.
+        rows = [
+            (i, 1, d(2024, 3, 5, 13 + i), "a", 0.0, "") for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp, event_type string, "
+            "value double, props string",
+        )
+        path = str(tmp_path / "ev")
+        df.write.parquet(path + "/events.parquet")
+        out = REGISTRY["sensor_merge_fold"].build(spark, path)
+        assert "!A! temp" in out.columns and "!B! humidity" in out.columns
+        rows_out = out.collect()
+        # Anchor rows themselves carry the conflicts.
+        a_vals = [r["!A! temp"] for r in rows_out if r["!A! temp"] is not None]
+        b_vals = [r["!B! humidity"] for r in rows_out if r["!B! humidity"] is not None]
+        assert a_vals and b_vals

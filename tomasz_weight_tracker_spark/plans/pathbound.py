@@ -49,9 +49,17 @@ from .catalog import load, register
 # '!B! humidity' — the conflict columns materialize via merge_step's
 # probe aggregation, so this query exercises the data-dependent-schema
 # machinery end to end.
+# Two ANCHOR hours (epoch hours 0 and 60) are unioned into the grid on
+# BOTH sides: 0%12==0 forces the temp conflict and 60%15==0 the
+# humidity conflict, so the data-dependent columns exist for ANY
+# events grid — without them, data spanning <12 hours would make the
+# Spark side prune a column the oracle hard-codes (schema mismatch on
+# a correct result).
 
 _SENSOR_ORACLE = """
-WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS t FROM events),
+WITH hrs AS (SELECT DISTINCT date_trunc('hour', ts) AS t FROM events
+             UNION SELECT TIMESTAMP '1970-01-01 00:00:00'
+             UNION SELECT TIMESTAMP '1970-01-03 12:00:00'),
 hh AS (SELECT t, (epoch(t)::BIGINT // 3600) AS h FROM hrs),
 f0 AS (SELECT t AS ts0, (h % 97)::DOUBLE AS temp0 FROM hh WHERE h % 2 = 0),
 f1 AS (SELECT t AS ts1,
@@ -96,9 +104,22 @@ FROM m2
     "Oracle replays the same fold as a DuckDB full-outer-join chain.",
 )
 def q_sensor_merge_fold(spark, sf_dir):
+    from ..caching import track_cache
+
     ev = load(spark, sf_dir, "events")
-    hours = ev.select(F.date_trunc("hour", F.col("ts")).alias("Timestamp")).distinct()
-    hh = hours.withColumn("__h", F.expr("unix_timestamp(Timestamp) div 3600"))
+    anchors = spark.createDataFrame(
+        [(0,), (216000,)], "s long"
+    ).select(F.timestamp_seconds("s").alias("Timestamp"))
+    hours = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("Timestamp"))
+        .union(anchors)
+        .distinct()
+    )
+    # The grid feeds f0/f1/f2 AND merge_step's probe actions — cache it
+    # or every probe re-runs the events scan + distinct.
+    hh = track_cache(
+        hours.withColumn("__h", F.expr("unix_timestamp(Timestamp) div 3600"))
+    )
     h = F.col("__h")
     f0 = hh.filter(h % 2 == 0).select(
         "Timestamp", (h % 97).cast("double").alias("temp")
@@ -118,7 +139,7 @@ def q_sensor_merge_fold(spark, sf_dir):
 
 
 # ===========================================================================
-# W1/F1: weight-txt parse (G1/G2 + the 3-line blob contract)
+# W1/F1: weight-txt parse (G1/G2 + the min-3-line rejection contract)
 # ===========================================================================
 
 _DAY_NAMES = [
@@ -166,7 +187,8 @@ FROM rows_
     _WEIGHT_ORACLE,
     survey_ids=("F1", "G1", "G2"),
     doc="The W1 native array-expression blob parser run on generated "
-    "3-line scale-app exports (one per event row): header split, "
+    "six-line scale-app exports (one per event row; the reference's "
+    "format requires a >=3-line minimum): header split, "
     "EAV explode, kg/%-unit stripping, info-token split, and the "
     "two rejection rules (<3 lines, missing 'Time:'). Oracle "
     "recomputes the EAV rows closed-form.",
@@ -326,7 +348,7 @@ def q_block_capture(spark, sf_dir):
         html,
     )
     path = F.when(
-        h % 97 == 0, F.concat(F.lit("undated_snap_h.mhtml"))
+        h % 97 == 0, F.lit("undated_snap.mhtml")
     ).otherwise(
         F.concat(F.date_format(F.col("ts"), "yyyyMMdd"), F.lit("_snap_h"), hs, F.lit(".mhtml"))
     )
