@@ -344,3 +344,23 @@ class TestRound4PlanShapes:
         plan = formatted(spark, "inverted_index")
         gen = plan.index("Generate")
         assert "array_distinct" in plan[gen : gen + 2000]
+
+
+class TestEmbedLshPlanShape:
+    def test_embed_lsh_single_join_no_broadcast(self, spark):
+        """Same invariant as the text LSH (whose verify stage once
+        regressed into a corpus-cardinality broadcast): the embedding
+        rides THROUGH the band self-join, so the whole plan is exactly
+        one join with no broadcast anywhere."""
+        import re
+
+        df = REGISTRY["embed_lsh_near_dup"].build(spark, SF)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in optimized.lower(), optimized
+        plan = formatted(spark, "embed_lsh_near_dup")
+        joins = re.findall(
+            r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+        assert len(joins) == 1, f"expected exactly the band self-join, got {joins}"

@@ -700,7 +700,8 @@ def q_embed_quantize(spark, sf_dir):
 @register(
     "fuzzy_name_match",
     """
-    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part
+               WHERE regexp_matches(p_name, '^[ -~]*$')),
     vars AS (
         SELECT DISTINCT name FROM (
             SELECT name FROM names
@@ -724,11 +725,21 @@ def q_embed_quantize(spark, sf_dir):
     "of rows contribute only their distinct strings here; the block "
     "join shuffles once on the block key (AQE-skew-splittable, and "
     "cap-able via the lsh_candidate_pairs max_bucket pattern when the "
-    "name domain is unbounded).  levenshtein is bit-portable (classic "
-    "DP distance, integer result) so the oracle is exact.",
+    "name domain is unbounded).  levenshtein is engine-identical ONLY "
+    "on single-byte text (DuckDB counts bytes, Spark codepoints), so "
+    "the domain is explicitly restricted to printable ASCII in both "
+    "engines and the oracle stays exact.",
 )
 def q_fuzzy_name_match(spark, sf_dir):
-    names = load(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    # Domain restricted to printable-ASCII names: DuckDB's levenshtein
+    # counts BYTES, Spark's counts codepoints — identical only on
+    # single-byte text (a no-op on TPC-H names, a contract elsewhere).
+    names = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike("^[ -~]*$"))
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
     variants = (
         names.union(names.select(F.expr("substring(name, 1, length(name) - 1)").alias("name")))
         .distinct()
@@ -790,7 +801,8 @@ def _emb_band_sql(b: int) -> str:
 @register(
     "embed_lsh_near_dup",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     q AS (SELECT vec_id, emb,
                  list_transform((emb)[1:{_EMB_DIMS}],
                                 x -> floor(x * {_EMB_Q})::BIGINT) AS qv
@@ -817,11 +829,19 @@ def _emb_band_sql(b: int) -> str:
     "each candidate.  Same single-join shape as lsh_near_dup: the "
     "embedding rides THROUGH the band join, no second join and no "
     "corpus-side broadcast.  Integer sign bits make the bucketing "
-    "bit-portable; the cosine fold matches DuckDB evaluation order.",
+    "bit-portable; the cosine fold matches DuckDB evaluation order.  "
+    "Zero-norm vectors are excluded up front (NaN cosine casts "
+    "differently per engine and means nothing).",
 )
 def q_embed_lsh_near_dup(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # Zero vectors are excluded in BOTH engines: their cosine is 0/0,
+    # where Spark's floor(NaN)::long yields 0 but DuckDB's cast raises
+    # — and a NaN "similarity" is meaningless anyway.  The exists()
+    # predicate is exact (no float accumulation).
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.exists("embedding", lambda x: x != 0.0))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     q = e.withColumn(
         "__qv",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import md5_long_sql
 from ..operators import sketches as SK
 from ..operators.layout import sql_zorder_key, zorder_key
 from .catalog import load, register
@@ -1265,16 +1266,15 @@ def q_streaming_dedup_events(spark, sf_dir):
 
 @register(
     "heavy_hitters",
-    f"""
+    """
     WITH cand AS (
         SELECT user_id, count(*)::BIGINT AS sampled_n
         FROM events
-        WHERE ('0x' || substr(md5('hh:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
-              % 16 = 0
+        WHERE {sample} % 16 = 0
         GROUP BY user_id
         HAVING count(*) >= 4
     ), est AS (
-        {{cms}}
+        {cms}
     ), exact AS (
         SELECT e.user_id, count(*)::BIGINT AS n_exact
         FROM events e JOIN cand ON e.user_id = cand.user_id
@@ -1286,14 +1286,10 @@ def q_streaming_dedup_events(spark, sf_dir):
     JOIN est ON cand.user_id = est.key
     JOIN exact ON cand.user_id = exact.user_id
     """.format(
-        cms=SK.sql_cms(
-            "events",
-            "user_id",
-            """SELECT user_id AS key FROM (
-                 SELECT user_id FROM events
-                 WHERE ('0x' || substr(md5('hh:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
-                 GROUP BY user_id HAVING count(*) >= 4)""",
-        )
+        sample=md5_long_sql("'hh:' || CAST(event_id AS VARCHAR)"),
+        # Outer CTEs are visible inside sql_cms's nested WITH, so the
+        # candidate definition lives in ONE place.
+        cms=SK.sql_cms("events", "user_id", "SELECT user_id AS key FROM cand"),
     ),
     survey_ids=("A1", "A8"),
     doc="Bounded-memory heavy hitters, the pattern that replaces a "
