@@ -996,7 +996,10 @@ def q_hash_sample_events(spark, sf_dir):
 @register(
     "doc_edit_distance_pairs",
     """
-    WITH t AS (SELECT doc_id, source, substr(text, 1, 40) AS head FROM documents)
+    WITH t AS (SELECT doc_id, source,
+                      substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 40)
+                          AS head
+               FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.head, b.head)::BIGINT AS edit_dist
     FROM t a JOIN t b
@@ -1006,11 +1009,18 @@ def q_hash_sample_events(spark, sf_dir):
     doc="Edit-distance near-dup verification: Levenshtein over bounded "
     "40-char prefixes within bounded candidate pairs (the O(n*m) DP "
     "must never see full documents or unbounded pairs at scale — "
-    "prefix-block then verify, same shape as the Jaccard verifier).",
+    "prefix-block then verify, same shape as the Jaccard verifier).  "
+    "Prefixes are ASCII-normalized first: DuckDB's levenshtein counts "
+    "bytes, Spark's codepoints, so multibyte text would diverge the "
+    "distances.",
 )
 def q_doc_edit_distance_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", "source", F.substring("text", 1, 40).alias("head"))
+    t = d.select(
+        "doc_id",
+        "source",
+        F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 40).alias("head"),
+    )
     a, b = t.alias("a"), t.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
