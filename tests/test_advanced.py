@@ -628,3 +628,37 @@ class TestSensorFoldSparseGrid:
         a_vals = [r["!A! temp"] for r in rows_out if r["!A! temp"] is not None]
         b_vals = [r["!B! humidity"] for r in rows_out if r["!B! humidity"] is not None]
         assert a_vals and b_vals
+
+
+class TestIncrementalTopkGate:
+    def test_batching_invariance(self, spark):
+        """The monotonicity theorem in practice: ANY batching of the
+        same rows folds to the same top-k state."""
+        import tempfile
+
+        from tomasz_weight_tracker_spark.operators.incremental import (
+            incremental_topk,
+        )
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        ev = (
+            load(spark, SF, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_id", "user_id", "value")
+        )
+
+        def fold(n_batches):
+            with tempfile.TemporaryDirectory() as d:
+                out = None
+                for r in range(n_batches):
+                    out = incremental_topk(
+                        spark,
+                        ev.filter(F.col("event_id") % n_batches == r),
+                        f"{d}/state",
+                        order_col="value",
+                        k=25,
+                        tiebreak_cols=["event_id"],
+                    )
+                return sorted((r.event_id, r.value) for r in out.collect())
+
+        assert fold(1) == fold(3) == fold(5)

@@ -1432,3 +1432,54 @@ def q_table_profile_orders(spark, sf_dir):
             f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_v, max_v)"
         )
     )
+
+
+# ===========================================================================
+# Incremental top-k maintenance in the gate (3-batch replay)
+# ===========================================================================
+
+_ITK_K = 50
+
+
+@register(
+    "incremental_topk_events",
+    f"""
+    SELECT event_id, user_id, value
+    FROM events WHERE value IS NOT NULL
+    ORDER BY value DESC, event_id
+    LIMIT {_ITK_K}
+    """,
+    survey_ids=("O5", "S11"),
+    doc="Incremental view maintenance in the gate: the events table "
+    "replays as THREE batches (event_id residue classes) folded "
+    "through operators/incremental.incremental_topk — previous top-k "
+    "state merges with each batch and re-ranks, never re-reading "
+    "history.  The drained state must equal the one-shot global "
+    "top-k oracle, which is the monotonicity theorem the operator "
+    "rests on (top-k(hist ∪ batch) == top-k(top-k(hist) ∪ batch)); "
+    "refresh cost is k + |batch| however long the history.  Values "
+    "pass through unchanged (no arithmetic), and the (value DESC, "
+    "event_id) order is total, so state and oracle are bit-equal.",
+)
+def q_incremental_topk_events(spark, sf_dir):
+    import tempfile
+
+    from ..operators.incremental import incremental_topk
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "value")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        state = f"{d}/topk_state"
+        out = None
+        for r in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == r)
+            out = incremental_topk(
+                spark, batch, state, order_col="value", k=_ITK_K,
+                tiebreak_cols=["event_id"],
+            )
+        # Materialize off the temp state before it is removed.
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
