@@ -596,6 +596,11 @@ class TestEmptyInputs:
             if name == "graph_triangle_stats":
                 # Scalar-aggregate query: one row of zeros/NULLs.
                 assert len(rows) == 1 and rows[0].n_edges == 0
+            elif name == "table_profile_orders":
+                # A profile of an empty table IS rows: one per column,
+                # n=0, NULL min/max.
+                assert len(rows) == 4
+                assert all(r.n == 0 and r.min_v is None for r in rows)
             else:
                 assert rows == [], f"{name} emitted rows from empty input"
 
