@@ -1,0 +1,166 @@
+"""Soak harness: replicate the driver tables Nx with key-shifted
+copies, run a query list at base scale and at soak scale, and report
+the wall-time scaling exponent per query.
+
+The point is the SHAPE, not the absolute numbers: a query whose cost
+is linear in rows should scale ~Nx on Nx data (executors divide linear
+work); keyed-window and sketch queries should scale sub-linearly; any
+super-linear term (candidate-pair blowups, accidental cross products)
+shows up as ratio >> N and fails the run.
+
+Replication scheme (key-shifted => disjoint key spaces => honest
+linear growth; text copied verbatim => Nx duplicate density to stress
+the dedup/novelty paths exactly where they are weakest):
+
+- events: event_id += k*10^12, user_id += k*10^7, ts unchanged
+  (denser hours — stresses grids/windows harder than shifting time).
+- documents: doc_id += k*10^9, text/source verbatim.
+- lineitem: l_orderkey += k*10^12, l_partkey += k*10^9,
+  l_suppkey += k*10^7 (disjoint graph replicas).
+- orders: o_orderkey += k*10^12, o_custkey += k*10^7.
+
+Usage:
+    python tools/soak.py [N] [base_sf_dir] [query ...]
+Defaults: N=10, base=/root/testdata/sf0.1, the round-4 query set.
+Prints one JSON line per query plus a summary line; exits 1 if any
+query's soak/base wall ratio exceeds 2*N (super-linear red flag).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.caching import release_caches
+from tomasz_weight_tracker_spark.plans import REGISTRY
+from tomasz_weight_tracker_spark.plans.catalog import load
+from tomasz_weight_tracker_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "scd2_user_state",
+    "dedup_throttle",
+    "interval_union_time",
+    "bitmap_distinct_users",
+    "bitmap_rolling_users_7d",
+    "value_deciles",
+    "value_histogram",
+    "dataset_split",
+    "sequence_packing",
+    "snapshot_diff",
+    "snm_near_dup",
+    "doc_novelty",
+    "doc_chunking",
+    "source_rebalance",
+    "inverted_index",
+    "pretraining_prep",
+    "pagerank_part_supplier",
+    "graph_triangle_stats",
+    "heavy_hitters",
+    "incremental_topk_events",
+]
+
+_SHIFTS = {
+    "events": {"event_id": 10**12, "user_id": 10**7},
+    "documents": {"doc_id": 10**9},
+    "lineitem": {"l_orderkey": 10**12, "l_partkey": 10**9, "l_suppkey": 10**7},
+    "orders": {"o_orderkey": 10**12, "o_custkey": 10**7},
+}
+_COPY_TABLES = ("customer", "supplier", "part", "nation", "region", "embeddings")
+
+
+def build_soak(spark, base: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for table, shifts in _SHIFTS.items():
+        df = load(spark, base, table, widen=False)
+        parts = []
+        for k in range(n):
+            rep = df
+            for col, step in shifts.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(k * step))
+            parts.append(rep)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        union.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    for table in _COPY_TABLES:
+        src = f"{base}/{table}.parquet"
+        dst = f"{out}/{table}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
+
+
+def materialize(df) -> int:
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
+    ).collect()[0]
+    return row.n
+
+
+def timed(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    # One untimed warm pass (plan compilation + codegen), then the
+    # timed execution on a cleared storage cache — the same marginal-
+    # cost discipline as bench.py, so base and soak compare fairly.
+    df = REGISTRY[name].build(spark, sf_dir)
+    materialize(df)
+    release_caches()
+    spark.catalog.clearCache()
+    df = REGISTRY[name].build(spark, sf_dir)
+    t0 = time.time()
+    n = materialize(df)
+    wall = time.time() - t0
+    release_caches()
+    spark.catalog.clearCache()
+    return wall, n
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    queries = sys.argv[3:] or DEFAULT_QUERIES
+    out = f"/tmp/soak_{n}x_{os.path.basename(base.rstrip('/'))}"
+    spark = get_spark("soak")
+    print(f"# building {n}x replica at {out}", file=sys.stderr)
+    build_soak(spark, base, out, n)
+    red_flags = []
+    results = {}
+    for name in queries:
+        base_wall, base_rows = timed(spark, name, base)
+        soak_wall, soak_rows = timed(spark, name, out)
+        ratio = soak_wall / base_wall if base_wall > 0 else float("inf")
+        results[name] = {
+            "base_s": round(base_wall, 2),
+            "soak_s": round(soak_wall, 2),
+            "ratio": round(ratio, 1),
+            "base_rows": base_rows,
+            "soak_rows": soak_rows,
+        }
+        print(json.dumps({"query": name, **results[name]}))
+        if ratio > 2 * n:
+            red_flags.append(name)
+    print(
+        json.dumps(
+            {
+                "metric": "soak_wall_ratio",
+                "n": n,
+                "total_base_s": round(sum(r["base_s"] for r in results.values()), 1),
+                "total_soak_s": round(sum(r["soak_s"] for r in results.values()), 1),
+                "super_linear": red_flags,
+            }
+        )
+    )
+    if red_flags:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
