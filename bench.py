@@ -15,6 +15,18 @@ collected), and adds only a scan-speed fold over the output.
 Timing: per query, one untimed warm pass on a compiled plan, then the
 best of two timed executions of that same plan (see the loop comment —
 execution is fully repeated each pass; only compilation is reused).
+
+Beyond the headline, the JSON carries (round-4 verdict items 7/8):
+
+- ``queries_full``: one {t_spark, t_duck} pair for EVERY catalog query
+  — the engine run (build + JVM checksum materialization, timed from
+  before build so eagerly-executing queries are honest) next to its
+  DuckDB oracle (execute + fetch) on the same parquet, at
+  ``$SPARK_GRAFT_FULL_SF_DIR`` (default sf0.01, the driver's
+  correctness-gate scale; the committed PARITY_r{N}*.txt artifacts
+  carry the sf0.1 pairs).  Disable with SPARK_GRAFT_QUERIES_FULL=0.
+- ``streaming``: the drained streaming flagship vs its batch twin —
+  a streaming-path perf regression would otherwise be invisible here.
 """
 
 from __future__ import annotations
@@ -133,7 +145,71 @@ def main() -> None:
         print(f"# {name}: {bucket[name]}s ({n} rows)", file=sys.stderr, flush=True)
         release_caches()  # per-query caches must not outlive the query
 
+    # Streaming flagship vs its batch twin: one drain pass (the stream
+    # executes eagerly inside build, so the timer wraps build too; no
+    # warm pass — a drain is one-shot by nature) against the batch
+    # query's steady-state number from the loop above.
+    streaming = {}
+    try:
+        t0 = time.time()
+        sdf = REGISTRY["streaming_bucket_15min"].build(spark, sf_dir)
+        materialize(sdf)
+        stream_wall = round(time.time() - t0, 3)
+        batch_wall = timings.get("bucket_15min")
+        streaming = {
+            "streaming_bucket_15min": stream_wall,
+            "bucket_15min_batch": batch_wall,
+            "stream_over_batch": round(stream_wall / batch_wall, 2)
+            if batch_wall
+            else None,
+        }
+        print(f"# streaming_bucket_15min: {stream_wall}s", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — bench must still emit its line
+        streaming = {"error": str(e)[:300]}
+    finally:
+        release_caches()
+
+    queries_full = {}
+    full_sf_dir = os.environ.get(
+        "SPARK_GRAFT_FULL_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if os.environ.get("SPARK_GRAFT_QUERIES_FULL", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{full_sf_dir}/{t}.parquet')"
+            )
+        for name in sorted(REGISTRY):
+            q = REGISTRY[name]
+            entry = {}
+            try:
+                t0 = time.time()
+                fdf = q.build(spark, full_sf_dir)
+                materialize(fdf)
+                entry["t_spark"] = round(time.time() - t0, 2)
+            except Exception as e:  # noqa: BLE001
+                entry["t_spark_err"] = str(e)[:200]
+            finally:
+                release_caches()
+                spark.catalog.clearCache()
+            if q.oracle is not None:
+                try:
+                    t0 = time.time()
+                    con.execute(q.oracle).fetchall()
+                    entry["t_duck"] = round(time.time() - t0, 2)
+                except Exception as e:  # noqa: BLE001
+                    entry["t_duck_err"] = str(e)[:200]
+            queries_full[name] = entry
+            print(f"# full {name}: {entry}", file=sys.stderr, flush=True)
+
     total = round(sum(timings.values()), 3)
+    full_sf = full_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -144,6 +220,11 @@ def main() -> None:
                 # Measured-boundary exhibits (not in the headline total):
                 # same oracle as a headline twin, slower path by design.
                 "sidebar_queries": sidebar,
+                "streaming": streaming,
+                "queries_full": queries_full,
+                "queries_full_sf": float(full_sf)
+                if full_sf.replace(".", "").isdigit()
+                else full_sf,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

@@ -98,6 +98,27 @@ class TestSortedNeighborhood:
         pairs = {(r.doc_a, r.doc_b) for r in q_snm_near_dup(spark, path).collect()}
         assert (1, 2) in pairs
 
+    def test_degenerate_run_capped(self, spark, tmp_path):
+        # 500 byte-identical docs = one exact-skey run.  Uncapped, the
+        # pass emits ~500*w sub-threshold pairs (the 10x-soak 321x
+        # output blowup); capped, only the first _SNM_MAX_RUN docs
+        # take part.  A distinct doc beyond the run must still pair
+        # with nothing (it differs by more than the threshold).
+        from tomasz_weight_tracker_spark.plans.advanced import _SNM_MAX_RUN
+
+        base = "identical boilerplate text repeated verbatim everywhere"
+        rows = [(i, base, "en", "s", len(base)) for i in range(500)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = str(tmp_path / "docs_dup")
+        df.write.parquet(path + "/documents.parquet")
+        out = q_snm_near_dup(spark, path).collect()
+        docs_in_pairs = {r.doc_a for r in out} | {r.doc_b for r in out}
+        assert docs_in_pairs <= set(range(_SNM_MAX_RUN))
+        # Pair emission bounded by the cap, not the run length.
+        assert len(out) <= _SNM_MAX_RUN * _SNM_WINDOW
+
 
 class TestBitmapDistinct:
     def test_equals_exact_count_distinct(self, spark):
@@ -288,6 +309,59 @@ class TestTriangleStats:
         df.write.parquet(path + "/lineitem.parquet")
         r = q_graph_triangle_stats(spark, path).first()
         assert (r.n_edges, r.n_wedges, r.n_triangles) == (2, 0, 0)
+
+    def test_degree_orientation_defuses_hub(self, spark):
+        # Star graph: hub 0 adjacent to leaves 1..200.  Under id
+        # orientation the hub keeps out-degree 200 (40k wedge probes);
+        # under DEGREE orientation every edge points INTO the hub
+        # (leaf degree 1 < hub degree 200), so hub out-degree is 0 and
+        # total intersection work is 0 — the curse-of-the-last-reducer
+        # fix, asserted structurally.
+        from pyspark.sql import functions as F
+
+        from tomasz_weight_tracker_spark.plans.advanced import degree_oriented_edges
+
+        edges = spark.createDataFrame(
+            [(0, v) for v in range(1, 201)], "u long, v long"
+        )
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        oriented = degree_oriented_edges(edges, deg)
+        out = (
+            oriented.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).collect()
+        )
+        outdeg = {r.src: r.outdeg for r in out}
+        assert 0 not in outdeg  # hub emits NO out-edges
+        assert max(outdeg.values()) == 1  # each leaf points at the hub
+        # d_dst carries the destination's (hub's) undirected degree.
+        assert oriented.select(F.max("d_dst")).first()[0] == 200
+
+    def test_degree_orientation_count_invariant(self, spark, tmp_path):
+        # Lollipop: K4 clique {1,2,3,4} via part 1 plus a hub 1
+        # co-supplying parts 2..30 with singleton partners — skewed
+        # degrees, known count: 4 triangles from the clique only.
+        from tomasz_weight_tracker_spark.plans.advanced import q_graph_triangle_stats
+
+        rows = [(1, s, 1) for s in (1, 2, 3, 4)]
+        rows += [(p, 1, p) for p in range(2, 31)]
+        rows += [(p, 100 + p, p) for p in range(2, 31)]
+        df = spark.createDataFrame(
+            [(o, s, p, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)) for o, s, p in rows],
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        path = str(tmp_path / "li3")
+        df.write.parquet(path + "/lineitem.parquet")
+        r = q_graph_triangle_stats(spark, path).first()
+        # 6 clique edges + 29 hub spokes (hub=1 is in the clique; the
+        # spoke partners are fresh), all simple-graph distinct.
+        assert r.n_triangles == 4
+        assert r.n_edges == 6 + 29 * 1
 
 
 class TestInvertedIndex:

@@ -119,6 +119,46 @@ class TestMinHashLsh:
         assert got == 10  # 5*4/2 all-pairs of identical docs
 
 
+class TestFuzzyBlocking:
+    """Round-5 fix: the fuzzy edit-distance join's candidate blocking
+    must be CAPPED (round-4 verdict: first-token-only blocking with no
+    cap goes quadratic per hot token at corpus scale)."""
+
+    def test_hot_block_dropped_bounded_emission(self, spark):
+        from tomasz_weight_tracker_spark.plans.llm_ops import fuzzy_candidate_pairs
+
+        # 600 same-first-token, same-length names (one hot block, over
+        # any small cap) + one honest typo pair in a cold block.
+        rows = [(f"azure metal plate nr {i:04d}",) for i in range(600)]
+        rows += [("rose gold hinge",), ("rose gold hinge",)]  # distinct-ed away
+        rows += [("rose gold hinges",)]
+        names = spark.createDataFrame(rows, "name string").distinct()
+        pairs = fuzzy_candidate_pairs(names, max_block=32).collect()
+        got = {(r.name_a, r.name_b) for r in pairs}
+        # The hot block emits NOTHING (600 > 32 in both probe buckets);
+        # the cold typo pair survives.
+        assert ("rose gold hinge", "rose gold hinges") in got
+        assert all(not a.startswith("azure") for a, _ in got), got
+
+    def test_length_probe_keeps_cross_bucket_pairs(self, spark):
+        from tomasz_weight_tracker_spark.plans.llm_ops import fuzzy_candidate_pairs
+
+        # Lengths 15 and 17 (buckets 7 and 8 at width 2): same first
+        # token, dist 2 — must still be a candidate via the probe arm.
+        names = spark.createDataFrame(
+            [("teal widget nut",), ("teal widget nutty",)], "name string"
+        )
+        got = {(r.name_a, r.name_b) for r in fuzzy_candidate_pairs(names).collect()}
+        assert ("teal widget nut", "teal widget nutty") in got
+
+    def test_uncapped_when_disabled(self, spark):
+        from tomasz_weight_tracker_spark.plans.llm_ops import fuzzy_candidate_pairs
+
+        rows = [(f"plum brass bolt {i:02d}",) for i in range(10)]
+        names = spark.createDataFrame(rows, "name string")
+        assert fuzzy_candidate_pairs(names, max_block=None).count() == 45
+
+
 class TestSimHash:
     def test_identical_equal_and_disjoint_differ(self, spark):
         rows = [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "qq rr ss tt uu vv")]

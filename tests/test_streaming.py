@@ -324,6 +324,21 @@ class TestDedupStateRecovery:
 
 
 class TestTransformWithState:
+    def test_tws_gate_query_registration_tracks_protobuf(self):
+        """streaming_tws_counts joins the oracle catalog exactly when
+        the protobuf runtime (pyproject [streaming-tws] extra) is
+        importable — present: first-class gate row; absent: no
+        manufactured red row for a missing wheel."""
+        from importlib.util import find_spec
+
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        has_pb = find_spec("google") is not None and (
+            find_spec("google.protobuf") is not None
+        )
+        assert ("streaming_tws_counts" in REGISTRY) == has_pb
+
+
     def test_tws_user_stats_matches_batch(self, spark):
         """transformWithStateInPandas replay == batch GROUP BY.  Skipped
         where the API's protobuf dependency is absent (this container's

@@ -65,6 +65,33 @@ class TestUpsertByKey:
         got = read_state(spark, path)
         assert got == {1: ("A", "d1"), 2: ("b", "d2"), 3: ("c", "d3"), 4: ("d", "d2")}
 
+    def test_wide_batch_prunes_via_semi_join_not_or_chain(self, spark, tmp_path):
+        """Round-4 advice: a batch touching ~1k partitions must not
+        build a 1k-term OR predicate (analyzer blowup, pushdown
+        defeat) — above _MAX_STATIC_PRUNE the prune is a broadcast
+        semi-join against the touched-partition list."""
+        import time
+
+        path = tmp_path / "state"
+        n = 900
+        base = spark.createDataFrame(
+            [(i, "a", f"d{i % 1000:04d}") for i in range(n)],
+            "id long, v string, day string",
+        )
+        upsert_by_key(spark, base, path, keys=["id"], partition_by=["day"])
+        batch = spark.createDataFrame(
+            [(i, "B", f"d{i % 1000:04d}") for i in range(n)],
+            "id long, v string, day string",
+        )
+        t0 = time.time()
+        upsert_by_key(spark, batch, path, keys=["id"], partition_by=["day"])
+        wall = time.time() - t0
+        got = read_state(spark, path)
+        assert len(got) == n and all(v == "B" for v, _ in got.values())
+        # 900 touched partitions: the OR-chain form took minutes in the
+        # analyzer; the semi-join form is bounded by the write itself.
+        assert wall < 120, f"wide-batch upsert took {wall:.0f}s"
+
     def test_multi_column_key(self, spark, tmp_path):
         path = tmp_path / "state"
         base = spark.createDataFrame(

@@ -10,6 +10,8 @@ engine-private RNG or sketch formats.
 
 from __future__ import annotations
 
+from importlib.util import find_spec
+
 from pyspark.sql import functions as F
 
 from ..functions import md5_long_sql
@@ -1189,6 +1191,70 @@ def q_streaming_stateful_counts(spark, sf_dir):
     # (no-op) AND for any multi-batch replay (keeps each key's final
     # count), instead of relying on the one-file/one-batch layout.
     return table.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# --- transformWithState in the gate (conditional on protobuf) ---------------
+
+# Spark 4's transformWithStateInPandas needs the public `protobuf`
+# package for its Python state server (declared in pyproject.toml's
+# [streaming-tws] extra).  Where the runtime is present the typed-state
+# replay joins the oracle gate as a first-class query; where it is
+# absent (this container) registering it would only manufacture a red
+# gate row for a missing third-party wheel, so registration is gated —
+# the construction-level API surface is still tested everywhere
+# (tests/test_streaming.py), and any normal Spark 4 install runs the
+# full replay under the exact value hash.
+if find_spec("google") is not None and find_spec("google.protobuf") is not None:
+
+    @register(
+        "streaming_tws_counts",
+        """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               floor(max(value * 1000000.0))::BIGINT AS max_qv
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+        """,
+        survey_ids=("ST1", "A1"),
+        doc="transformWithStateInPandas in the gate: per-user (count, "
+        "running max) maintained in typed ValueState handles on the "
+        "RocksDB store, replayed over the events file and compared "
+        "keep-last-per-key (both state fields are monotone, so the "
+        "update-mode drain folds with max) against the batch GROUP "
+        "BY.  Output is integer-quantized so the Python state path "
+        "stays hash-exact.  Registered only where the protobuf "
+        "runtime exists — see the module comment.",
+    )
+    def q_streaming_tws_counts(spark, sf_dir):
+        from ..streaming.pipelines import (
+            drain_to_memory,
+            stream_events,
+            tws_user_stats,
+        )
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            df = stream_events(spark, sf_dir)
+            q = (
+                df.filter(F.col("value").isNotNull())
+                .select("user_id", "ts", F.floor(F.col("value") * 1e6).alias("qv"))
+                .withWatermark("ts", "1 hour")
+            )
+            table = drain_to_memory(spark, tws_user_stats(q), "stws", "update")
+            return table.groupBy("user_id").agg(
+                F.max("n_events").alias("n_events"),
+                F.max("max_qv").alias("max_qv"),
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
 
 
 # --- streaming sessionization ----------------------------------------------

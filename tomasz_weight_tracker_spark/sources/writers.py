@@ -17,6 +17,11 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 
+# Touched-partition count above which upsert_by_key's prune switches
+# from a static OR-chain predicate to a broadcast semi-join (see the
+# inline comment in upsert_by_key).
+_MAX_STATIC_PRUNE = 64
+
 
 def write_single_csv(df: DataFrame, out_path: str | Path, header: bool = True) -> Path:
     """S9: write a DataFrame as exactly one CSV file at ``out_path``."""
@@ -87,20 +92,39 @@ def upsert_by_key(
             )
         existing = existing.select(*writer_cols)
         if partition_by:
-            # Prune the rewrite to touched partitions: tiny distinct
-            # list of partition tuples from the batch -> pushed-down
-            # IN-filter on the partition columns of the old table.
+            # Prune the rewrite to touched partitions.  Small batches
+            # (the normal shape) use a static OR-chain of per-partition
+            # equality predicates — pushed down as partition filters at
+            # analysis time.  A batch touching MANY partitions would
+            # make that a thousands-term predicate (quadratic analyzer
+            # cost, and past a point it defeats pushdown entirely —
+            # round-4 advice), so beyond _MAX_STATIC_PRUNE the pruning
+            # switches to a broadcast LEFT SEMI join against the
+            # touched-partition list: Spark's dynamic partition pruning
+            # turns the broadcast build into a partition filter on the
+            # parquet scan, constant-size plan regardless of batch
+            # spread.
             parts = updates.select(*partition_by).distinct().collect()
-            cond = None
             from pyspark.sql import functions as F
 
-            for p in parts:
-                this = None
-                for c in partition_by:
-                    eq = F.col(c) == F.lit(p[c])
-                    this = eq if this is None else (this & eq)
-                cond = this if cond is None else (cond | this)
-            existing = existing.filter(cond) if cond is not None else existing.limit(0)
+            if not parts:
+                existing = existing.limit(0)
+            elif len(parts) <= _MAX_STATIC_PRUNE:
+                cond = None
+                for p in parts:
+                    this = None
+                    for c in partition_by:
+                        eq = F.col(c) == F.lit(p[c])
+                        this = eq if this is None else (this & eq)
+                    cond = this if cond is None else (cond | this)
+                existing = existing.filter(cond)
+            else:
+                touched = spark.createDataFrame(
+                    parts, updates.select(*partition_by).schema
+                )
+                existing = existing.join(
+                    F.broadcast(touched), on=list(partition_by), how="left_semi"
+                )
         merged = existing.join(
             updates.select(*keys).distinct(), on=list(keys), how="left_anti"
         ).unionByName(updates)

@@ -278,17 +278,22 @@ def drain_to_memory(
     return the drained table.
 
     - State-store partitioning is sized via
-      :func:`..streaming.tuning.state_partitions` (``partitions``).
+      :func:`..streaming.tuning.state_partitions` (``partitions``);
+      the conf lock is released as soon as the first micro-batch
+      commits (the partition count is latched into the checkpoint
+      then), so a slow drain does not stall other threads' streams
+      for the whole ``timeout_sec``.
     - ``awaitTermination``'s return value is CHECKED: on timeout the
       query is stopped and we raise, instead of returning a silently
       truncated memory table as if it were the result.
     """
+    import time as _time
     import uuid
 
     from .tuning import state_partitions
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, partitions):
+    with state_partitions(spark, partitions) as release_early:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -296,7 +301,18 @@ def drain_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        finished = q.awaitTermination(timeout_sec)
+        deadline = _time.monotonic() + timeout_sec
+        # First-batch barrier: progress appears once batch 0 commits
+        # (or the query terminates — e.g. an empty availableNow run).
+        while q.isActive and not q.recentProgress:
+            if _time.monotonic() > deadline:
+                break
+            _time.sleep(0.05)
+        release_early()
+        # Remaining budget only — flooring this at some "reasonable"
+        # value would let a fast stream beat an expired deadline and
+        # return where the contract says raise.
+        finished = q.awaitTermination(max(0.001, deadline - _time.monotonic()))
         if not finished:
             q.stop()
             raise RuntimeError(

@@ -42,12 +42,31 @@ def state_partitions(spark: SparkSession, n: int = 8):
     self-contained stream (availableNow); a stream left running after
     exit keeps the small setting for its lifetime, which is the sticky
     semantics described above.
+
+    Yields a zero-arg ``release_early`` callable: once the stream's
+    FIRST micro-batch has committed, the partition count is latched
+    into the checkpoint's offset metadata and the session conf is no
+    longer consulted — calling it restores the conf and releases the
+    lock right then, so one slow drain (awaitTermination can run
+    minutes) does not serialize every other thread's streaming work
+    behind the critical section (round-4 advice).  Idempotent; the
+    exit path calls it as a fallback, so ignoring the yielded value
+    keeps the old serialize-everything behavior.
     """
     key = "spark.sql.shuffle.partitions"
-    with _CONF_LOCK:
-        old = spark.conf.get(key)
-        spark.conf.set(key, str(n))
-        try:
-            yield
-        finally:
+    _CONF_LOCK.acquire()
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    released = False
+
+    def release_early() -> None:
+        nonlocal released
+        if not released:
+            released = True
             spark.conf.set(key, old)
+            _CONF_LOCK.release()
+
+    try:
+        yield release_early
+    finally:
+        release_early()

@@ -110,12 +110,16 @@ def timed(spark, name: str, sf_dir: str) -> tuple[float, int]:
     # One untimed warm pass (plan compilation + codegen), then the
     # timed execution on a cleared storage cache — the same marginal-
     # cost discipline as bench.py, so base and soak compare fairly.
+    # The timer starts BEFORE build(): queries that execute eagerly
+    # inside build (incremental_topk_events' multi-batch fold, the
+    # streaming drains) do their real work there, and excluding it
+    # made the super-linear guard blind to them (round-4 advice).
     df = REGISTRY[name].build(spark, sf_dir)
     materialize(df)
     release_caches()
     spark.catalog.clearCache()
-    df = REGISTRY[name].build(spark, sf_dir)
     t0 = time.time()
+    df = REGISTRY[name].build(spark, sf_dir)
     n = materialize(df)
     wall = time.time() - t0
     release_caches()
