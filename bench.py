@@ -88,6 +88,15 @@ HEADLINE = [
     "snapshot_diff",
     "dedup_throttle",
     "inverted_index",
+    # Round-5 families: lexical retrieval, deterministic weighted
+    # sampling, the bucketized range join, and rare-feature cosine
+    # near-dup.  (graph_triangle_stats stays out of the headline —
+    # the sf0.1 co-supply graph is complete (166M triangles), an
+    # output-bound outlier tracked in queries_full instead.)
+    "bm25_search",
+    "weighted_sample_events",
+    "interval_bucket_join",
+    "lexical_cosine_pairs",
 ]
 
 SIDEBAR = ["user_zscore_arrow"]

@@ -39,3 +39,51 @@ class TestIncrementalTopk:
             batch = spark.createDataFrame(_rows(seed, 100), "score long, user string")
             incremental_topk(spark, batch, state, "score", 7, ["user"])
         assert spark.read.parquet(str(state)).count() == 7
+
+
+class TestIncrementalAgg:
+    def test_matches_full_recompute_any_batching(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.operators.incremental import (
+            incremental_agg,
+        )
+
+        rows = [(i, i % 7, (i * 13) % 101) for i in range(300)]
+        full = spark.createDataFrame(rows, "event_id long, k long, qv long")
+        want = {
+            r.k: (r.n, r.sum_v, r.min_v, r.max_v)
+            for r in full.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qv").alias("sum_v"),
+                F.min("qv").alias("min_v"),
+                F.max("qv").alias("max_v"),
+            )
+            .collect()
+        }
+        # Two different batchings must converge to the same state.
+        for n_batches, sub in ((3, "a"), (5, "b")):
+            state = tmp_path / f"agg_{sub}"
+            out = None
+            for r in range(n_batches):
+                out = incremental_agg(
+                    spark,
+                    full.filter(F.col("event_id") % n_batches == r),
+                    state,
+                    keys=["k"],
+                    value_col="qv",
+                )
+            got = {r.k: (r.n, r.sum_v, r.min_v, r.max_v) for r in out.collect()}
+            assert got == want
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.operators.incremental import (
+            incremental_agg,
+        )
+
+        state = tmp_path / "agg"
+        df = spark.createDataFrame([(1, 1, 10)], "event_id long, k long, qv long")
+        incremental_agg(spark, df, state, keys=["k"], value_col="qv")
+        before = {tuple(r) for r in spark.read.parquet(str(state)).collect()}
+        incremental_agg(spark, df.limit(0), state, keys=["k"], value_col="qv")
+        after = {tuple(r) for r in spark.read.parquet(str(state)).collect()}
+        assert before == after

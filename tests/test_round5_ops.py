@@ -1,0 +1,227 @@
+"""Round-5 operator tests: BM25 retrieval, weighted sampling, the
+bucketized interval join, the bipartite degree profile, and the
+hopping-window streaming gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, tmp_path, rows, sub="docs"):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / sub)
+    df.write.parquet(path + "/documents.parquet")
+    return path
+
+
+def _events(spark, tmp_path, rows, sub="ev"):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    path = str(tmp_path / sub)
+    df.write.parquet(path + "/events.parquet")
+    return path
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 3, 1, h, m, s)
+
+
+class TestBm25Search:
+    def test_tf_and_idf_ordering(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.llm_ops import q_bm25_search
+
+        # doc 1: 'hash' thrice; doc 2: once; doc 3: no query terms at
+        # all (must be absent); doc 4: only the common term 'join',
+        # which every matching doc shares -> lower idf than 'hash'.
+        rows = [
+            (1, "hash hash hash table scan", "en", "s", 25),
+            (2, "hash table scan filter row", "en", "s", 26),
+            (3, "completely unrelated words here", "en", "s", 31),
+            (4, "join join join table scan", "en", "s", 25),
+        ]
+        path = _docs(spark, tmp_path, rows)
+        out = {r.doc_id: r.score_e6 for r in q_bm25_search(spark, path).collect()}
+        assert 3 not in out
+        assert out[1] > out[2]  # more tf -> higher score
+        assert set(out) == {1, 2, 4}
+
+    def test_topk_is_take_ordered_no_corpus_shuffle(self, spark):
+        import re
+
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        df = REGISTRY["bm25_search"].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "TakeOrderedAndProject" in plan
+        # The only exchange is the 1-row stats aggregate; the scored
+        # corpus itself reaches top-k without shuffling.
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan[:2000]
+
+
+class TestWeightedSample:
+    def test_deterministic_and_sized(self, spark):
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        a = [tuple(r) for r in REGISTRY["weighted_sample_events"].build(spark, SF).collect()]
+        b = [tuple(r) for r in REGISTRY["weighted_sample_events"].build(spark, SF).collect()]
+        assert a == b  # no RNG state anywhere
+        from tomasz_weight_tracker_spark.plans.scale_ops import _WSAMP_K
+
+        assert len(a) == _WSAMP_K
+
+    def test_weight_bias(self, spark, tmp_path):
+        # Two strata: weight 100.0 vs weight 1.0, equal counts.  The
+        # heavy stratum must dominate the sample (in expectation 100:1;
+        # assert a conservative majority).
+        from tomasz_weight_tracker_spark.plans.scale_ops import (
+            q_weighted_sample_events,
+        )
+
+        rows = [(i, 1, "view", _ts(9, 0, i % 60), 100.0) for i in range(500)]
+        rows += [(1000 + i, 2, "view", _ts(10, 0, i % 60), 1.0) for i in range(500)]
+        path = _events(spark, tmp_path, rows)
+        out = q_weighted_sample_events(spark, path).collect()
+        heavy = sum(1 for r in out if r.value == 100.0)
+        assert heavy > len(out) * 0.8, f"heavy stratum got {heavy}/{len(out)}"
+
+    def test_zero_shuffle_take_ordered(self, spark):
+        import re
+
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        df = REGISTRY["weighted_sample_events"].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan[:1500]
+
+
+class TestIntervalBucketJoin:
+    def test_boundaries_and_cross_bucket_dedup(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.scale_ops import (
+            q_interval_bucket_join,
+        )
+
+        rows = [
+            # Window 1 opens 09:10 -> [09:10, 09:40): spans buckets.
+            (1, 1, "error", _ts(9, 10), 1.0),
+            # In-window purchases: at start (incl.), mid, 09:39:59.
+            (10, 1, "purchase", _ts(9, 10), 1.0),
+            (11, 1, "purchase", _ts(9, 25), 1.0),
+            (12, 1, "purchase", _ts(9, 39, 59), 1.0),
+            # At w_end exactly: EXCLUDED (half-open).
+            (13, 1, "purchase", _ts(9, 40), 1.0),
+            # Before the window.
+            (14, 1, "purchase", _ts(9, 9, 59), 1.0),
+            # Window 2 catches nothing -> count 0 row.
+            (2, 2, "error", _ts(15, 0), 1.0),
+        ]
+        path = _events(spark, tmp_path, rows)
+        out = {r.win_id: r.n_purchases for r in q_interval_bucket_join(spark, path).collect()}
+        assert out == {1: 3, 2: 0}
+
+    def test_equi_join_on_bucket_not_nested_loop(self, spark):
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        df = REGISTRY["interval_bucket_join"].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # The whole point: the range join must ride an equi join on the
+        # bucket key, never a nested-loop cross product over the corpus.
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestGraphDegreeProfile:
+    def test_known_bipartite_graph(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            q_graph_degree_profile,
+        )
+
+        # part 1 <- suppliers {1,2,3}; part 2 <- {1}; supplier 1 spans
+        # both parts.  Degrees: parts (3, 1); suppliers (2, 1, 1).
+        rows = [(1, 1, 1), (1, 2, 1), (1, 3, 1), (2, 1, 2)]
+        df = spark.createDataFrame(
+            [(o, s, p, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)) for o, s, p in rows],
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        path = str(tmp_path / "li")
+        df.write.parquet(path + "/lineitem.parquet")
+        got = {
+            (r.side, r.deg): r.n_nodes
+            for r in q_graph_degree_profile(spark, path).collect()
+        }
+        assert got == {
+            ("suppliers_per_part", 3): 1,
+            ("suppliers_per_part", 1): 1,
+            ("parts_per_supplier", 2): 1,
+            ("parts_per_supplier", 1): 2,
+        }
+
+
+class TestLexicalCosinePairs:
+    def test_finds_embedded_copy_jaccard_misses(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.llm_ops import (
+            q_lexical_cosine_pairs,
+        )
+
+        # doc 2 contains doc 1 verbatim inside 3x unrelated filler —
+        # the size-asymmetric case cosine handles: shared rare
+        # shingles / sqrt(|small| * |large|) stays high.  doc 3 is
+        # unrelated.  The corpus is padded with distinct docs so the
+        # probe shingles stay under the df cap.
+        core = "zq xv wk jj qp mm zz vv kk pp"
+        filler = " ".join(f"w{i} y{i}" for i in range(20))
+        rows = [
+            (1, core, "en", "s", len(core)),
+            (2, core + " " + filler, "en", "s", 1),
+            (3, "totally different content here", "en", "s", 1),
+        ]
+        rows += [(10 + i, f"pad doc number {i} unique {i*7}", "en", "s", 1) for i in range(10)]
+        path = _docs(spark, tmp_path, rows, sub="lexcos")
+        out = {(r.id_a, r.id_b): r.cos_e6 for r in q_lexical_cosine_pairs(spark, path).collect()}
+        assert (1, 2) in out
+        assert all(3 not in pair for pair in out)
+
+    def test_pair_emission_bounded_by_df_cap(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.llm_ops import (
+            _LEXCOS_DF_MAX,
+            q_lexical_cosine_pairs,
+        )
+
+        # 200 identical docs: every shingle has df=200 > cap -> the
+        # whole degenerate clump emits ZERO pairs instead of 19,900.
+        rows = [(i, "identical rare words qqq zzz", "en", "s", 1) for i in range(200)]
+        assert 200 > _LEXCOS_DF_MAX
+        path = _docs(spark, tmp_path, rows, sub="lexcap")
+        assert q_lexical_cosine_pairs(spark, path).count() == 0
+
+
+class TestStreamingHopping:
+    def test_every_event_in_exactly_two_windows(self, spark):
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        out = REGISTRY["streaming_hopping_counts"].build(spark, SF)
+        total = out.agg(F.sum("n_events")).first()[0]
+        n_events = load(spark, SF, "events").count()
+        assert total == 2 * n_events

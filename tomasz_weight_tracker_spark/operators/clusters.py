@@ -47,11 +47,18 @@ def connected_components(
     genuinely deep graph should raise the cap (cost is per-round, not
     per-node) or pre-contract obvious cliques.
     """
+    # Materialize the edge list ONCE (eager, synchronous): edges feed
+    # every propagation round, and without this the full upstream
+    # pair-generation pipeline (LSH banding, similarity scoring, ...)
+    # re-executes per round — measured 8-13 s -> ~3 s at sf0.01 for
+    # dup_clusters.  localCheckpoint rather than cache: it is eager,
+    # so there is no lazy-block race, and it truncates the lineage the
+    # iterative loop would otherwise replay.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()

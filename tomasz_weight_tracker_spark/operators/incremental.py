@@ -68,10 +68,73 @@ def incremental_topk(
     # The plan reads the live directory and writes a DIFFERENT one, so
     # no checkpoint is needed to break a read-then-overwrite cycle.
     merged.orderBy(*order).limit(k).write.mode("overwrite").parquet(str(tmp))
+    _swap_state(state_path, tmp, bak)
+    return spark.read.parquet(str(state_path))
+
+
+def _swap_state(state_path: Path, tmp: Path, bak: Path) -> None:
+    """Atomic-enough two-rename state swap (see incremental_topk's
+    crash-safety note): state -> .bak, .tmp -> state; a crash at any
+    point leaves a complete copy under one of the two names."""
     if bak.exists():
         shutil.rmtree(bak)
     if state_path.exists():
         os.rename(state_path, bak)
     os.rename(tmp, state_path)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def incremental_agg(
+    spark: SparkSession,
+    new_batch: DataFrame,
+    state_path: str | Path,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Incrementally maintained per-key aggregate table (count / sum /
+    min / max) — classic incremental view maintenance for the
+    DECOMPOSABLE aggregates, complementing :func:`incremental_topk`'s
+    rank maintenance.
+
+    The batch first collapses to per-key PARTIAL states (one keyed
+    aggregation over batch rows only), then partials merge with the
+    stored state by the aggregates' own combine functions (count+count,
+    sum+sum, min(min), max(max)) — the associativity that makes
+    map-side combine work is exactly what makes the refresh exact.
+    Cost per refresh: |state keys| + |batch| rows through one keyed
+    aggregation — independent of history ROW count (state grows with
+    key cardinality, the same bound a streaming state store carries).
+
+    ``value_col`` must be integer-typed (quantize floats upstream —
+    integer sums are order-insensitive and engine-exact; a double sum
+    would depend on partition merge order).  Same two-rename crash
+    safety as incremental_topk.
+    """
+    state_path = Path(state_path)
+    tmp = state_path.parent / (state_path.name + ".tmp")
+    bak = state_path.parent / (state_path.name + ".bak")
+    v = F.col(value_col)
+    partial = new_batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+    live = state_path if state_path.exists() else bak
+    if live.exists():
+        prev = spark.read.parquet(str(live)).select(*partial.columns)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+    else:
+        merged = partial
+    merged.write.mode("overwrite").parquet(str(tmp))
+    _swap_state(state_path, tmp, bak)
     return spark.read.parquet(str(state_path))

@@ -837,6 +837,58 @@ def q_graph_triangle_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# Bipartite degree profile (graph-shape audit for the projection ops)
+# ===========================================================================
+
+
+@register(
+    "graph_degree_profile",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), d1 AS (
+        SELECT 'suppliers_per_part' AS side, p AS id, count(*)::BIGINT AS deg
+        FROM ps GROUP BY p
+    ), d2 AS (
+        SELECT 'parts_per_supplier' AS side, s AS id, count(*)::BIGINT AS deg
+        FROM ps GROUP BY s
+    ), u AS (
+        SELECT side, deg FROM d1 UNION ALL SELECT side, deg FROM d2
+    )
+    SELECT side, deg, count(*)::BIGINT AS n_nodes
+    FROM u GROUP BY side, deg
+    """,
+    survey_ids=("A1", "A3"),
+    doc="Bipartite degree distribution of the part-supplier graph: how "
+    "many parts have k suppliers, how many suppliers carry k parts.  "
+    "The PRE-FLIGHT audit for every operator that projects or "
+    "self-joins this graph (pagerank, triangles, co-supply edges): "
+    "the projection emits k(k-1)/2 pairs per part, so the "
+    "suppliers_per_part tail IS the quadratic risk, measured before "
+    "committing to the join (the cap/threshold decision documented "
+    "at graph_triangle_stats becomes data-driven).  Two keyed "
+    "aggregations over the DISTINCT projection, then a tiny "
+    "histogram aggregate — scales as the vocabulary.",
+)
+def q_graph_degree_profile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    d1 = ps.groupBy("p").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.lit("suppliers_per_part").alias("side"), "deg"
+    )
+    d2 = ps.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.lit("parts_per_supplier").alias("side"), "deg"
+    )
+    return (
+        d1.unionByName(d2)
+        .groupBy("side", "deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+# ===========================================================================
 # Inverted index build (search / retrieval primitive)
 # ===========================================================================
 
@@ -1572,6 +1624,70 @@ def q_table_profile_orders(spark, sf_dir):
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS (col, n, n_null, n_distinct, min_v, max_v)"
         )
+    )
+
+
+# ===========================================================================
+# Incremental aggregate maintenance in the gate (3-batch replay)
+# ===========================================================================
+
+
+@register(
+    "incremental_agg_events",
+    """
+    SELECT user_id, count(*)::BIGINT AS n,
+           sum(floor(value * 1e4)::BIGINT)::BIGINT AS sum_v,
+           min(floor(value * 1e4)::BIGINT) AS min_v,
+           max(floor(value * 1e4)::BIGINT) AS max_v
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey_ids=("A1", "S11"),
+    doc="Incremental view maintenance for DECOMPOSABLE aggregates: the "
+    "events table replays as three batches (event_id residue "
+    "classes) folded through operators/incremental.incremental_agg — "
+    "each refresh collapses the batch to per-key partial states and "
+    "merges them with the stored state by the aggregates' combine "
+    "functions (the associativity map-side combine relies on, "
+    "applied across TIME instead of across partitions).  The final "
+    "state must equal the one-shot GROUP BY oracle.  Values are "
+    "floor-quantized to integers BEFORE summing: integer addition "
+    "is order-insensitive, so the replayed sum is bit-equal however "
+    "the batches split; refresh cost is |keys| + |batch| regardless "
+    "of history depth — the warehouse-rollup maintenance pattern at "
+    "100 TB, where recomputing the full history per day is the cost "
+    "ceiling being avoided.",
+)
+def q_incremental_agg_events(spark, sf_dir):
+    import tempfile
+
+    from ..operators.incremental import incremental_agg
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as d:
+        state = f"{d}/agg_state"
+        out = None
+        for r in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == r)
+            out = incremental_agg(
+                spark, batch, state, keys=["user_id"], value_col="qv"
+            )
+        rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    return df.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        "min_v",
+        "max_v",
     )
 
 

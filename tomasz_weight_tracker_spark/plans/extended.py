@@ -463,6 +463,47 @@ def q_streaming_bucket_15min(spark, sf_dir):
 
 
 @register(
+    "streaming_hopping_counts",
+    """
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) // 900000000 AS bk FROM events
+    ), u AS (
+        SELECT event_type, bk * 900000000 AS start_us FROM b
+        UNION ALL
+        SELECT event_type, (bk - 1) * 900000000 FROM b
+    )
+    SELECT make_timestamp(start_us) AS w_start, event_type,
+           count(*)::BIGINT AS n_events
+    FROM u GROUP BY 1, 2
+    """,
+    survey_ids=("ST1", "A1", "T7"),
+    doc="HOPPING (sliding) window counts in the streaming gate: 30-"
+    "minute windows every 15 minutes, so each event lands in exactly "
+    "two overlapping windows — the dashboard smoothing shape tumbling "
+    "windows can't express.  F.window(ts, '30 minutes', '15 minutes') "
+    "replicates rows to their windows BEFORE the keyed aggregation "
+    "(state is per (window, type), bounded by the watermark horizon; "
+    "the replication factor is window/slide = 2, a constant).  The "
+    "batch oracle derives both window starts per event with integer "
+    "microsecond arithmetic and must match the drained stream "
+    "hash-exactly.",
+)
+def q_streaming_hopping_counts(spark, sf_dir):
+    from ..streaming.pipelines import drain_to_memory, stream_events
+
+    df = stream_events(spark, sf_dir)
+    agg = (
+        df.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+    return drain_to_memory(spark, agg, "shop", "complete")
+
+
+@register(
     "gap_fill_interpolate",
     """
     WITH s AS (

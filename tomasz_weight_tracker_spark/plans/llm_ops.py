@@ -967,3 +967,250 @@ def q_embed_lsh_near_dup(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ===========================================================================
+# BM25 lexical retrieval (search-side twin of the embedding ANN path)
+# ===========================================================================
+
+# Query terms are a fixed constant set (in production they arrive as a
+# parameter; the plan is identical — per-term tf columns are generated
+# from the parsed query).  k1/b are the standard BM25 defaults.  The
+# idf is Robertson's RATIONAL form (N - df + 0.5)/(df + 0.5) WITHOUT
+# the log: ln() is not bit-portable across engines (last-ulp differs),
+# while +,-,*,/ on doubles are IEEE-exact everywhere, so the rational
+# variant keeps the oracle hash-exact.  Monotonicity in df is the same
+# (log is monotone), so per-term ranking behavior is preserved; the
+# cross-term mixing differs from textbook BM25 and is documented as
+# this engine's scoring variant.
+_BM25_TERMS = ("hash", "join", "spark")
+_BM25_TOP = 20
+
+
+def _bm25_term_sql(t: str) -> str:
+    """DuckDB: per-term score given tf_<t>, dl, and the stats columns.
+
+    Every float literal is e-notation: DuckDB parses plain decimals as
+    DECIMAL, which double-rounds differently from a DOUBLE literal.
+    (1-b) is pre-folded to 2.5e-1 so both engines add the same
+    constants in the same order."""
+    tf = f"cast(tf_{t} as double)"
+    idf = f"((cast(n_docs as double) - cast(df_{t} as double)) + 5e-1) / (cast(df_{t} as double) + 5e-1)"
+    denom = f"({tf} + 1.2e0 * (2.5e-1 + 7.5e-1 * (cast(dl as double) / avgdl)))"
+    return f"({idf}) * (({tf} * 2.2e0) / {denom})"
+
+
+def _bm25_oracle() -> str:
+    from ..operators.text_analysis import sql_tokens
+
+    tok = sql_tokens("lower(text)")
+    tf_cols = ", ".join(
+        f"len(list_filter({tok}, x -> x = '{t}'))::BIGINT AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, len({tok})::BIGINT AS dl, {tf_cols}
+        FROM documents
+    ), stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               cast(sum(dl) as double) / cast(count(*) as double) AS avgdl,
+               {df_cols}
+        FROM d
+    )
+    SELECT doc_id, floor(({score}) * 1e6)::BIGINT AS score_e6
+    FROM d CROSS JOIN stats
+    WHERE {any_tf} > 0
+    ORDER BY ({score}) DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """
+
+
+@register(
+    "bm25_search",
+    _bm25_oracle(),
+    survey_ids=("G2", "A1", "O5"),
+    doc="BM25 lexical top-k retrieval over the documents table — the "
+    "sparse/lexical counterpart to embed_knn/embed_ivf_topk in a "
+    "training-data search stack (dedup forensics, benchmark leakage "
+    "lookups, corpus QA all need 'find documents matching these "
+    "terms' without embeddings).  Plan shape: per-row tf/dl columns "
+    "(array_filter counts, zero shuffle), ONE tiny corpus-stats "
+    "aggregate (N, avgdl, per-term df) broadcast back via crossJoin, "
+    "scoring fully codegen'd per row, TakeOrderedAndProject for the "
+    "top-k — the corpus is scanned twice and shuffled never.  The "
+    "idf is Robertson's rational (N-df+.5)/(df+.5) without ln(): "
+    "log is not bit-portable across engines, rational arithmetic is "
+    "(documented scoring variant; ranking per term is order-"
+    "equivalent).  At 100 TB the stats aggregate is map-side partial "
+    "+ 1-row result, and the top-k never materializes a global sort.",
+)
+def q_bm25_search(spark, sf_dir):
+    from ..functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(F.lower(F.col("text")))
+
+    def _tf(term):
+        # Closure factory: `lambda x, t=term` would bind the ELEMENT
+        # INDEX to t (2-arg higher-order lambdas are (element, index)).
+        return F.size(F.filter(tok, lambda x: x == F.lit(term))).cast("long")
+
+    d = docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        term = F.expr(_bm25_term_sql(t))
+        score = term if score is None else (score + term)
+    any_tf = None
+    for t in _BM25_TERMS:
+        c = F.col(f"tf_{t}")
+        any_tf = c if any_tf is None else (any_tf + c)
+    return (
+        scored.filter(any_tf > 0)
+        .withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), "doc_id")
+        .limit(_BM25_TOP)
+        .select(
+            "doc_id",
+            F.floor(F.col("__score") * F.lit(1e6)).cast("long").alias("score_e6"),
+        )
+    )
+
+
+# ===========================================================================
+# Lexical cosine near-dup (rare-feature sparse-vector similarity join)
+# ===========================================================================
+
+# Feature space = 5-char shingles with document frequency in
+# [2, _LEXCOS_DF_MAX].  df=1 features cannot produce a pair; features
+# above the cap are corpus-common boilerplate, excluded both to bound
+# pair emission (<= cap^2/2 pairs per feature — the same absolute-cap
+# discipline as LSH banding and the fuzzy join) and because shared
+# COMMON substrings are not near-dup evidence.  Vectors are binary
+# (shingle sets), so every accumulation is an exact integer COUNT and
+# the only float ops are one sqrt and one division — bit-portable.
+_LEXCOS_DF_MAX = 16
+_LEXCOS_MIN_E6 = 500000
+
+
+@register(
+    "lexical_cosine_pairs",
+    f"""
+    WITH n AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CASE WHEN length(t) >= 5
+                    THEN list_distinct(list_transform(range(1, length(t) - 3),
+                                                      i -> substr(t, i::INT, 5)))
+                    ELSE [t] END AS sh
+        FROM n
+    ), p AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    d AS (SELECT g, count(*)::BIGINT AS df FROM p GROUP BY g),
+    rare AS (
+        SELECT p.doc_id, p.g FROM p JOIN d ON p.g = d.g
+        WHERE d.df >= 2 AND d.df <= {_LEXCOS_DF_MAX}
+    ),
+    norms AS (SELECT doc_id, count(*)::BIGINT AS nn FROM rare GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS dot
+        FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot,
+           floor((cast(dot as double)
+                  / sqrt(cast(na.nn * nb.nn as double))) * 1e6)::BIGINT AS cos_e6
+    FROM dots JOIN norms na ON dots.id_a = na.doc_id
+              JOIN norms nb ON dots.id_b = nb.doc_id
+    WHERE floor((cast(dot as double)
+                 / sqrt(cast(na.nn * nb.nn as double))) * 1e6) >= {_LEXCOS_MIN_E6}
+    """,
+    survey_ids=("A7", "G5"),
+    doc="Lexical cosine near-dup via RARE-feature sparse vectors: "
+    "binary 5-char-shingle vectors restricted to features with "
+    f"corpus df in [2, {_LEXCOS_DF_MAX}], pairs generated by a "
+    "postings self-join on the shared feature, cosine = shared / "
+    "sqrt(|A| * |B|) over that subspace.  Completes the dedup "
+    "matrix's lexical-cosine cell (exact hash, MinHash-LSH, SimHash, "
+    "n-gram Jaccard, SNM, embedding-LSH already present): unlike "
+    "Jaccard it is robust to size asymmetry (a doc embedded inside a "
+    "10x larger one still scores), and the rare-feature restriction "
+    "is what makes the pairwise stage scale-safe — a feature emits "
+    f"at most {_LEXCOS_DF_MAX}*{_LEXCOS_DF_MAX - 1}/2 pairs, "
+    "corpus-common features are excluded by construction, and the "
+    "shingle vocabulary saturates (measured: ~2k shingles at both "
+    "sf0.01 and sf0.1).  All accumulations are integer counts; the "
+    "single sqrt and divide are IEEE-correctly-rounded, so the "
+    "oracle is hash-exact.",
+)
+def q_lexical_cosine_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("__t"),
+    )
+    t = F.col("__t")
+    sh = F.when(
+        F.length(t) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 4),
+                lambda i: t.substr(i, F.lit(5)),
+            )
+        ),
+    ).otherwise(F.array(t))
+    p = d.select("doc_id", F.explode(sh).alias("g"))
+    df_counts = p.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = (
+        p.join(df_counts, "g")
+        .filter((F.col("df") >= 2) & (F.col("df") <= _LEXCOS_DF_MAX))
+        .select("doc_id", "g")
+    )
+    norms = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    a, b = rare.alias("a"), rare.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    cos_e6 = F.floor(
+        (F.col("dot").cast("double") / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "dot", cos_e6.alias("cos_e6"))
+        .filter(F.col("cos_e6") >= _LEXCOS_MIN_E6)
+    )

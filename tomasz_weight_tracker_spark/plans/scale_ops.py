@@ -223,6 +223,143 @@ def q_stratified_sample_events(spark, sf_dir):
     )
 
 
+# --- range join via bucketization (interval containment at scale) ----------
+
+_IBJ_BUCKET_US = 900 * 1_000_000  # 15-minute buckets, microseconds
+_IBJ_WIN = "INTERVAL 30 MINUTES"
+
+
+@register(
+    "interval_bucket_join",
+    """
+    WITH err AS (
+        SELECT event_id AS win_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error'
+    ), pur AS (
+        SELECT event_id AS p_id, ts FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT win_id, count(*)::BIGINT AS c
+        FROM err JOIN pur ON pur.ts >= err.w_start AND pur.ts < err.w_end
+        GROUP BY win_id
+    )
+    SELECT e.win_id, e.w_start, coalesce(m.c, 0)::BIGINT AS n_purchases
+    FROM err e LEFT JOIN m USING (win_id)
+    """,
+    survey_ids=("J1", "T7", "A1"),
+    doc="Keyless interval-containment join (how many purchases fall "
+    "inside each 30-minute incident window) rewritten as an EQUI "
+    "join: a naive range join with no equality key is a cross "
+    "product with a filter — Catalyst plans BroadcastNestedLoop and "
+    "at corpus scale that is O(|windows| x |events|).  The "
+    "bucketization rewrite quantizes time into 15-minute buckets, "
+    "explodes each window onto the <=3 buckets it touches, tags each "
+    "probe row with its bucket, and equi-joins on the bucket before "
+    "applying the exact range predicate — pair work collapses from "
+    "all-pairs to per-bucket density, the join shuffles on an "
+    "integer key (AQE-splittable if one time slice is hot), and the "
+    "pair stream dedups on (window, probe) before counting because a "
+    "pair can meet in up to two shared buckets.  Windows that catch "
+    "nothing are kept by the final left join (count 0).  The oracle "
+    "is the plain range join the rewrite must equal.",
+)
+def q_interval_bucket_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr(_IBJ_WIN)).alias("w_end"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "ts"
+    )
+    wb = err.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(w_start) div {_IBJ_BUCKET_US}"),
+                F.expr(f"unix_micros(w_end) div {_IBJ_BUCKET_US}"),
+            )
+        ),
+    )
+    pb = pur.withColumn("bucket", F.expr(f"unix_micros(ts) div {_IBJ_BUCKET_US}"))
+    pairs = (
+        pb.join(wb, "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("win_id", "p_id")
+        .distinct()
+    )
+    counts = pairs.groupBy("win_id").agg(F.count(F.lit(1)).alias("c"))
+    return err.join(counts, "win_id", "left").select(
+        "win_id",
+        "w_start",
+        F.coalesce("c", F.lit(0)).cast("long").alias("n_purchases"),
+    )
+
+
+# --- deterministic WEIGHTED sampling (sequential Poisson / priority) --------
+
+_WSAMP_K = 64
+# 2^53: the largest power of two whose integer range doubles represent
+# exactly — u = (md5 % 2^53) / 2^53 is an exact IEEE division in both
+# engines (e-notation literal: DuckDB parses plain decimals as DECIMAL).
+_WSAMP_MOD = 9007199254740992
+
+
+@register(
+    "weighted_sample_events",
+    f"""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               cast(({md5_long_sql("'wsamp:' || event_id::VARCHAR")})
+                    % {_WSAMP_MOD} as double) / 9.007199254740992e15 AS u
+        FROM events WHERE value IS NOT NULL AND value > 0e0
+    )
+    SELECT event_id, user_id, value,
+           floor((u / value) * 1e12)::BIGINT AS pri_e12
+    FROM w
+    ORDER BY u / value, event_id
+    LIMIT {_WSAMP_K}
+    """,
+    survey_ids=("P5", "O5"),
+    doc="Deterministic weighted sampling without replacement "
+    f"(top-{_WSAMP_K}): sequential Poisson / priority sampling "
+    "(Ohlsson) — each row gets priority u/w with u a uniform md5-"
+    "derived rational and w its weight; the k smallest priorities are "
+    "a weighted sample.  The mixture-construction primitive when "
+    "examples carry importance weights (quality scores, dedup "
+    "multiplicities): heavier rows draw smaller priorities "
+    "proportionally more often.  No ln() (the exponential-sort "
+    "formulation -ln(u)/w is NOT bit-portable; the rational "
+    "priority's argsort is identical and IEEE-exact), no RNG state — "
+    "re-runs, retries, and engines agree row-for-row.  Plan: scan-"
+    "side projection + TakeOrderedAndProject; zero shuffles, no "
+    "global sort.",
+)
+def q_weighted_sample_events(spark, sf_dir):
+    from ..functions import md5_long
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    u = (
+        md5_long(F.concat(F.lit("wsamp:"), F.col("event_id").cast("string")))
+        % F.lit(_WSAMP_MOD)
+    ).cast("double") / F.lit(9.007199254740992e15)
+    pri = (u / F.col("value")).alias("__pri")
+    return (
+        ev.select("event_id", "user_id", "value", pri)
+        .orderBy("__pri", "event_id")
+        .limit(_WSAMP_K)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.floor(F.col("__pri") * F.lit(1e12)).cast("long").alias("pri_e12"),
+        )
+    )
+
+
 # --- Z-order layout key ----------------------------------------------------
 
 

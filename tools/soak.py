@@ -64,6 +64,14 @@ DEFAULT_QUERIES = [
     "graph_triangle_stats",
     "heavy_hitters",
     "incremental_topk_events",
+    # round-5 families
+    "graph_degree_profile",
+    "bm25_search",
+    "weighted_sample_events",
+    "interval_bucket_join",
+    "lexical_cosine_pairs",
+    "fuzzy_name_match",
+    "dup_clusters",
 ]
 
 _SHIFTS = {
