@@ -1152,9 +1152,11 @@ _LEXCOS_MIN_E6 = 500000
     survey_ids=("A7", "G5"),
     doc="Lexical cosine near-dup via RARE-feature sparse vectors: "
     "binary 5-char-shingle vectors restricted to features with "
-    f"corpus df in [2, {_LEXCOS_DF_MAX}], pairs generated by a "
-    "postings self-join on the shared feature, cosine = shared / "
-    "sqrt(|A| * |B|) over that subspace.  Completes the dedup "
+    f"corpus df in [2, {_LEXCOS_DF_MAX}], pairs expanded IN-ROW from "
+    "each rare feature's sorted posting list (<= df_max^2/2 pairs "
+    "per feature — no pair-relation self-join, one corpus explode "
+    "total), cosine = shared / sqrt(|A| * |B|) over that subspace.  "
+    "Completes the dedup "
     "matrix's lexical-cosine cell (exact hash, MinHash-LSH, SimHash, "
     "n-gram Jaccard, SNM, embedding-LSH already present): unlike "
     "Jaccard it is robust to size asymmetry (a doc embedded inside a "
@@ -1183,23 +1185,42 @@ def q_lexical_cosine_pairs(spark, sf_dir):
         ),
     ).otherwise(F.array(t))
     p = d.select("doc_id", F.explode(sh).alias("g"))
-    df_counts = p.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    rare = (
-        p.join(df_counts, "g")
-        .filter((F.col("df") >= 2) & (F.col("df") <= _LEXCOS_DF_MAX))
-        .select("doc_id", "g")
+    # ONE corpus pass: per-gram sorted posting lists with the df cap
+    # applied as a size filter.  The first cut of this query kept the
+    # (doc, gram) pair relation and self-joined it — the pair relation
+    # fed four branches, Catalyst does not CSE shared subtrees, and
+    # the corpus-wide shingle explode ran EIGHT times (6.3 s at
+    # sf0.1).  Collapsing to posting lists makes the explode+exchange
+    # a single subtree (AQE exchange reuse dedups its two tiny
+    # consumers), pairs come from an in-row combination expansion
+    # bounded by df_max^2/2 per gram, and norms re-explode the <=
+    # df_max-element lists — 6.3 s -> ~2.5 s with no cache and no
+    # eager materialization to hide cost from the bench timer.
+    posts = (
+        p.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _LEXCOS_DF_MAX))
     )
-    norms = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
-    a, b = rare.alias("a"), rare.alias("b")
+    norms = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nn"))
+    )
+    # (x, i) lambda = (element, index) — the index is wanted here:
+    # pairs (ds[i], ds[j]) for i < j over the SORTED list, so id_a <
+    # id_b by construction.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     dots = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        posts.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
