@@ -163,24 +163,34 @@ def _pagerank_oracle() -> str:
     "lineitem first collapses through the DISTINCT.",
 )
 def q_pagerank_part_supplier(spark, sf_dir):
-    from ..caching import track_cache
-
     li = load(spark, sf_dir, "lineitem")
     fwd = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    # edges/deg feed every iteration — cache them or each round
-    # re-runs the lineitem DISTINCT (Catalyst does not CSE subtrees).
-    edges = track_cache(
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    )
-    deg = track_cache(edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
+    # edges/deg feed every iteration.  NOT cached: both end at an
+    # exchange (distinct / aggregate), so AQE exchange reuse dedups
+    # them at the stage-graph level — a lazy .cache() here RACED when
+    # the nested iteration plan's branch stages scanned it
+    # concurrently, re-running the lineitem DISTINCT several times
+    # (10x soak: 55 s cached-with-race vs 15 s uncached+hash-join).
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("rank"))
     for _ in range(_PR_ITERS):
+        # shuffle_hash: SMJ would re-SORT the 2|E|-row edge relation
+        # every iteration (the exchange is reused, sorts are not);
+        # hash-building the node-sized rank/deg side skips that — and
+        # unlike a broadcast it neither funnels |V| rows through the
+        # driver per iteration (measured 2.6x slower) nor breaks at
+        # billion-node scale.
         contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
+            edges.join(
+                ranks.hint("shuffle_hash"), edges.src == ranks.id
+            )
+            .join(deg.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.floor((F.col("rank") / F.col("outdeg")) * F.lit(1e8)).alias("c"),
@@ -219,7 +229,10 @@ _SNM_WINDOW = 2  # compare each doc to its next w neighbors
 # information (they are the same near-dup class by construction; the
 # dup_clusters operator is the tool for enumerating members), so the
 # cap trades nothing on non-degenerate data — runs there are 1-2 long.
-_SNM_MAX_RUN = 8
+# 4, not 8: the 10x soak builds runs of exactly 10 (verbatim copies),
+# and a cap of 8 barely bound them (output still grew 232x); 4 keeps
+# two pairs per degenerate clump, which is all the signal there is.
+_SNM_MAX_RUN = 4
 
 
 def _snm_oracle() -> str:

@@ -1167,7 +1167,12 @@ _LEXCOS_MIN_E6 = 500000
     "shingle vocabulary saturates (measured: ~2k shingles at both "
     "sf0.01 and sf0.1).  All accumulations are integer counts; the "
     "single sqrt and divide are IEEE-correctly-rounded, so the "
-    "oracle is hash-exact.",
+    "oracle is hash-exact.  Degenerate-corpus behavior (measured in "
+    "the 10x verbatim-duplication soak): mass duplication pushes "
+    "every feature's df over the cap and the op returns ZERO pairs — "
+    "correct posture, not a bug: on such a corpus exact dedup / "
+    "dup_clusters is the right first pass (the curation pipeline "
+    "order), and rare-feature cosine is for what remains after it.",
 )
 def q_lexical_cosine_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
