@@ -216,6 +216,126 @@ class TestLexicalCosinePairs:
         assert q_lexical_cosine_pairs(spark, path).count() == 0
 
 
+class TestJoinKeySkewProfile:
+    def test_hot_key_tops_profile(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.scale_ops import (
+            q_join_key_skew_profile,
+        )
+
+        rows = [(i, 7, "view", _ts(9, 0, i % 60), 1.0) for i in range(900)]
+        rows += [(10000 + i, 100 + i, "view", _ts(10), 1.0) for i in range(100)]
+        path = _events(spark, tmp_path, rows)
+        out = q_join_key_skew_profile(spark, path).collect()
+        top = out[0]
+        assert top.k == 7 and top.n == 900
+        assert top.share_e9 == 900_000_000  # 90% of 1000 rows
+        # 101 distinct keys, mean load ~9.9 -> hot key ~90.9x the mean.
+        assert 90_000_000 < top.over_avg_e6 < 92_000_000
+
+
+class TestReferentialIntegrity:
+    def test_injected_orphans_counted(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.plans.scale_ops import (
+            q_referential_integrity_audit,
+        )
+
+        path = str(tmp_path / "ri")
+        spark.createDataFrame(
+            [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)),
+             (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)),  # orphan order
+             (1, 1, 99, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9))],  # orphan part
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(path + "/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, 10, "O", 1.0, _ts(9), "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(path + "/orders.parquet")
+        spark.createDataFrame(
+            [(10, "c", "addr", 1, "p", 1.0, "BUILDING", "x")],
+            "c_custkey long, c_name string, c_address string, c_nationkey long, "
+            "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+        ).write.parquet(path + "/customer.parquet")
+        spark.createDataFrame(
+            [(1, "p1", "m", "t", 1, "c", 1.0)],
+            "p_partkey long, p_name string, p_mfgr string, p_type string, "
+            "p_size int, p_container string, p_retailprice double",
+        ).write.parquet(path + "/part.parquet")
+        got = {r.edge: (r.n_child, r.n_orphans) for r in q_referential_integrity_audit(spark, path).collect()}
+        assert got["lineitem.l_orderkey->orders"] == (3, 1)
+        assert got["orders.o_custkey->customer"] == (1, 0)
+        assert got["lineitem.l_partkey->part"] == (3, 1)
+
+
+class TestStreamingUpsertState:
+    def test_multi_batch_converges_to_keep_last(self, spark, tmp_path):
+        """4-file time-split replay with maxFilesPerTrigger=1: the
+        foreachBatch MERGE sink must converge to keep-last-per-key
+        ACROSS micro-batches — later batches overwrite earlier state,
+        untouched keys survive."""
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        from tomasz_weight_tracker_spark.plans.catalog import load
+        from tomasz_weight_tracker_spark.streaming.pipelines import stream_upsert
+
+        ev = load(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("value").isNotNull()
+        )
+        out = str(tmp_path / "evsplit")
+        ev.withColumn(
+            "__f", F.ntile(4).over(W.orderBy("ts", "event_id"))
+        ).repartition(1).sortWithinPartitions("ts").write.partitionBy("__f").parquet(out)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+            .select(
+                "event_id", "user_id", "ts",
+                F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
+            )
+        )
+
+        def keep_last(batch):
+            w = W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            return (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("user_id", F.col("qv").alias("last_qv"), F.col("ts").alias("last_ts"))
+            )
+
+        with tempfile.TemporaryDirectory() as d:
+            q = stream_upsert(
+                stream, f"{d}/state", keys=["user_id"],
+                checkpoint=f"{d}/ckpt", prepare=keep_last,
+            ).start()
+            assert q.awaitTermination(300)
+            got = {
+                r.user_id: (r.last_qv, r.last_ts)
+                for r in spark.read.parquet(f"{d}/state").collect()
+            }
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        want = {
+            r.user_id: (r.last_qv, r.last_ts)
+            for r in ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("last_qv"),
+                F.col("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
 class TestStreamingHopping:
     def test_every_event_in_exactly_two_windows(self, spark):
         from tomasz_weight_tracker_spark.plans import REGISTRY

@@ -504,6 +504,68 @@ def q_streaming_hopping_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_upsert_state",
+    """
+    SELECT user_id, qv AS last_qv, ts AS last_ts FROM (
+        SELECT user_id, floor(value * 1e4)::BIGINT AS qv, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL
+    ) WHERE rn = 1
+    """,
+    survey_ids=("ST1", "S11", "W4"),
+    doc="Streaming CDC-apply in the gate: the events stream drains "
+    "through stream_upsert's foreachBatch MERGE sink into a keyed "
+    "parquet state table — each batch keeps its last row per user "
+    "(row_number inside foreachBatch, where window functions are "
+    "legal) and upserts, so the table converges to keep-last-per-key "
+    "however the input batches.  The final table must equal the "
+    "batch keep-last oracle.  This is the exactly-once sink path "
+    "(checkpoint tracks input; the upsert is idempotent, so batch "
+    "replay after a crash is a no-op) — the one streaming surface "
+    "the gate did not yet execute end-to-end.",
+)
+def q_streaming_upsert_state(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..streaming.pipelines import stream_events, stream_upsert
+
+    df = stream_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
+    )
+
+    def keep_last(batch):
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("qv").alias("last_qv"), F.col("ts").alias("last_ts"))
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        q = stream_upsert(
+            df,
+            f"{d}/state",
+            keys=["user_id"],
+            checkpoint=f"{d}/ckpt",
+            prepare=keep_last,
+        ).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_upsert_state drain timed out")
+        rows = spark.read.parquet(f"{d}/state").collect()
+        schema = spark.read.parquet(f"{d}/state").schema
+    return spark.createDataFrame(rows, schema).select("user_id", "last_qv", "last_ts")
+
+
+@register(
     "gap_fill_interpolate",
     """
     WITH s AS (

@@ -223,6 +223,153 @@ def q_stratified_sample_events(spark, sf_dir):
     )
 
 
+# --- join-key skew profile (the salting decision's input) -------------------
+
+_SKEW_TOP = 20
+
+
+@register(
+    "join_key_skew_profile",
+    f"""
+    WITH c AS (
+        SELECT user_id AS k, count(*)::BIGINT AS n FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS nk, max(n)::BIGINT AS mx
+        FROM c
+    )
+    SELECT c.k, c.n,
+           floor((cast(c.n as double) / cast(tot.t as double)) * 1e9)::BIGINT
+               AS share_e9,
+           floor((cast(c.n as double)
+                  / (cast(tot.t as double) / cast(tot.nk as double))) * 1e6)::BIGINT
+               AS over_avg_e6
+    FROM c CROSS JOIN tot
+    ORDER BY c.n DESC, c.k
+    LIMIT {_SKEW_TOP}
+    """,
+    survey_ids=("A1", "O5"),
+    doc=f"Join-key skew profile: the top-{_SKEW_TOP} hottest keys with "
+    "their absolute count, corpus share (ppb) and multiple of the "
+    "mean key load — the MEASUREMENT that decides between a plain "
+    "keyed join, AQE skew split, and explicit salting "
+    "(operators/layout.py salted_join): AQE handles a skewed "
+    "PARTITION, salting handles a skewed KEY, and this query tells "
+    "you which regime a dataset is in before the expensive join "
+    "runs.  One keyed count with map-side partials, a 1-row stats "
+    "broadcast, TakeOrderedAndProject — profiling cost is one scan "
+    "regardless of table size.",
+)
+def q_join_key_skew_profile(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    share = F.floor(
+        (F.col("n").cast("double") / F.col("t").cast("double")) * F.lit(1e9)
+    ).cast("long")
+    over_avg = F.floor(
+        (
+            F.col("n").cast("double")
+            / (F.col("t").cast("double") / F.col("nk").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), "k")
+        .limit(_SKEW_TOP)
+        .select("k", "n", share.alias("share_e9"), over_avg.alias("over_avg_e6"))
+    )
+
+
+# --- referential-integrity audit (FK orphan rates) --------------------------
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    WITH e1 AS (
+        SELECT count(*)::BIGINT AS n_child,
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e2 AS (
+        SELECT count(*)::BIGINT AS n_child,
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), e3 AS (
+        SELECT count(*)::BIGINT AS n_child,
+               sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_orphans
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS edge, n_child, n_orphans,
+               floor((cast(n_orphans as double) / cast(n_child as double)) * 1e6)::BIGINT AS orphan_ppm
+        FROM e1
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', n_child, n_orphans,
+               floor((cast(n_orphans as double) / cast(n_child as double)) * 1e6)::BIGINT
+        FROM e2
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', n_child, n_orphans,
+               floor((cast(n_orphans as double) / cast(n_child as double)) * 1e6)::BIGINT
+        FROM e3
+    )
+    """,
+    survey_ids=("J4", "A8"),
+    doc="Referential-integrity audit across the schema's three FK "
+    "edges: child count, orphan count (child keys with no parent), "
+    "orphan ppm.  The cross-TABLE data-quality check complementing "
+    "the per-table dq_audit/table_profile family — at ingest scale, "
+    "orphan spikes are how partial loads and out-of-order CDC "
+    "batches surface.  Each edge is one left join counted in one "
+    "aggregate; the parent side's DISTINCT key set rides a "
+    "broadcast where stats allow, and the three 1-row edge results "
+    "union driver-free.",
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+
+    def edge(label, child, ckey, parent, pkey):
+        p = parent.select(F.col(pkey).alias("__pk")).distinct()
+        j = child.join(p, F.col(ckey) == F.col("__pk"), "left")
+        return j.agg(
+            F.lit(label).alias("edge"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            "edge",
+            "n_child",
+            "n_orphans",
+            F.floor(
+                (F.col("n_orphans").cast("double") / F.col("n_child").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("orphan_ppm"),
+        )
+
+    return (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .unionByName(
+            edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+    )
+
+
 # --- range join via bucketization (interval containment at scale) ----------
 
 _IBJ_BUCKET_US = 900 * 1_000_000  # 15-minute buckets, microseconds

@@ -215,6 +215,7 @@ def stream_upsert(
     keys: Sequence[str],
     checkpoint: str,
     partition_by: Sequence[str] | None = None,
+    prepare=None,
 ):
     """foreachBatch MERGE sink: every micro-batch upserts by key into a
     parquet table via :func:`..sources.writers.upsert_by_key` — the
@@ -224,15 +225,20 @@ def stream_upsert(
     Returns a configured ``DataStreamWriter`` (caller calls
     ``.start()``).  Restart-safe: the checkpoint tracks consumed input,
     and re-applying an already-applied batch is a no-op because the
-    upsert itself is idempotent.  Batches must be unique per key
-    (dedupe upstream with ``stream_dedup_keep_first`` if the source
-    can repeat keys within one batch).
+    upsert itself is idempotent.  Batches must be unique per key:
+    either dedupe upstream with ``stream_dedup_keep_first``, or pass
+    ``prepare`` — a BATCH DataFrame -> DataFrame transform applied
+    inside foreachBatch, where window functions ARE allowed (a
+    streaming DF upstream of foreachBatch cannot host row_number, so
+    keep-last-per-key dedup belongs here).
     """
     from ..sources.writers import upsert_by_key
 
     part = list(partition_by) if partition_by else None
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         upsert_by_key(batch_df.sparkSession, batch_df, path, list(keys), part)
 
     return (
