@@ -336,6 +336,51 @@ class TestStreamingUpsertState:
         assert got == want
 
 
+class TestSnapshotPatchApply:
+    def test_roundtrip_counts_and_membership(self, spark):
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _DIFF_DELETE,
+            _DIFF_INSERT,
+        )
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        out = REGISTRY["snapshot_patch_apply"].build(spark, SF)
+        orders = load(spark, SF, "orders")
+        n_old = orders.count()
+        n_del = orders.filter(F.col("o_orderkey") % _DIFF_DELETE == 0).count()
+        n_ins = orders.filter(F.col("o_orderkey") % _DIFF_INSERT == 0).count()
+        # Reconstructed new = old - deletes + inserts.
+        assert out.count() == n_old - n_del + n_ins
+        # A deleted key is gone; an inserted twin (negative key) exists.
+        assert out.filter(F.col("o_orderkey") % _DIFF_DELETE == 0).filter(
+            F.col("o_orderkey") > 0
+        ).count() == 0
+        assert out.filter(F.col("o_orderkey") < 0).count() == n_ins
+
+
+class TestEmbedDupClusters:
+    def test_clusters_have_pair_support(self, spark):
+        # Every cluster groups >= 2 vectors, the canonical id is the
+        # min member, and cluster membership covers exactly the nodes
+        # of the near-pair graph.
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        clusters = REGISTRY["embed_dup_clusters"].build(spark, SF).collect()
+        assert clusters, "expected near-dup clusters at sf0.001"
+        assert all(r.n_members >= 2 for r in clusters)
+        assert all(r.canonical_id == r.component for r in clusters)
+        pairs = (
+            REGISTRY["embed_lsh_near_dup"]
+            .build(spark, SF)
+            .filter(F.col("is_near"))
+            .select("id_a", "id_b")
+            .collect()
+        )
+        nodes = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+        assert sum(r.n_members for r in clusters) == len(nodes)
+
+
 class TestStreamingHopping:
     def test_every_event_in_exactly_two_windows(self, spark):
         from tomasz_weight_tracker_spark.plans import REGISTRY

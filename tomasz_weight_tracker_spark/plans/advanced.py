@@ -519,6 +519,77 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 # ===========================================================================
+# Snapshot patch apply (CDC apply: old + diff -> new, round-trip proven)
+# ===========================================================================
+
+
+@register(
+    "snapshot_patch_apply",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ({_diff_new_sql()})
+    """,
+    survey_ids=("J3", "S11", "U3"),
+    doc="CDC patch APPLICATION — the other half of snapshot_diff: from "
+    "(old, new) a value-carrying patch is extracted (upsert rows with "
+    "NEW values for added/changed keys, delete keys for removed "
+    "rows), then applied to OLD alone: old MINUS touched keys UNION "
+    "upserts.  The oracle is the new snapshot computed directly, so "
+    "the exact value hash PROVES the round-trip identity "
+    "apply(old, diff(old, new)) == new — the correctness contract "
+    "every incremental sync and MERGE pipeline rests on, checked "
+    "end-to-end rather than assumed.  Plan shape: one full-outer "
+    "keyed join to extract the patch (output ∝ delta), one left-anti "
+    "+ union to apply it — both shuffles on the key; at 100 TB the "
+    "patch is delta-sized and the apply is the partition-pruned "
+    "upsert_by_key path.",
+)
+def q_snapshot_patch_apply(spark, sf_dir):
+    from ..caching import track_cache
+
+    orders = track_cache(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % _DIFF_DELETE != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % _DIFF_CHANGE == 0,
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % _DIFF_INSERT == 0).withColumn(
+                "o_orderkey", -(F.col("o_orderkey") + 1)
+            )
+        )
+    )
+    o = orders.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    both = F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
+    changed = both & (
+        (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    )
+    # Value-carrying patch: upserts carry the NEW row; deletes carry
+    # only the key.  Everything downstream uses ONLY old + patch.
+    upserts = joined.filter(F.col("o.o_orderkey").isNull() | changed).select(
+        F.col("n.o_orderkey").alias("o_orderkey"),
+        F.col("n.o_orderstatus").alias("o_orderstatus"),
+        F.col("n.o_totalprice").alias("o_totalprice"),
+    )
+    deletes = joined.filter(F.col("n.o_orderkey").isNull()).select(
+        F.col("o.o_orderkey").alias("o_orderkey")
+    )
+    touched = upserts.select("o_orderkey").unionByName(deletes)
+    return orders.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
+
+
+# ===========================================================================
 # Sequence packing (LLM concat-then-chunk) via distributed prefix sum
 # ===========================================================================
 

@@ -1240,3 +1240,65 @@ def q_lexical_cosine_pairs(spark, sf_dir):
         .select("id_a", "id_b", "dot", cos_e6.alias("cos_e6"))
         .filter(F.col("cos_e6") >= _LEXCOS_MIN_E6)
     )
+
+
+# ===========================================================================
+# Embedding duplicate clusters (vector LSH pairs -> transitive closure)
+# ===========================================================================
+
+
+@register(
+    "embed_dup_clusters",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+    q AS (SELECT vec_id, emb,
+                 list_transform((emb)[1:{_EMB_DIMS}],
+                                x -> floor(x * {_EMB_Q})::BIGINT) AS qv
+          FROM e),
+    sig AS (SELECT vec_id, emb, {_emb_band_sql(0)} AS b0, {_emb_band_sql(1)} AS b1
+            FROM q),
+    banded AS (
+        SELECT vec_id, emb, 0 AS band_id, b0 AS band_key FROM sig
+        UNION ALL
+        SELECT vec_id, emb, 1 AS band_id, b1 AS band_key FROM sig),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+        WHERE floor({S.sql_cosine('a.emb', 'b.emb')} * 1000000.0) >= 250000
+    ),
+    edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT w.id, e2.v AS reach FROM walk w JOIN edges e2 ON e2.u = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+    SELECT component, count(*)::BIGINT AS n_members, min(id) AS canonical_id
+    FROM comp GROUP BY component
+    """,
+    survey_ids=("A7",),
+    doc="Vector duplicate-CLUSTER resolution: the embedding-LSH "
+    "near-dup pairs (random-hyperplane bands, full-precision cosine "
+    ">= 0.25 verify) feed the same min-label-propagation transitive "
+    "closure the text pipeline uses — if A~B and B~C the three share "
+    "one cluster even though (A, C) was never a candidate.  "
+    "Completes the matrix symmetrically: every dedup signal family "
+    "(exact hash, MinHash-LSH, lexical cosine, embedding LSH) now "
+    "has both a PAIR view and a canonical-member CLUSTER view.  "
+    "Scale posture inherits from its parts: banded candidate "
+    "generation (no all-pairs), iterative closure with lineage "
+    "truncation and a one-time localCheckpoint of the edge list.",
+)
+def q_embed_dup_clusters(spark, sf_dir):
+    from ..operators.clusters import canonicalize, connected_components
+
+    pairs = (
+        q_embed_lsh_near_dup(spark, sf_dir)
+        .filter(F.col("is_near"))
+        .select("id_a", "id_b")
+    )
+    return canonicalize(connected_components(pairs))
