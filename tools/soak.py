@@ -72,6 +72,12 @@ DEFAULT_QUERIES = [
     "lexical_cosine_pairs",
     "fuzzy_name_match",
     "dup_clusters",
+    "incremental_agg_events",
+    "join_key_skew_profile",
+    "referential_integrity_audit",
+    "snapshot_patch_apply",
+    "embed_dup_clusters",
+    "streaming_upsert_state",
 ]
 
 _SHIFTS = {
