@@ -381,6 +381,41 @@ class TestEmbedDupClusters:
         assert sum(r.n_members for r in clusters) == len(nodes)
 
 
+class TestRound5EmptyInputs:
+    def test_new_queries_tolerate_empty_tables(self, spark, tmp_path):
+        """Day-one totality for the round-5 queries living outside
+        plans/advanced.py (whose module-wide empty sweep already
+        covers patch-apply, degree profile, and incremental agg)."""
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        src = "/root/testdata/sf0.001"
+        path = str(tmp_path / "empty")
+        for table in (
+            "events", "documents", "embeddings", "orders", "lineitem",
+            "customer", "part",
+        ):
+            load(spark, src, table).limit(0).write.parquet(
+                f"{path}/{table}.parquet"
+            )
+        empty_ok = [
+            "bm25_search",
+            "weighted_sample_events",
+            "interval_bucket_join",
+            "lexical_cosine_pairs",
+            "join_key_skew_profile",
+            "embed_dup_clusters",
+            "fuzzy_name_match",
+        ]
+        for name in empty_ok:
+            rows = REGISTRY[name].build(spark, path).collect()
+            assert rows == [], f"{name} emitted rows from empty input"
+        # The RI audit of an empty schema IS rows: three edges with
+        # zero children (orphan sum over no rows folds to NULL).
+        ri = REGISTRY["referential_integrity_audit"].build(spark, path).collect()
+        assert len(ri) == 3 and all(r.n_child == 0 for r in ri)
+
+
 class TestStreamingHopping:
     def test_every_event_in_exactly_two_windows(self, spark):
         from tomasz_weight_tracker_spark.plans import REGISTRY
