@@ -1,8 +1,14 @@
 """Benchmark harness: runs the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.  Stdout carries exactly two JSON lines —
+first the large per-catalog-query map (also mirrored to
+``BENCH_FULL.json``), and LAST the small driver-parseable headline:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "headline_queries_wall_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+The driver records only a ~2 KB tail of stdout, so the headline line
+must stay small and must come last (round-5 verdict item 1).
 
 Materialization methodology: each query is forced end-to-end with a
 JVM-side checksum — ``agg(count(*), bit_xor(xxhash64(struct(*))))`` — so
@@ -219,6 +225,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     full_sf = full_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver keeps only a ~2 KB TAIL of stdout and parses the last
+    # line (round-5 verdict #1: the merged giant line truncated to
+    # "parsed: null").  So: the full per-query map goes out FIRST as its
+    # own line (and a sidecar file for humans), and stdout ENDS with the
+    # small headline JSON the driver's gate actually compares.
+    full_payload = {
+        "metric": "queries_full",
+        "queries_full": queries_full,
+        "queries_full_sf": float(full_sf)
+        if full_sf.replace(".", "").isdigit()
+        else full_sf,
+    }
+    print(json.dumps(full_payload), flush=True)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(full_payload, fh, indent=1)
+    except OSError:
+        pass  # the stdout line above is the record of note
     print(
         json.dumps(
             {
@@ -230,10 +257,6 @@ def main() -> None:
                 # same oracle as a headline twin, slower path by design.
                 "sidebar_queries": sidebar,
                 "streaming": streaming,
-                "queries_full": queries_full,
-                "queries_full_sf": float(full_sf)
-                if full_sf.replace(".", "").isdigit()
-                else full_sf,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

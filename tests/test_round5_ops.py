@@ -134,7 +134,9 @@ class TestIntervalBucketJoin:
         out = {r.win_id: r.n_purchases for r in q_interval_bucket_join(spark, path).collect()}
         assert out == {1: 3, 2: 0}
 
-    def test_equi_join_on_bucket_not_nested_loop(self, spark):
+    def test_no_pair_join_only_broadcast_offsets(self, spark):
+        import re
+
         from tomasz_weight_tracker_spark.plans import REGISTRY
 
         df = REGISTRY["interval_bucket_join"].build(spark, SF)
@@ -143,10 +145,51 @@ class TestIntervalBucketJoin:
                 "formatted"
             )
         )
-        # The whole point: the range join must ride an equi join on the
-        # bucket key, never a nested-loop cross product over the corpus.
+        # Round-6 rewrite: the count rides an event-boundary prefix sum,
+        # so there is NO join between probes and windows at all — the
+        # only join in the plan is the broadcast of the tiny per-shard
+        # offset table.  Any sort-merge/shuffled-hash/nested-loop join
+        # here would mean the quadratic pair stream came back.
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan[:2000]
+
+    def test_hot_slice_stays_linear_and_exact(self, spark, tmp_path):
+        # One 15-minute slice holds 60 windows and 2000 probes — the
+        # round-1..5 bucketized equi-join would emit ~120k candidate
+        # pairs from this slice alone; the prefix-sum plan touches each
+        # row once.  Assert exact counts against a brute-force oracle.
+        from tomasz_weight_tracker_spark.plans.scale_ops import (
+            q_interval_bucket_join,
+        )
+
+        rows = []
+        wins = {}
+        for i in range(60):
+            t = _ts(9, i % 15, i)  # all window starts inside 09:00-09:15
+            rows.append((i, 1, "error", t, 1.0))
+            wins[i] = t
+        probes = []
+        for j in range(2000):
+            t = _ts(9, (j * 7) % 15, j % 60)
+            rows.append((1000 + j, 2, "purchase", t, 1.0))
+            probes.append(t)
+        path = _events(spark, tmp_path, rows)
+        out = {
+            r.win_id: r.n_purchases
+            for r in q_interval_bucket_join(spark, path).collect()
+        }
+        expected = {
+            i: sum(
+                1
+                for p in probes
+                if s <= p < s + dt.timedelta(minutes=30)
+            )
+            for i, s in wins.items()
+        }
+        assert out == expected
 
 
 class TestGraphDegreeProfile:
