@@ -378,6 +378,80 @@ class TestStreamingUpsertState:
         }
         assert got == want
 
+    def test_out_of_order_batches_converge_with_order_by(self, spark, tmp_path):
+        """Round-5 advice: per-batch keep-last + plain upsert is
+        last-BATCH-wins — a later micro-batch carrying OLDER rows
+        overwrites newer state.  With order_by the merge is
+        recency-wins, so the final table equals the global keep-last
+        oracle even when files replay newest-first."""
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        from tomasz_weight_tracker_spark.plans.catalog import load
+        from tomasz_weight_tracker_spark.streaming.pipelines import stream_upsert
+
+        ev = load(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("value").isNotNull()
+        )
+        out = str(tmp_path / "evrev")
+        # File 1 holds the NEWEST quartile, file 4 the oldest — an
+        # in-order replay of these files is an out-of-EVENT-order feed.
+        ev.withColumn(
+            "__f", F.ntile(4).over(W.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        ).repartition(1).write.partitionBy("__f").parquet(out)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(out)
+            .select(
+                "event_id", "user_id", "ts",
+                F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
+            )
+        )
+
+        def keep_last(batch):
+            w = W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            return (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("qv").alias("last_qv"),
+                    F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_event_id"),
+                )
+            )
+
+        with tempfile.TemporaryDirectory() as d:
+            q = stream_upsert(
+                stream, f"{d}/state", keys=["user_id"],
+                checkpoint=f"{d}/ckpt", prepare=keep_last,
+                order_by=["last_ts", "last_event_id"],
+            ).start()
+            assert q.awaitTermination(300)
+            got = {
+                r.user_id: (r.last_qv, r.last_ts)
+                for r in spark.read.parquet(f"{d}/state").collect()
+            }
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        want = {
+            r.user_id: (r.last_qv, r.last_ts)
+            for r in ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("last_qv"),
+                F.col("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert got == want
+
 
 class TestSnapshotPatchApply:
     def test_roundtrip_counts_and_membership(self, spark):

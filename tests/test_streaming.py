@@ -324,19 +324,25 @@ class TestDedupStateRecovery:
 
 
 class TestTransformWithState:
-    def test_tws_gate_query_registration_tracks_protobuf(self):
-        """streaming_tws_counts joins the oracle catalog exactly when
-        the protobuf runtime (pyproject [streaming-tws] extra) is
-        importable — present: first-class gate row; absent: no
-        manufactured red row for a missing wheel."""
+    def test_tws_gate_query_registration_needs_explicit_opt_in(self):
+        """streaming_tws_counts joins the oracle catalog only under the
+        explicit SPARK_GRAFT_ENABLE_TWS=1 opt-in AND an importable
+        protobuf runtime (pyproject [streaming-tws] extra).  Keying on
+        import availability alone made the catalog size environment-
+        dependent — installing the extra silently changed the gate from
+        170 to 171 queries (round-5 advice); with the flag unset the
+        catalog is stable everywhere."""
+        import os
         from importlib.util import find_spec
 
         from tomasz_weight_tracker_spark.plans import REGISTRY
 
-        has_pb = find_spec("google") is not None and (
-            find_spec("google.protobuf") is not None
+        enabled = (
+            os.environ.get("SPARK_GRAFT_ENABLE_TWS") == "1"
+            and find_spec("google") is not None
+            and find_spec("google.protobuf") is not None
         )
-        assert ("streaming_tws_counts" in REGISTRY) == has_pb
+        assert ("streaming_tws_counts" in REGISTRY) == enabled
 
 
     def test_tws_user_stats_matches_batch(self, spark):

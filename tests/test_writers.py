@@ -92,6 +92,47 @@ class TestUpsertByKey:
         # analyzer; the semi-join form is bounded by the write itself.
         assert wall < 120, f"wide-batch upsert took {wall:.0f}s"
 
+    def test_null_partition_rows_survive_merge(self, spark, tmp_path):
+        """Round-5 advice: lit(None) equality is null, so the prune
+        paths silently dropped non-updated keys living in the NULL
+        partition while dynamic overwrite still rewrote it — the
+        eqNullSafe prune must keep them."""
+        path = tmp_path / "state"
+        base = spark.createDataFrame(
+            [(1, "a", None), (2, "b", None), (3, "c", "d1")],
+            "id long, v string, day string",
+        )
+        upsert_by_key(spark, base, path, keys=["id"], partition_by=["day"])
+        # Update id 1 (stays in the null partition); id 2 must survive.
+        batch = spark.createDataFrame(
+            [(1, "A", None)], "id long, v string, day string"
+        )
+        upsert_by_key(spark, batch, path, keys=["id"], partition_by=["day"])
+        assert read_state(spark, path) == {
+            1: ("A", None), 2: ("b", None), 3: ("c", "d1"),
+        }
+
+    def test_null_partition_rows_survive_semi_join_prune(self, spark, tmp_path):
+        """Same defect on the wide-batch path: the left-semi prune must
+        be null-safe when a touched partition tuple contains NULL."""
+        from tomasz_weight_tracker_spark.sources import writers
+
+        path = tmp_path / "state"
+        base_rows = [(i, "a", f"d{i:04d}") for i in range(80)]
+        base_rows += [(900, "keep", None), (901, "upd", None)]
+        base = spark.createDataFrame(base_rows, "id long, v string, day string")
+        upsert_by_key(spark, base, path, keys=["id"], partition_by=["day"])
+        # Touch more partitions than the static-prune cutoff, including
+        # the null partition (update 901; 900 must survive untouched).
+        batch_rows = [(i, "B", f"d{i:04d}") for i in range(80)]
+        batch_rows += [(901, "UPD", None)]
+        assert len({r[2] for r in batch_rows}) > writers._MAX_STATIC_PRUNE
+        batch = spark.createDataFrame(batch_rows, "id long, v string, day string")
+        upsert_by_key(spark, batch, path, keys=["id"], partition_by=["day"])
+        got = read_state(spark, path)
+        assert got[900] == ("keep", None) and got[901] == ("UPD", None)
+        assert all(got[i] == ("B", f"d{i:04d}") for i in range(80))
+
     def test_multi_column_key(self, spark, tmp_path):
         path = tmp_path / "state"
         base = spark.createDataFrame(

@@ -1743,9 +1743,8 @@ def q_table_profile_orders(spark, sf_dir):
     "ceiling being avoided.",
 )
 def q_incremental_agg_events(spark, sf_dir):
-    import tempfile
-
     from ..operators.incremental import incremental_agg
+    from ..session import scratch_dir
 
     ev = (
         load(spark, sf_dir, "events")
@@ -1756,17 +1755,15 @@ def q_incremental_agg_events(spark, sf_dir):
             F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
         )
     )
-    with tempfile.TemporaryDirectory() as d:
-        state = f"{d}/agg_state"
-        out = None
-        for r in range(3):
-            batch = ev.filter(F.col("event_id") % 3 == r)
-            out = incremental_agg(
-                spark, batch, state, keys=["user_id"], value_col="qv"
-            )
-        rows = out.collect()
-    df = spark.createDataFrame(rows, out.schema)
-    return df.select(
+    # State lives in process-lifetime scratch so the returned frame is a
+    # plain parquet read of the final state — nothing is collected to
+    # the driver (round-5 verdict item 4).
+    state = f"{scratch_dir('inc_agg')}/agg_state"
+    out = None
+    for r in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == r)
+        out = incremental_agg(spark, batch, state, keys=["user_id"], value_col="qv")
+    return out.select(
         "user_id",
         F.col("n").cast("long").alias("n"),
         F.col("sum_v").cast("long").alias("sum_v"),
@@ -1803,24 +1800,23 @@ _ITK_K = 50
     "event_id) order is total, so state and oracle are bit-equal.",
 )
 def q_incremental_topk_events(spark, sf_dir):
-    import tempfile
-
     from ..operators.incremental import incremental_topk
+    from ..session import scratch_dir
 
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_id", "user_id", "value")
     )
-    with tempfile.TemporaryDirectory() as d:
-        state = f"{d}/topk_state"
-        out = None
-        for r in range(3):
-            batch = ev.filter(F.col("event_id") % 3 == r)
-            out = incremental_topk(
-                spark, batch, state, order_col="value", k=_ITK_K,
-                tiebreak_cols=["event_id"],
-            )
-        # Materialize off the temp state before it is removed.
-        rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    # Process-lifetime scratch keeps the final state readable after this
+    # function returns, so the result is the state read itself — no
+    # driver-side collect (round-5 verdict item 4).
+    state = f"{scratch_dir('inc_topk')}/topk_state"
+    out = None
+    for r in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == r)
+        out = incremental_topk(
+            spark, batch, state, order_col="value", k=_ITK_K,
+            tiebreak_cols=["event_id"],
+        )
+    return out

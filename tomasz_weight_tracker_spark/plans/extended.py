@@ -518,18 +518,19 @@ def q_streaming_hopping_counts(spark, sf_dir):
     "through stream_upsert's foreachBatch MERGE sink into a keyed "
     "parquet state table — each batch keeps its last row per user "
     "(row_number inside foreachBatch, where window functions are "
-    "legal) and upserts, so the table converges to keep-last-per-key "
-    "however the input batches.  The final table must equal the "
-    "batch keep-last oracle.  This is the exactly-once sink path "
-    "(checkpoint tracks input; the upsert is idempotent, so batch "
-    "replay after a crash is a no-op) — the one streaming surface "
-    "the gate did not yet execute end-to-end.",
+    "legal) and merges RECENCY-wins on (ts, event_id) via the sink's "
+    "order_by, so the table converges to global keep-last-per-key "
+    "however the source batches the input (round-5 advice: plain "
+    "replace-by-key is last-BATCH-wins and only matched the oracle "
+    "because availableNow read one file in one batch).  The final "
+    "table must equal the batch keep-last oracle.  This is the "
+    "exactly-once sink path (checkpoint tracks input; the merge is "
+    "idempotent, so batch replay after a crash is a no-op).",
 )
 def q_streaming_upsert_state(spark, sf_dir):
-    import tempfile
-
     from pyspark.sql import Window as W
 
+    from ..session import scratch_dir
     from ..streaming.pipelines import stream_events, stream_upsert
 
     df = stream_events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
@@ -546,23 +547,32 @@ def q_streaming_upsert_state(spark, sf_dir):
         return (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("user_id", F.col("qv").alias("last_qv"), F.col("ts").alias("last_ts"))
+            .select(
+                "user_id",
+                F.col("qv").alias("last_qv"),
+                F.col("ts").alias("last_ts"),
+                # Recency tiebreaker for the merge: stored so a later
+                # batch with an equal-ts row resolves deterministically.
+                F.col("event_id").alias("last_event_id"),
+            )
         )
 
-    with tempfile.TemporaryDirectory() as d:
-        q = stream_upsert(
-            df,
-            f"{d}/state",
-            keys=["user_id"],
-            checkpoint=f"{d}/ckpt",
-            prepare=keep_last,
-        ).start()
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming_upsert_state drain timed out")
-        rows = spark.read.parquet(f"{d}/state").collect()
-        schema = spark.read.parquet(f"{d}/state").schema
-    return spark.createDataFrame(rows, schema).select("user_id", "last_qv", "last_ts")
+    # Process-lifetime scratch: the state table outlives this function,
+    # so the result is a plain parquet read — no driver-side collect of
+    # per-key state (round-5 verdict item 4).
+    d = scratch_dir("stream_upsert")
+    q = stream_upsert(
+        df,
+        f"{d}/state",
+        keys=["user_id"],
+        checkpoint=f"{d}/ckpt",
+        prepare=keep_last,
+        order_by=["last_ts", "last_event_id"],
+    ).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_upsert_state drain timed out")
+    return spark.read.parquet(f"{d}/state").select("user_id", "last_qv", "last_ts")
 
 
 @register(

@@ -1522,14 +1522,23 @@ def q_streaming_stateful_counts(spark, sf_dir):
 
 # Spark 4's transformWithStateInPandas needs the public `protobuf`
 # package for its Python state server (declared in pyproject.toml's
-# [streaming-tws] extra).  Where the runtime is present the typed-state
-# replay joins the oracle gate as a first-class query; where it is
-# absent (this container) registering it would only manufacture a red
-# gate row for a missing third-party wheel, so registration is gated —
-# the construction-level API surface is still tested everywhere
-# (tests/test_streaming.py), and any normal Spark 4 install runs the
-# full replay under the exact value hash.
-if find_spec("google") is not None and find_spec("google.protobuf") is not None:
+# [streaming-tws] extra).  Registration requires an EXPLICIT opt-in
+# (SPARK_GRAFT_ENABLE_TWS=1) on top of the importable runtime: keying
+# the catalog on import availability alone made the gate size itself
+# environment-dependent — installing the extra silently changed parity
+# and bench from 170 to 171 queries with no signal (round-5 advice).
+# With the flag unset the catalog is 170 everywhere; setting it on a
+# protobuf-equipped install adds the typed-state replay as a
+# first-class oracle row.  The construction-level API surface is
+# tested unconditionally (tests/test_streaming.py); see docs/SCALE.md
+# for the closure note on why the wheel cannot be vendored here.
+import os as _os
+
+if (
+    _os.environ.get("SPARK_GRAFT_ENABLE_TWS") == "1"
+    and find_spec("google") is not None
+    and find_spec("google.protobuf") is not None
+):
 
     @register(
         "streaming_tws_counts",

@@ -16,6 +16,7 @@ import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Touched-partition count above which upsert_by_key's prune switches
 # from a static OR-chain predicate to a broadcast semi-join (see the
@@ -41,6 +42,7 @@ def upsert_by_key(
     path: str | Path,
     keys: list[str],
     partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
 ) -> None:
     """Keyed upsert sink: MERGE semantics (update-by-key-else-insert)
     onto a parquet table path.
@@ -51,7 +53,16 @@ def upsert_by_key(
     same key; unmatched keys append; re-running the same batch is a
     no-op.  ``updates`` must be unique per key (dedup upstream with
     ``dedup_keep_last`` — which order wins is the caller's policy, not
-    the sink's).
+    the sink's) — unless ``order_by`` is given.
+
+    ``order_by`` switches the merge from last-writer-wins to
+    RECENCY-wins: per key, the row with the greatest ``order_by`` tuple
+    among existing ∪ updates survives.  That makes the table state
+    independent of how rows were batched (a stale row arriving late
+    can no longer overwrite a newer stored row), which is what a CDC
+    apply needs when the transport does not guarantee order.  The
+    tuple must be a total order per key (add a unique id as the last
+    column) or the survivor is nondeterministic.
 
     Copy-on-write over plain parquet:
 
@@ -105,8 +116,12 @@ def upsert_by_key(
             # parquet scan, constant-size plan regardless of batch
             # spread.
             parts = updates.select(*partition_by).distinct().collect()
-            from pyspark.sql import functions as F
-
+            # NULL partition values are legal (they land in Hive's
+            # default partition) — both prune paths must be null-safe
+            # or existing rows in a touched null partition are dropped
+            # from the merge while dynamic overwrite still rewrites
+            # that partition: silent row loss (round-5 advice).
+            has_null = any(p[c] is None for p in parts for c in partition_by)
             if not parts:
                 existing = existing.limit(0)
             elif len(parts) <= _MAX_STATIC_PRUNE:
@@ -114,10 +129,22 @@ def upsert_by_key(
                 for p in parts:
                     this = None
                     for c in partition_by:
-                        eq = F.col(c) == F.lit(p[c])
+                        eq = F.col(c).eqNullSafe(F.lit(p[c]))
                         this = eq if this is None else (this & eq)
                     cond = this if cond is None else (cond | this)
                 existing = existing.filter(cond)
+            elif has_null:
+                # Null-safe semi-join: forgoes dynamic partition pruning
+                # (DPP keys on plain equality), but a batch touching the
+                # null partition is rare — correctness wins there.
+                touched = spark.createDataFrame(
+                    parts, updates.select(*partition_by).schema
+                )
+                jc = None
+                for c in partition_by:
+                    eq = existing[c].eqNullSafe(touched[c])
+                    jc = eq if jc is None else (jc & eq)
+                existing = existing.join(F.broadcast(touched), jc, "left_semi")
             else:
                 touched = spark.createDataFrame(
                     parts, updates.select(*partition_by).schema
@@ -125,9 +152,22 @@ def upsert_by_key(
                 existing = existing.join(
                     F.broadcast(touched), on=list(partition_by), how="left_semi"
                 )
-        merged = existing.join(
-            updates.select(*keys).distinct(), on=list(keys), how="left_anti"
-        ).unionByName(updates)
+        if order_by:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order_by]
+            )
+            merged = (
+                existing.unionByName(updates)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = existing.join(
+                updates.select(*keys).distinct(), on=list(keys), how="left_anti"
+            ).unionByName(updates)
     merged = merged.localCheckpoint()
     writer = merged.write.mode("overwrite")
     if partition_by:

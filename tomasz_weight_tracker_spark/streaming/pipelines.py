@@ -216,6 +216,7 @@ def stream_upsert(
     checkpoint: str,
     partition_by: Sequence[str] | None = None,
     prepare=None,
+    order_by: Sequence[str] | None = None,
 ):
     """foreachBatch MERGE sink: every micro-batch upserts by key into a
     parquet table via :func:`..sources.writers.upsert_by_key` — the
@@ -231,15 +232,27 @@ def stream_upsert(
     inside foreachBatch, where window functions ARE allowed (a
     streaming DF upstream of foreachBatch cannot host row_number, so
     keep-last-per-key dedup belongs here).
+
+    Without ``order_by``, per-batch keep-last + upsert is LAST-BATCH-
+    wins: the result depends on how the source splits files into
+    micro-batches (fine for a single availableNow batch; wrong under
+    maxFilesPerTrigger if batches can arrive out of event order).
+    Pass ``order_by`` (e.g. ``["ts", "event_id"]``) to make the MERGE
+    recency-wins — the stored row survives unless the batch row is
+    strictly newer — so the final table is identical however the
+    input batches (round-5 advice).
     """
     from ..sources.writers import upsert_by_key
 
     part = list(partition_by) if partition_by else None
+    order = list(order_by) if order_by else None
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if prepare is not None:
             batch_df = prepare(batch_df)
-        upsert_by_key(batch_df.sparkSession, batch_df, path, list(keys), part)
+        upsert_by_key(
+            batch_df.sparkSession, batch_df, path, list(keys), part, order
+        )
 
     return (
         df.writeStream.foreachBatch(apply_batch)

@@ -55,18 +55,26 @@ def state_partitions(spark: SparkSession, n: int = 8):
     """
     key = "spark.sql.shuffle.partitions"
     _CONF_LOCK.acquire()
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    # Everything after acquire() runs inside the try: if conf.get/set
+    # raises (or the generator is discarded before first resume), the
+    # finally still releases the lock — otherwise every other thread's
+    # streaming work deadlocks permanently (round-5 advice).
+    old = None
     released = False
 
     def release_early() -> None:
         nonlocal released
         if not released:
             released = True
-            spark.conf.set(key, old)
-            _CONF_LOCK.release()
+            try:
+                if old is not None:
+                    spark.conf.set(key, old)
+            finally:
+                _CONF_LOCK.release()
 
     try:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
         yield release_early
     finally:
         release_early()

@@ -50,32 +50,58 @@ def audit(plan: str) -> dict:
     }
 
 
-def total_shuffle_write_bytes(spark) -> int:
+def total_shuffle_write_bytes(spark) -> int | None:
     """Sum of shuffle bytes written across every stage the app has run
     (Spark status store, the same numbers the UI's stage table shows).
     Sampled before/after a query execution, the delta is that query's
     real shuffle volume — plan-string exchange counts say how MANY
-    shuffles, this says how BIG."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    gw = spark.sparkContext._gateway
-    # Full Scala signature (defaults are not visible through py4j):
-    # stageList(statuses, details, withSummaries, unsortedQuantiles,
-    # taskStatus); empty statuses list = all stages.
-    stages = store.stageList(
-        gw.jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(gw.jvm.double, 0),
-        gw.jvm.java.util.ArrayList(),
-    )
-    it = stages.iterator()
-    total = 0
-    while it.hasNext():
-        total += it.next().shuffleWriteBytes()
-    return total
+    shuffles, this says how BIG.
+
+    Returns None when the private status-store API is unreachable: the
+    stageList signature is a Spark-internal py4j call, so a minor
+    upgrade may break it — the audit then degrades to an 'n/a' column
+    instead of crashing (round-5 advice)."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        gw = spark.sparkContext._gateway
+        # Full Scala signature (defaults are not visible through py4j):
+        # stageList(statuses, details, withSummaries, unsortedQuantiles,
+        # taskStatus); empty statuses list = all stages.
+        stages = store.stageList(
+            gw.jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.ArrayList(),
+        )
+        it = stages.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next().shuffleWriteBytes()
+        return total
+    except Exception:  # noqa: BLE001 — private API, degrade not crash
+        return None
 
 
-def fmt_bytes(n: int) -> str:
+def settled_shuffle_bytes(spark) -> int | None:
+    """Poll the status store until the async listener bus has drained
+    (two consecutive equal samples), bounded at ~2 s — a fixed sleep
+    raced a slow bus and under-reported (round-5 advice)."""
+    last = total_shuffle_write_bytes(spark)
+    if last is None:
+        return None
+    for _ in range(20):
+        time.sleep(0.1)
+        cur = total_shuffle_write_bytes(spark)
+        if cur == last:
+            return cur
+        last = cur
+    return last
+
+
+def fmt_bytes(n: int | None) -> str:
+    if n is None:
+        return "n/a"
     for unit in ("B", "KB", "MB", "GB"):
         if n < 1024 or unit == "GB":
             return f"{n:.0f}{unit}" if unit == "B" else f"{n:.1f}{unit}"
@@ -105,8 +131,10 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
         ).collect()
-        time.sleep(0.2)  # status-store listener bus is async; let it drain
-        facts["shuffle_bytes"] = total_shuffle_write_bytes(spark) - before
+        after = settled_shuffle_bytes(spark)
+        facts["shuffle_bytes"] = (
+            after - before if before is not None and after is not None else None
+        )
         rows.append((name, facts))
         release_caches()  # per-query caches must not outlive the query
         spark.catalog.clearCache()
