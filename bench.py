@@ -223,6 +223,42 @@ def main() -> None:
             queries_full[name] = entry
             print(f"# full {name}: {entry}", file=sys.stderr, flush=True)
 
+    # Scale-drift sentinel (round-5 verdict item 9): a small 10x soak of
+    # the scale-risk queries, driver-visible as numbers instead of a
+    # committed-text artifact.  Base is sf0.01 so build+run stays cheap
+    # (the 10x replica equals sf0.1 volume); the committed SOAK_r{N}.txt
+    # remains the full-depth record.  Disable with SPARK_GRAFT_SOAK=0.
+    soak = {}
+    if os.environ.get("SPARK_GRAFT_SOAK", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.soak import build_soak, timed as soak_timed
+
+            soak_n = 10
+            soak_base = os.environ.get(
+                "SPARK_GRAFT_SOAK_BASE", "/root/testdata/sf0.01"
+            )
+            soak_dir = f"/tmp/bench_soak_{soak_n}x_{os.path.basename(soak_base.rstrip('/'))}"
+            build_soak(spark, soak_base, soak_dir, soak_n)
+            for name in (
+                "interval_bucket_join",
+                "snm_near_dup",
+                "lexical_cosine_pairs",
+                "graph_triangle_stats",
+                "fuzzy_name_match",
+            ):
+                b_wall, b_rows = soak_timed(spark, name, soak_base)
+                s_wall, s_rows = soak_timed(spark, name, soak_dir)
+                soak[name] = {
+                    "base_s": round(b_wall, 2),
+                    "soak_s": round(s_wall, 2),
+                    "ratio": round(s_wall / b_wall, 1) if b_wall > 0 else None,
+                    "rows": f"{b_rows}->{s_rows}",
+                }
+                print(f"# soak {name}: {soak[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — bench must still emit its line
+            soak = {"error": str(e)[:300]}
+
     total = round(sum(timings.values()), 3)
     full_sf = full_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver keeps only a ~2 KB TAIL of stdout and parses the last
@@ -257,6 +293,7 @@ def main() -> None:
                 # same oracle as a headline twin, slower path by design.
                 "sidebar_queries": sidebar,
                 "streaming": streaming,
+                "soak_queries": soak,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

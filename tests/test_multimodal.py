@@ -92,8 +92,83 @@ class TestRealCodecs:
         assert abs(r.features[1] - 0.5) < 1e-9  # RMS of a square wave
         assert abs(r.features[3] - 0.5) < 1e-9  # peak
 
+    def test_png_round_trip_decode_all_filters(self, spark):
+        """Real PNG decode: zlib inflate + every scanline unfilter
+        (None/Sub/Up/Average/Paeth) must reconstruct identical pixels,
+        so channel-mean features match the BMP twin exactly."""
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        def px(x, y):  # (r, g, b): quarter red / rest blue
+            return (255, 0, 0) if (y == 0 and x < 2) else (0, 0, 255)
+
+        blobs = [codecs.make_png(4, 2, px, filter_type=ft) for ft in range(5)]
+        rows = MM.decode_media(media_df(spark, [(b, None) for b in blobs])).collect()
+        for r in rows:
+            assert r.decoder == "png"
+            assert (r.width, r.height) == (4, 2)
+            assert r.features[0] == 0.25  # mean R
+            assert r.features[1] == 0.0  # mean G
+            assert r.features[2] == 0.75  # mean B
+        # All five filterings encode the SAME image -> identical features.
+        assert len({tuple(r.features) for r in rows}) == 1
+        # Stored-block closed form: 68 + h*(1+3w) bytes, any filter.
+        assert {r.n_bytes for r in rows} == {68 + 2 * (1 + 3 * 4)}
+
+    def test_png_gray_and_rgba_channels(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        # Hand-build a 2x1 grayscale PNG (color type 0): values 10, 200.
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        idat = zlib.compress(b"\x00" + bytes([10, 200]))
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        out = codecs.parse_png(raw)
+        assert out["pixels"] == [(10, 10, 10), (200, 200, 200)]
+        # RGBA (color type 6): alpha is parsed past, not mixed in.
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+        idat = zlib.compress(b"\x00" + bytes([7, 8, 9, 255]))
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        assert codecs.parse_png(raw)["pixels"] == [(9, 8, 7)]
+
+    def test_png_unsupported_variants_decode_header_only(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        import struct
+        import zlib
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        # 16-bit depth: dims decode, pixels None (no consumer here).
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0)
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        out = codecs.parse_png(raw)
+        assert (out["width"], out["height"], out["pixels"]) == (3, 2, None)
+        # Truncated IDAT: header survives, pixels None, no exception.
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x01\x02") + chunk(b"IEND", b"")
+        assert codecs.parse_png(raw)["pixels"] is None
+
     def test_corrupt_headers_fall_back_to_stub(self, spark):
-        df = media_df(spark, [(b"BMgarbage", None), (b"RIFFjunkWAVE", None)])
+        df = media_df(
+            spark,
+            [(b"BMgarbage", None), (b"RIFFjunkWAVE", None), (b"\x89PNG\r\n\x1a\ngarbage", None)],
+        )
         out = MM.decode_media(df).collect()
         assert {r.decoder for r in out} == {"stub"}
 

@@ -221,6 +221,64 @@ class TestGraphDegreeProfile:
         }
 
 
+class TestTriangleProjectionCap:
+    def _lineitem(self, spark, tmp_path, rows):
+        df = spark.createDataFrame(
+            [(o, s, p, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts(9)) for o, s, p in rows],
+            "l_orderkey long, l_suppkey long, l_partkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        )
+        path = str(tmp_path / "li")
+        df.write.parquet(path + "/lineitem.parquet")
+        return path
+
+    def test_hot_part_emits_no_edges(self, spark, tmp_path):
+        """Round-5 verdict item 5: a part whose supplier count exceeds
+        _TRI_MAX_PART_SUPPLIERS must be dropped BEFORE the pair join —
+        its k(k-1)/2 edge emission is bounded to zero, and the normal
+        parts' triangle is still found."""
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _TRI_MAX_PART_SUPPLIERS,
+            q_graph_triangle_stats,
+        )
+
+        # Normal parts 1-3 wire suppliers {1,2,3} into one triangle
+        # (each part shared by a distinct supplier pair).
+        rows = [(1, 1, 1), (1, 2, 1), (2, 2, 2), (2, 3, 2), (3, 1, 3), (3, 3, 3)]
+        # Hot part 99: far more suppliers than the cap — uncapped it
+        # would emit k(k-1)/2 edges and swamp the graph.
+        k = _TRI_MAX_PART_SUPPLIERS + 36
+        rows += [(9, 100 + i, 99) for i in range(k)]
+        path = self._lineitem(spark, tmp_path, rows)
+        out = q_graph_triangle_stats(spark, path).collect()[0]
+        # Only the 3 co-supply edges of the normal parts survive; the
+        # hot part contributes zero pairs (not k*(k-1)/2 = 4950).
+        assert out.n_edges == 3
+        assert out.n_triangles == 1
+        # Node count still reflects the FULL supplier population — the
+        # cap prunes edges, not the vertex census.
+        assert out.n_nodes == 3 + k
+
+    def test_cap_does_not_bind_on_gate_data(self, spark):
+        """TPC-H parts carry exactly 4 suppliers, so the enforced cap
+        must leave the gate-scale result identical to the uncapped
+        round-5 numbers (the oracle hash-match asserts values; this
+        pins the degree precondition the cap's no-op relies on)."""
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+        from tomasz_weight_tracker_spark.plans.advanced import (
+            _TRI_MAX_PART_SUPPLIERS,
+        )
+
+        prof = REGISTRY["graph_degree_profile"].build(spark, SF)
+        max_deg = (
+            prof.filter(F.col("side") == "suppliers_per_part")
+            .agg(F.max("deg").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert max_deg <= _TRI_MAX_PART_SUPPLIERS
+
+
 class TestLexicalCosinePairs:
     def test_finds_embedded_copy_jaccard_misses(self, spark, tmp_path):
         from tomasz_weight_tracker_spark.plans.llm_ops import (

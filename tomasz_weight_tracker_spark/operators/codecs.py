@@ -1,12 +1,15 @@
-"""Pure-stdlib media codecs: BMP (image) and WAV/PCM (audio).
+"""Pure-stdlib media codecs: BMP + PNG (image) and WAV/PCM (audio).
 
 Real decoders — no external libraries — so the multimodal pipeline has
 a genuinely exercised decode path in this container (Pillow/soundfile
-are absent).  Both formats are simple enough that a header-struct +
+are absent).  The formats are simple enough that a header-struct +
 sample-array parse IS the reference decode:
 
 - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (``struct`` little-endian),
   uncompressed 24-bit pixel rows (bottom-up, 4-byte row padding).
+- PNG: chunk walk (IHDR/IDAT/IEND), stdlib ``zlib`` inflate, and the
+  full per-scanline unfilter (None/Sub/Up/Average/Paeth) for 8-bit
+  gray / gray+alpha / RGB / RGBA, non-interlaced.
 - WAV: RIFF chunk walk to ``fmt `` / ``data``, 16-bit PCM samples.
 
 Parsers return ``None`` for anything that doesn't validate, so the
@@ -17,6 +20,7 @@ not exceptions (same tolerance posture as the corrupt-document scan).
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 def parse_bmp(raw: bytes) -> dict | None:
@@ -55,6 +59,105 @@ def parse_bmp(raw: bytes) -> dict | None:
         for x in range(width):
             off = base + 3 * x
             pixels.append((raw[off], raw[off + 1], raw[off + 2]))
+    out["pixels"] = pixels
+    return out
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (palette images need a PLTE decode this
+# container has no consumer for — they fall back to header-only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def parse_png(raw: bytes) -> dict | None:
+    """Decode a PNG: IHDR header always; full pixels for 8-bit-depth
+    gray / gray+alpha / RGB / RGBA, non-interlaced (inflate + the five
+    scanline unfilters).  Returns the same shape as :func:`parse_bmp` —
+    {width, height, bpp, pixels} with ``pixels`` row-major top-down
+    (b, g, r) tuples (gray replicated across channels; alpha dropped) —
+    so the downstream feature extractors are codec-agnostic.  Unsupported
+    variants (16-bit, palette, interlaced) decode header-only
+    (``pixels=None``); anything malformed returns None.
+    """
+    if len(raw) < 8 or raw[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(raw):
+        try:
+            ln = struct.unpack_from(">I", raw, pos)[0]
+        except struct.error:
+            return None
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if ctype == b"IHDR":
+            if ln < 13:
+                return None
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if ihdr is None:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(color_type)
+    if w <= 0 or h <= 0 or comp != 0 or filt != 0:
+        return None
+    out = {
+        "width": w,
+        "height": h,
+        "bpp": depth * (channels or 1),
+        "pixels": None,
+    }
+    if depth != 8 or channels is None or interlace != 0 or not idat:
+        return out  # header-only decode
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return out
+    stride = w * channels
+    if len(data) < h * (1 + stride):
+        return out
+    pixels: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    dp = 0
+    for _y in range(h):
+        ft = data[dp]
+        dp += 1
+        row = bytearray(data[dp : dp + stride])
+        dp += stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            return out  # unknown filter byte: keep the header decode
+        prev = row
+        for x in range(w):
+            o = x * channels
+            if channels <= 2:  # gray / gray+alpha
+                v = row[o]
+                pixels.append((v, v, v))
+            else:  # RGB / RGBA scanline order is R,G,B[,A]
+                pixels.append((row[o + 2], row[o + 1], row[o]))
     out["pixels"] = pixels
     return out
 
@@ -158,6 +261,68 @@ def make_bmp(width: int, height: int, pixel_fn) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
     return header + dib + bytes(pixel_bytes)
+
+
+def make_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes:
+    """Serialize an 8-bit RGB PNG (test fixture / oracle twin).
+    ``pixel_fn(x, y) -> (r, g, b)`` with y=0 the top row.
+
+    ``filter_type`` applies that scanline filter to EVERY row (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) so the decoder's unfilter paths
+    are each exercisable.  IDAT uses zlib level 0 (stored blocks):
+    compression adds nothing to synthetic fixtures, and stored blocks
+    make the byte size CLOSED-FORM — for raw scanline bytes
+    ``R = height*(1+3*width) <= 65535`` the file is exactly
+    ``68 + R`` bytes (8 sig + 25 IHDR + 12 IEND + IDAT 12+2+5+R+4:
+    chunk framing, zlib header, one stored-block header, adler32) —
+    which is what lets a SQL oracle recompute n_bytes without zlib.
+    """
+    stride = width * 3
+    data = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        rowb = bytes(v for x in range(width) for v in pixel_fn(x, y))
+        if filter_type == 0:
+            filt = rowb
+        elif filter_type == 1:
+            filt = bytes(
+                (rowb[i] - (rowb[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            filt = bytes((rowb[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:
+            filt = bytes(
+                (rowb[i] - (((rowb[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            filt = bytearray()
+            for i in range(stride):
+                a = rowb[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt.append((rowb[i] - pred) & 0xFF)
+            filt = bytes(filt)
+        else:
+            raise ValueError(f"unsupported PNG filter {filter_type}")
+        data += bytes([filter_type]) + filt
+        prev = rowb
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(data), 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def make_wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1) -> bytes:

@@ -66,15 +66,27 @@ def salted_join(
     small: DataFrame,
     key: str,
     salt_buckets: int = 16,
+    salt_expr: Column | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the skewed (probe) side, EXPLODE
     the small (build) side across all salt values, join on (key, salt).
     The hot key's rows land on ``salt_buckets`` different reducers
     instead of one.  Use when the build side is too big to broadcast
     but small enough to replicate xN; otherwise prefer AQE skew-join.
+
+    ``salt_expr`` overrides the default ``rand()`` salt with a
+    deterministic probe-side expression (e.g. ``pmod(event_id, n)``).
+    The JOIN RESULT is salt-invariant either way — every probe row
+    meets its key's every build row exactly once — but a deterministic
+    salt makes the run replayable (retried stages, A/B timing, and the
+    oracle gate see identical task-level inputs), which is why the
+    catalog's skew query uses it.  It must spread the HOT key's rows
+    (a row-id residue does; a function of the join key does NOT).
     """
+    if salt_expr is None:
+        salt_expr = (F.rand(seed=7) * salt_buckets).cast("int")
     salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
-    left = skewed.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    left = skewed.withColumn("__salt", salt_expr)
     right = small.withColumn("__salt", F.explode(salts))
     return left.join(right, [key, "__salt"]).drop("__salt")
 

@@ -7,11 +7,12 @@ Design (what is REAL vs STUBBED here):
   ``mapInPandas`` UDF signatures and batch shapes, partition-preserving
   per-row transforms, deterministic outputs, and the metadata model
   (``struct<modality,format,width,height,duration_ms>``) — AND the
-  BMP/WAV codecs: ``operators.codecs`` decodes BMP headers + 24-bit
-  pixels and RIFF/WAV headers + 16-bit PCM samples with stdlib
-  ``struct`` (no external libs), producing real pixel/sample features
-  (``decoder='bmp'``/``'wav'``).
-- STUBBED: every OTHER format (png/jpeg/mp3/...).  Their codec libs
+  BMP/PNG/WAV codecs: ``operators.codecs`` decodes BMP headers +
+  24-bit pixels, PNG (zlib inflate + full scanline unfilter for 8-bit
+  gray/RGB/RGBA), and RIFF/WAV headers + 16-bit PCM samples with
+  stdlib only (no external libs), producing real pixel/sample
+  features (``decoder='bmp'``/``'png'``/``'wav'``).
+- STUBBED: every OTHER format (jpeg/mp3/...).  Their codec libs
   are not in this container, so ``decode`` dispatches to Pillow when
   importable and otherwise produces a DETERMINISTIC FAKE derived from
   the md5 of the bytes (flagged by ``decoder='stub'`` in the output).
@@ -123,7 +124,19 @@ def _try_real_image_decode(raw: bytes):
 
 def _decode_one(raw: bytes) -> dict:
     """Dispatch one blob through the decoder chain:
-    BMP (stdlib) -> WAV (stdlib) -> Pillow (if importable) -> stub."""
+    PNG (stdlib zlib) -> BMP (stdlib) -> WAV (stdlib) -> Pillow (if
+    importable) -> stub.  Signatures are disjoint, so order is cosmetic."""
+    png = codecs.parse_png(raw)
+    if png is not None:
+        return {
+            "decoder": "png",
+            "width": png["width"],
+            "height": png["height"],
+            "duration_ms": None,
+            # pixel features are codec-agnostic: parse_png emits the
+            # same (b, g, r) row-major pixels parse_bmp does.
+            "features": codecs.bmp_features(png, FEATURE_DIM) or _stub_features(raw),
+        }
     bmp = codecs.parse_bmp(raw)
     if bmp is not None:
         return {

@@ -792,14 +792,27 @@ def degree_oriented_edges(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+# Bipartite-projection degree cap: a part with more than this many
+# suppliers is dropped before the co-supply pair join (it would emit
+# k(k-1)/2 edges).  TPC-H parts carry exactly 4 suppliers, so the cap
+# never binds on the gate data — it exists to bound an adversarial/
+# degenerate hot part, and the oracle mirrors it so capped results
+# stay hash-exact.  graph_degree_profile is the audit that sizes it.
+_TRI_MAX_PART_SUPPLIERS = 64
+
+
 @register(
     "graph_triangle_stats",
-    """
+    f"""
     WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), psc AS (
+        SELECT p, s FROM (
+            SELECT p, s, count(*) OVER (PARTITION BY p) AS c FROM ps
+        ) WHERE c <= {_TRI_MAX_PART_SUPPLIERS}
     ), edges AS (
         SELECT DISTINCT a.s AS u, b.s AS v
-        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        FROM psc a JOIN psc b ON a.p = b.p AND a.s < b.s
     ), deg AS (
         SELECT node, count(*)::BIGINT AS d
         FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -836,21 +849,34 @@ def degree_oriented_edges(edges: DataFrame, deg: DataFrame) -> DataFrame:
     "round-4 id-ordered wedge join -> 6.5 s.  Row volume collapses "
     "FIRST through DISTINCT (part,supplier): 100 TB of lineitem "
     "contributes only its vocabulary-sized projection.  The remaining "
-    "quadratic term is the bipartite projection itself (a part with k "
-    "suppliers emits k(k-1)/2 edges); at 100x a production run caps "
-    "or drops parts above a supplier-count threshold (count-over-"
-    "window on p, the lsh_candidate_pairs max_bucket pattern) — a "
-    "part that hot is a hyperedge everyone shares, boilerplate in "
-    "graph form, not co-supply signal.  The oracle keeps the "
-    "id-oriented wedge join: the triangle count is orientation-"
-    "invariant, which the exact hash match proves.",
+    "quadratic term was the bipartite projection itself (a part with "
+    "k suppliers emits k(k-1)/2 edges); round 6 ENFORCES the cap the "
+    "round-5 docstring only promised: parts with more than "
+    f"{_TRI_MAX_PART_SUPPLIERS} suppliers are dropped before the pair "
+    "join (count-over-window on p — shares the join's partitioning, "
+    "the lsh_candidate_pairs max_bucket pattern), mirrored in the "
+    "oracle.  A part that hot is a hyperedge everyone shares, "
+    "boilerplate in graph form, not co-supply signal; TPC-H parts "
+    "have exactly 4 suppliers, so the cap never binds on gate data "
+    "(graph_degree_profile is the audit that would re-size it).  The "
+    "oracle keeps the id-oriented wedge join: the triangle count is "
+    "orientation-invariant, which the exact hash match proves.",
 )
 def q_graph_triangle_stats(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    a, b = ps.alias("a"), ps.alias("b")
+    # Enforced projection cap (see docstring): the count-over-window on
+    # p hash-partitions on the same key as the pair join that follows,
+    # so the guard adds no extra shuffle.
+    w_p = Window.partitionBy("p")
+    psc = (
+        ps.withColumn("__c", F.count(F.lit(1)).over(w_p))
+        .filter(F.col("__c") <= _TRI_MAX_PART_SUPPLIERS)
+        .drop("__c")
+    )
+    a, b = psc.alias("a"), psc.alias("b")
     # Shared subtrees (ps, edges, deg, oriented, adjw) are NOT cached:
     # every shared branch ends at an exchange, and AQE's exchange
     # reuse dedups identical shuffle stages at the stage-graph level —

@@ -362,28 +362,35 @@ def q_media_meta_stats(spark, sf_dir):
     "media_decode",
     # The oracle recomputes the decode CLOSED-FORM: blob content is
     # deterministic arithmetic in doc_id, so DuckDB can derive the
-    # expected dims / byte size / channel mean without parsing BMP —
-    # an independent check that serialize -> header parse -> pixel
-    # walk -> feature extract round-trips exactly.  mean_r: Python's
-    # sum_r/(w*h) and the oracle's rowsum/w divide different integer
-    # pairs with the same rational value, so IEEE correctly-rounded
-    # division yields the identical double; floor-quantization then
-    # keeps the comparison bit-exact.
+    # expected dims / byte size / channel mean without parsing BMP or
+    # PNG — an independent check that serialize -> header parse ->
+    # inflate/unfilter -> pixel walk -> feature extract round-trips
+    # exactly.  Even doc_ids serialize as BMP, odd as PNG (stored-block
+    # zlib, so the PNG byte size is closed-form too: 68 + h*(1+3w), see
+    # codecs.make_png).  mean_r: Python's sum_r/(w*h) and the oracle's
+    # rowsum/w divide different integer pairs with the same rational
+    # value, so IEEE correctly-rounded division yields the identical
+    # double; floor-quantization then keeps the comparison bit-exact.
     """
-    SELECT doc_id AS media_id, 'bmp' AS decoder,
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS decoder,
            (1 + doc_id % 8)::INT AS width, (1 + doc_id % 4)::INT AS height,
-           (54 + ((1 + doc_id % 8) * 3 + 3) // 4 * 4 * (1 + doc_id % 4))::BIGINT AS n_bytes,
+           CASE WHEN doc_id % 2 = 0
+                THEN 54 + ((1 + doc_id % 8) * 3 + 3) // 4 * 4 * (1 + doc_id % 4)
+                ELSE 68 + (1 + doc_id % 4) * (1 + 3 * (1 + doc_id % 8))
+           END::BIGINT AS n_bytes,
            floor(list_sum(list_transform(range(0, (1 + doc_id % 8)::INT),
                                          x -> (x * 37 + doc_id) % 256))::DOUBLE
                  / (1 + doc_id % 8) / 255.0 * 1000000) / 1000000 AS mean_r
     FROM documents
     """,
     survey_ids=(),
-    doc="Real media decode at the engine surface: synthesize one BMP "
-    "blob per document (stdlib serializer, deterministic from doc_id), "
-    "then decode_media parses headers + pixels and extracts channel "
-    "features via the Arrow-batched codec chain.  decoder='bmp' for "
-    "every row — the stub path is never taken.",
+    doc="Real media decode at the engine surface: synthesize one image "
+    "blob per document (stdlib serializers, deterministic from doc_id; "
+    "even ids BMP, odd ids PNG with a Paeth-filtered zlib stream), "
+    "then decode_media parses headers + pixels — for PNG that is a "
+    "real inflate + scanline unfilter — and extracts channel features "
+    "via the Arrow-batched codec chain.  The stub path is never taken.",
 )
 def q_media_decode(spark, sf_dir):
     from ..operators import codecs
@@ -399,11 +406,24 @@ def q_media_decode(spark, sf_dir):
             for i in batch["doc_id"]:
                 i = int(i)
                 w, h = 1 + i % 8, 1 + i % 4
-                # pixel_fn returns (b, g, r): the x-varying ramp goes in
-                # RED (last) — the oracle recomputes mean_r from it.
-                raw = codecs.make_bmp(
-                    w, h, lambda x, y: (i % 256, (y * 53 + i) % 256, (x * 37 + i) % 256)
-                )
+                if i % 2 == 0:
+                    # pixel_fn returns (b, g, r): the x-varying ramp goes
+                    # in RED (last) — the oracle recomputes mean_r from it.
+                    raw = codecs.make_bmp(
+                        w,
+                        h,
+                        lambda x, y: (i % 256, (y * 53 + i) % 256, (x * 37 + i) % 256),
+                    )
+                else:
+                    # make_png's pixel_fn is (r, g, b); same red ramp.
+                    # Paeth filter so the gate exercises a non-trivial
+                    # unfilter path, not just filter 0.
+                    raw = codecs.make_png(
+                        w,
+                        h,
+                        lambda x, y: ((x * 37 + i) % 256, (y * 53 + i) % 256, i % 256),
+                        filter_type=4,
+                    )
                 rows.append({"media_id": i, "content": raw})
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 

@@ -1,0 +1,227 @@
+"""Round-6 catalog additions: storage-layout levers executed in the
+gate (bucketed co-located join, partition-pruned scan) and C4-style
+span-level cross-document dedup with text reconstruction.
+
+The two layout queries write their tables under a process-lifetime
+scratch dir (``session.scratch_dir``) inside build() — the write is
+part of the measured operator, which is honest: at 100 TB the layout
+IS the investment, and the query demonstrates what the investment
+buys (an exchange-free join / a partition-pruned scan).  Oracles run
+against the original parquet, so the round-trip through the layout is
+value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .catalog import dsum, load, register, sql_dsum
+
+# ===========================================================================
+# C4-style span dedup: aligned K-token chunks, cross-doc exact removal
+# ===========================================================================
+
+_SPAN_K = 8
+
+
+@register(
+    "span_dedup_rebuild",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), e AS (
+        SELECT doc_id, arr,
+               unnest(range(0, cast(ceil(len(arr) / {_SPAN_K}.0) AS BIGINT)))::BIGINT
+                   AS pos
+        FROM t
+    ), ch AS (
+        SELECT doc_id, pos,
+               array_to_string(arr[pos * {_SPAN_K} + 1 : pos * {_SPAN_K} + {_SPAN_K}], ' ')
+                   AS chunk
+        FROM e
+    ), d AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id)::BIGINT AS nd
+        FROM ch GROUP BY 1
+    )
+    SELECT ch.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           coalesce(array_to_string(
+               list(ch.chunk ORDER BY ch.pos) FILTER (WHERE d.nd <= 1), ' '
+           ), '') AS kept_text
+    FROM ch JOIN d ON md5(ch.chunk) = d.h
+    GROUP BY ch.doc_id
+    """,
+    survey_ids=("A7", "G2"),
+    doc="C4-style span-level dedup APPLIED, not just measured: every "
+    f"document splits into aligned {_SPAN_K}-token chunks, a chunk "
+    "that occurs in more than one distinct document is removed from "
+    "ALL of them, and the surviving chunks are re-joined in order — "
+    "the cross-document boilerplate-excision step of a pretraining "
+    "pipeline (C4 did it at 3-sentence spans; these synthetic docs "
+    "have no sentence marks, so the span is token-aligned), "
+    "complementing boilerplate_ngrams (which measures) and "
+    "exact_dedup (whole-doc).  Plan: chunking is NATIVE array code "
+    "(transform over sequence + slice — no explode for the chunk "
+    "build, no Python), then one shuffle keyed on the chunk hash for "
+    "the distinct-doc count, a hash join back, and one keyed "
+    "aggregation to rebuild each doc (sorted collect_list, bounded "
+    "by the doc's own chunk count).  Corpus cost is linear; a chunk "
+    "hot enough to blow the join key is by definition boilerplate "
+    "and lands in the removed set.",
+)
+def q_span_dedup_rebuild(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    k = _SPAN_K
+    ch = (
+        docs.withColumn("__arr", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(__arr) / {k}.0) as int) - 1), "
+                    f"i -> struct(cast(i as bigint) as pos, "
+                    f"array_join(slice(__arr, i * {k} + 1, {k}), ' ') as chunk))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.pos", "c.chunk", F.md5("c.chunk").alias("h"))
+    )
+    nd = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("nd") <= 1, F.struct(F.col("pos"), F.col("chunk"))
+                    )
+                )
+            ),
+            lambda x: x["chunk"],
+        ),
+        " ",
+    )
+    return (
+        ch.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            kept.alias("kept_text"),
+        )
+    )
+
+
+# ===========================================================================
+# Bucketed co-located join (the zero-exchange join, executed in the gate)
+# ===========================================================================
+
+_BUCKETS = 16
+
+
+@register(
+    "bucketed_join_orders",
+    f"""
+    SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("J1", "A1"),
+    doc="Bucketing executed in the gate: orders and customer are "
+    f"written as {_BUCKETS}-bucket tables hashed on the customer key "
+    "(operators/layout.write_bucketed, sorted within buckets), then "
+    "joined — the join plans with NO exchange on either side "
+    "(asserted in tests/test_round6_ops.py; only the final segment "
+    "aggregation shuffles, and it moves |segments| rows).  This is "
+    "the 100 TB co-location lever: pay one layout write, and every "
+    "subsequent customer-keyed join of these tables is shuffle-free "
+    "— exactly what Spark bucketing + sortBy buys over raw parquet.  "
+    "The oracle joins the ORIGINAL parquet, so the bucketed round "
+    "trip is value-checked, not just shape-checked.  The write "
+    "happens inside build() against process-lifetime scratch (the "
+    "layout investment is part of the measured cost, honestly).",
+)
+def q_bucketed_join_orders(spark, sf_dir):
+    from ..operators.layout import write_bucketed
+    from ..session import scratch_dir
+
+    d = scratch_dir("bucketed")
+    tag = os.path.basename(d).replace("-", "_")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t_ord, t_cust = f"b_ord_{tag}", f"b_cust_{tag}"
+    write_bucketed(
+        orders, t_ord, ["o_custkey"], _BUCKETS,
+        sort_keys=["o_custkey"], path=f"{d}/ord",
+    )
+    write_bucketed(
+        cust, t_cust, ["c_custkey"], _BUCKETS,
+        sort_keys=["c_custkey"], path=f"{d}/cust",
+    )
+    o = spark.table(t_ord)
+    c = spark.table(t_cust)
+    # merge hint: at gate scale Catalyst would broadcast the tiny
+    # customer side and never consult the bucketing; at 100 TB neither
+    # side broadcasts and SMJ is the real plan — the hint pins that
+    # shape so the exchange-free property under test is the one that
+    # matters at scale.
+    return (
+        o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ===========================================================================
+# Partition-pruned scan (directory partitioning, executed in the gate)
+# ===========================================================================
+
+
+@register(
+    "partition_pruned_scan",
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(floor(value * 1e4)::BIGINT)::BIGINT AS sum_qv
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey_ids=("P5", "S10"),
+    doc="Directory partition pruning executed in the gate: events are "
+    "rewritten partitioned by event_type under process-lifetime "
+    "scratch, and the query reads back ONE partition — the scan's "
+    "PartitionFilters prune the other four directories at planning "
+    "time (asserted in tests/test_round6_ops.py), so the read cost "
+    "is the selected slice, not the table.  At 100 TB this is the "
+    "difference between scanning 20 TB and scanning 100 TB for the "
+    "same answer; the oracle aggregates the ORIGINAL unpartitioned "
+    "parquet, value-checking the partitioned round trip (including "
+    "the partition column's string round-trip through directory "
+    "names).  The rewrite inside build() is the measured layout "
+    "cost, as with bucketed_join_orders.",
+)
+def q_partition_pruned_scan(spark, sf_dir):
+    from ..session import scratch_dir
+
+    d = scratch_dir("partscan")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{d}/ev")
+    back = spark.read.parquet(f"{d}/ev")
+    return (
+        back.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e4)).cast("long"))
+            .cast("long")
+            .alias("sum_qv"),
+        )
+    )

@@ -285,6 +285,79 @@ def q_join_key_skew_profile(spark, sf_dir):
     )
 
 
+# --- skewed join under an explicit salt (the mitigation, executed) ----------
+
+_SKEWJ_SALTS = 8
+_SKEWJ_HOT_MOD = 4  # user_id % 4 != 0 collapses onto hot key 0 (~75% of rows)
+
+
+@register(
+    "skew_join_events",
+    f"""
+    WITH e AS (
+        SELECT CASE WHEN user_id % {_SKEWJ_HOT_MOD} <> 0 THEN 0 ELSE user_id END AS k,
+               floor(value * 1e4)::BIGINT AS qv
+        FROM events WHERE value IS NOT NULL
+    ), d AS (
+        SELECT DISTINCT user_id AS k, (user_id % 7 + 1)::BIGINT AS weight
+        FROM events
+    )
+    SELECT e.k AS skew_key, count(*)::BIGINT AS n,
+           sum(e.qv * d.weight)::BIGINT AS wsum
+    FROM e JOIN d ON e.k = d.k
+    GROUP BY e.k
+    """,
+    survey_ids=("J1", "A1"),
+    doc="The skew MITIGATION executed in the gate, not just profiled "
+    "(join_key_skew_profile is the measurement; this is the fix "
+    "running): probe events are remapped so ~75% of rows collapse "
+    "onto one hot key — the join-key distribution where a plain hash "
+    "join puts most of the table on one reducer — then joined to a "
+    "per-key weight dim through operators/layout.salted_join with a "
+    "DETERMINISTIC probe-side salt (pmod(event_id, "
+    f"{_SKEWJ_SALTS})) and a shuffle_hash build hint: the hot key's "
+    f"rows spread across {_SKEWJ_SALTS} reducers, the dim replicates "
+    "x salts (the explode), and the join key becomes (k, salt).  The "
+    "RESULT is salt-invariant — every probe row meets its key's dim "
+    "row exactly once — so the oracle is the plain equi-join + "
+    "group-by the salted plan must equal, and the weighted sum "
+    "proves build-side attributes actually flowed through the salted "
+    "path.  Salting handles a hot KEY (AQE's skew split only divides "
+    "oversized partitions of distinct keys; one key's hash always "
+    "lands together), which is exactly the regime injected here.",
+)
+def q_skew_join_events(spark, sf_dir):
+    from ..operators.layout import salted_join
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    probe = ev.select(
+        F.when(F.col("user_id") % _SKEWJ_HOT_MOD != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        F.floor(F.col("value") * F.lit(1e4)).cast("long").alias("qv"),
+        F.pmod(F.col("event_id"), F.lit(_SKEWJ_SALTS)).cast("int").alias("__s"),
+    )
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("weight", (F.col("k") % 7 + 1).cast("long"))
+        # Build side: too big to broadcast in the 100 TB posture (key
+        # cardinality scales with users) — force the shuffled-hash
+        # shape the salt exists for, instead of a broadcast that would
+        # make the salt a no-op at toy scale.
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(
+        probe, dim, "k", salt_buckets=_SKEWJ_SALTS, salt_expr=F.col("__s")
+    ).drop("__s")
+    return joined.groupBy(F.col("k").alias("skew_key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv") * F.col("weight")).cast("long").alias("wsum"),
+    )
+
+
 # --- referential-integrity audit (FK orphan rates) --------------------------
 
 
