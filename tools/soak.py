@@ -84,6 +84,11 @@ DEFAULT_QUERIES = [
     "snapshot_patch_apply",
     "embed_dup_clusters",
     "streaming_upsert_state",
+    # round-6 families
+    "skew_join_events",
+    "span_dedup_rebuild",
+    "bucketed_join_orders",
+    "partition_pruned_scan",
 ]
 
 _SHIFTS = {
