@@ -107,6 +107,10 @@ HEADLINE = [
 
 SIDEBAR = ["user_zscore_arrow"]
 
+# Hard ceiling for the final stdout line: the driver parses a ~2 KB
+# tail, so the headline JSON must stay comfortably below it.
+_HEADLINE_MAX_BYTES = 1800
+
 
 def materialize(df) -> int:
     """Execute the full plan JVM-side; return the row count."""
@@ -184,6 +188,29 @@ def main() -> None:
     finally:
         release_caches()
 
+    # Layout-lever queries at headline scale: the write is the 100 TB
+    # investment, the query is what it buys — report both components
+    # (round-6 verdict item 3) instead of one merged wall number.
+    from tomasz_weight_tracker_spark.plans.round6 import LAYOUT_WRITE_S
+
+    layout = {}
+    for name in ("bucketed_join_orders", "partition_pruned_scan"):
+        try:
+            LAYOUT_WRITE_S.pop(name, None)
+            t0 = time.time()
+            materialize(REGISTRY[name].build(spark, sf_dir))
+            wall = time.time() - t0
+            w = LAYOUT_WRITE_S.get(name, 0.0)
+            layout[name] = {
+                "write_s": round(w, 2),
+                "query_s": round(max(wall - w, 0.0), 2),
+            }
+            print(f"# layout {name}: {layout[name]}", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — bench must still emit its line
+            layout[name] = {"error": str(e)[:120]}
+        finally:
+            release_caches()
+
     queries_full = {}
     full_sf_dir = os.environ.get(
         "SPARK_GRAFT_FULL_SF_DIR", "/root/testdata/sf0.01"
@@ -204,10 +231,18 @@ def main() -> None:
             q = REGISTRY[name]
             entry = {}
             try:
+                LAYOUT_WRITE_S.pop(name, None)
                 t0 = time.time()
                 fdf = q.build(spark, full_sf_dir)
                 materialize(fdf)
                 entry["t_spark"] = round(time.time() - t0, 2)
+                # Layout queries: split the investment (write_s) from
+                # what it buys (query_s) — round-6 verdict item 3.
+                if name in LAYOUT_WRITE_S:
+                    entry["write_s"] = LAYOUT_WRITE_S[name]
+                    entry["query_s"] = round(
+                        max(entry["t_spark"] - entry["write_s"], 0.0), 2
+                    )
             except Exception as e:  # noqa: BLE001
                 entry["t_spark_err"] = str(e)[:200]
             finally:
@@ -282,23 +317,44 @@ def main() -> None:
             json.dump(full_payload, fh, indent=1)
     except OSError:
         pass  # the stdout line above is the record of note
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # Measured-boundary exhibits (not in the headline total):
-                # same oracle as a headline twin, slower path by design.
-                "sidebar_queries": sidebar,
-                "streaming": streaming,
-                "soak_queries": soak,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    headline = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # Measured-boundary exhibits (not in the headline total):
+        # same oracle as a headline twin, slower path by design.
+        "sidebar_queries": sidebar,
+        "streaming": streaming,
+        "soak_queries": soak,
+        "layout": layout,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver keeps ~2 KB of stdout tail: the headline line MUST fit
+    # (round-6 advice — the round-5 'parsed: null' failure silently
+    # returns once the line outgrows the tail).  Slim progressively,
+    # then fail LOUDLY rather than print an unparseable record.
+    line = json.dumps(headline)
+    if len(line) > _HEADLINE_MAX_BYTES and isinstance(soak, dict):
+        headline["soak_queries"] = {
+            k: (v.get("ratio") if isinstance(v, dict) else v)
+            for k, v in soak.items()
+        }
+        line = json.dumps(headline)
+    if len(line) > _HEADLINE_MAX_BYTES:
+        # per-query timings are the gate's payload — keep them; shed
+        # the exhibits (full detail stays in BENCH_FULL.json/stderr).
+        headline["sidebar_queries"] = {}
+        headline["streaming"] = {
+            k: streaming[k] for k in ("stream_over_batch",) if k in streaming
+        }
+        line = json.dumps(headline)
+    if len(line) > _HEADLINE_MAX_BYTES:
+        raise SystemExit(
+            f"headline JSON is {len(line)} bytes > {_HEADLINE_MAX_BYTES}: "
+            "trim the headline set or move detail to BENCH_FULL.json"
+        )
+    print(line, flush=True)
     spark.stop()
 
 

@@ -164,6 +164,61 @@ class TestRealCodecs:
         raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x01\x02") + chunk(b"IEND", b"")
         assert codecs.parse_png(raw)["pixels"] is None
 
+    def test_header_only_decodes_are_labeled(self, spark):
+        """A blob whose header parses but whose pixels don't must be
+        labeled '<fmt>-header', never plain 'png' — fake (md5) features
+        are always distinguishable from decoded ones (round-6 advice)."""
+        import struct
+        import zlib
+
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        # 16-bit PNG: dims real, pixels None -> 'png-header'.
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 2, 0, 0, 0)
+        png16 = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        out = {r.decoder: r for r in MM.decode_media(media_df(spark, [(png16, None)])).collect()}
+        assert set(out) == {"png-header"}
+        assert (out["png-header"].width, out["png-header"].height) == (3, 2)
+        # Features are the md5 fallback, not decoded pixels.
+        assert out["png-header"].features == MM._stub_features(png16)
+
+    def test_png_decompression_bomb_is_bounded(self):
+        """A crafted IDAT that inflates far past the declared raster, or
+        a header declaring a huge geometry, must decode header-only
+        instead of materializing the bomb (round-6 advice)."""
+        import struct
+        import zlib
+
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        # 2x1 RGB header, but the IDAT inflates to 10 MB of zeros.
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (10 << 20), 9)  # ~10 KB compressed
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+        out = codecs.parse_png(raw)
+        assert (out["width"], out["height"], out["pixels"]) == (2, 1, None)
+        # Huge declared geometry: header decodes, pixel loop never runs.
+        ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+        raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
+        out = codecs.parse_png(raw)
+        assert (out["width"], out["height"], out["pixels"]) == (1 << 15, 1 << 15, None)
+
     def test_corrupt_headers_fall_back_to_stub(self, spark):
         df = media_df(
             spark,

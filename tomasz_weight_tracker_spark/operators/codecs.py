@@ -67,6 +67,12 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type (palette images need a PLTE decode this
 # container has no consumer for — they fall back to header-only).
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# Pixel-decode ceiling: the header's w*h is UNTRUSTED, and both the
+# inflate and the per-pixel Python loop are O(w*h).  A 64 MP cap keeps
+# a crafted IHDR (or an IDAT decompression bomb — see parse_png's
+# bounded decompressobj) from pinning an executor; real blobs above
+# the cap still get the header-only decode.
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def parse_png(raw: bytes) -> dict | None:
@@ -114,13 +120,20 @@ def parse_png(raw: bytes) -> dict | None:
     }
     if depth != 8 or channels is None or interlace != 0 or not idat:
         return out  # header-only decode
+    if w * h > _PNG_MAX_PIXELS:
+        return out  # untrusted geometry too large for pixel decode
+    stride = w * channels
+    expected = h * (1 + stride)
     try:
-        data = zlib.decompress(bytes(idat))
+        # Bound inflation by the raster size the header promised: a
+        # crafted IDAT that inflates past w*h (decompression bomb)
+        # stops at expected+1 bytes instead of filling executor memory.
+        dec = zlib.decompressobj()
+        data = dec.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return out
-    stride = w * channels
-    if len(data) < h * (1 + stride):
-        return out
+    if len(data) != expected or dec.decompress(b"", 1):
+        return out  # truncated or oversized raster: keep header decode
     pixels: list[tuple[int, int, int]] = []
     prev = bytearray(stride)
     dp = 0

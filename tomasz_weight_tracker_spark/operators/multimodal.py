@@ -17,7 +17,11 @@ Design (what is REAL vs STUBBED here):
   importable and otherwise produces a DETERMINISTIC FAKE derived from
   the md5 of the bytes (flagged by ``decoder='stub'`` in the output).
   Swapping in a real decoder changes no schema, partitioning, or call
-  site.
+  site.  A blob whose HEADER parses but whose pixels/samples don't
+  (16-bit / palette / interlaced PNG, compressed BMP, non-PCM WAV,
+  corrupt payload) is labeled ``'<fmt>-header'`` — dims/duration are
+  real, the feature vector is the md5 fallback — so consumers never
+  mistake fake features for decoded ones.
 
 The cheap metadata pass (byte length, content md5) is NATIVE —
 ``binary_meta`` runs JVM-side before any decode, and ``decode_media``
@@ -128,32 +132,38 @@ def _decode_one(raw: bytes) -> dict:
     importable) -> stub.  Signatures are disjoint, so order is cosmetic."""
     png = codecs.parse_png(raw)
     if png is not None:
+        # pixel features are codec-agnostic: parse_png emits the same
+        # (b, g, r) row-major pixels parse_bmp does.  A header-only
+        # decode (16-bit / palette / interlaced / corrupt IDAT) has no
+        # pixels — label it 'png-header' so consumers can tell real
+        # pixel features from the deterministic md5 fallback.
+        feats = codecs.bmp_features(png, FEATURE_DIM)
         return {
-            "decoder": "png",
+            "decoder": "png" if feats is not None else "png-header",
             "width": png["width"],
             "height": png["height"],
             "duration_ms": None,
-            # pixel features are codec-agnostic: parse_png emits the
-            # same (b, g, r) row-major pixels parse_bmp does.
-            "features": codecs.bmp_features(png, FEATURE_DIM) or _stub_features(raw),
+            "features": feats if feats is not None else _stub_features(raw),
         }
     bmp = codecs.parse_bmp(raw)
     if bmp is not None:
+        feats = codecs.bmp_features(bmp, FEATURE_DIM)
         return {
-            "decoder": "bmp",
+            "decoder": "bmp" if feats is not None else "bmp-header",
             "width": bmp["width"],
             "height": bmp["height"],
             "duration_ms": None,
-            "features": codecs.bmp_features(bmp, FEATURE_DIM) or _stub_features(raw),
+            "features": feats if feats is not None else _stub_features(raw),
         }
     wav = codecs.parse_wav(raw)
     if wav is not None:
+        feats = codecs.wav_features(wav, FEATURE_DIM)
         return {
-            "decoder": "wav",
+            "decoder": "wav" if feats is not None else "wav-header",
             "width": None,
             "height": None,
             "duration_ms": wav["duration_ms"],
-            "features": codecs.wav_features(wav, FEATURE_DIM) or _stub_features(raw),
+            "features": feats if feats is not None else _stub_features(raw),
         }
     real = _try_real_image_decode(raw)
     if real is not None:

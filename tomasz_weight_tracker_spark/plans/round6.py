@@ -2,22 +2,32 @@
 gate (bucketed co-located join, partition-pruned scan) and C4-style
 span-level cross-document dedup with text reconstruction.
 
-The two layout queries write their tables under a process-lifetime
-scratch dir (``session.scratch_dir``) inside build() — the write is
-part of the measured operator, which is honest: at 100 TB the layout
-IS the investment, and the query demonstrates what the investment
-buys (an exchange-free join / a partition-pruned scan).  Oracles run
-against the original parquet, so the round-trip through the layout is
+The two layout queries write their tables under a FIXED
+process-lifetime scratch dir (``session.fixed_scratch_dir``) inside
+build() — the write is part of the measured operator, which is
+honest: at 100 TB the layout IS the investment, and the query
+demonstrates what the investment buys (an exchange-free join / a
+partition-pruned scan).  Fixed table names + mode=overwrite mean
+repeated builds replace the layout instead of accumulating metastore
+entries and scratch parquet; each build records its write seconds in
+``LAYOUT_WRITE_S`` so bench can report the investment (write_s) and
+the payoff (query_s) as separate numbers.  Oracles run against the
+original parquet, so the round-trip through the layout is
 value-checked end-to-end.
 """
 
 from __future__ import annotations
 
-import os
+import time
 
 from pyspark.sql import functions as F
 
 from .catalog import dsum, load, register, sql_dsum
+
+# Layout-write cost, recorded per build so bench can report the layout
+# investment (write_s) separately from what it buys (query_s) instead
+# of burying both in one wall number (round-6 verdict item 3).
+LAYOUT_WRITE_S: dict[str, float] = {}
 
 # ===========================================================================
 # C4-style span dedup: aligned K-token chunks, cross-doc exact removal
@@ -143,18 +153,21 @@ _BUCKETS = 16
     "— exactly what Spark bucketing + sortBy buys over raw parquet.  "
     "The oracle joins the ORIGINAL parquet, so the bucketed round "
     "trip is value-checked, not just shape-checked.  The write "
-    "happens inside build() against process-lifetime scratch (the "
-    "layout investment is part of the measured cost, honestly).",
+    "happens inside build() against FIXED process-lifetime scratch "
+    "with mode=overwrite and fixed table names, so repeated builds "
+    "replace rather than accumulate metastore entries / scratch "
+    "parquet (round-6 advice); the write's cost is recorded in "
+    "LAYOUT_WRITE_S so bench reports write_s and query_s apart.",
 )
 def q_bucketed_join_orders(spark, sf_dir):
     from ..operators.layout import write_bucketed
-    from ..session import scratch_dir
+    from ..session import fixed_scratch_dir
 
-    d = scratch_dir("bucketed")
-    tag = os.path.basename(d).replace("-", "_")
+    d = fixed_scratch_dir("bucketed")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    t_ord, t_cust = f"b_ord_{tag}", f"b_cust_{tag}"
+    t_ord, t_cust = "b_ord_gate", "b_cust_gate"
+    t0 = time.time()
     write_bucketed(
         orders, t_ord, ["o_custkey"], _BUCKETS,
         sort_keys=["o_custkey"], path=f"{d}/ord",
@@ -163,6 +176,7 @@ def q_bucketed_join_orders(spark, sf_dir):
         cust, t_cust, ["c_custkey"], _BUCKETS,
         sort_keys=["c_custkey"], path=f"{d}/cust",
     )
+    LAYOUT_WRITE_S["bucketed_join_orders"] = round(time.time() - t0, 3)
     o = spark.table(t_ord)
     c = spark.table(t_cust)
     # merge hint: at gate scale Catalyst would broadcast the tiny
@@ -206,14 +220,18 @@ def q_bucketed_join_orders(spark, sf_dir):
     "parquet, value-checking the partitioned round trip (including "
     "the partition column's string round-trip through directory "
     "names).  The rewrite inside build() is the measured layout "
-    "cost, as with bucketed_join_orders.",
+    "cost, as with bucketed_join_orders — to a FIXED scratch dir "
+    "(mode=overwrite replaces, repeated builds don't accumulate), "
+    "with the write's seconds recorded in LAYOUT_WRITE_S.",
 )
 def q_partition_pruned_scan(spark, sf_dir):
-    from ..session import scratch_dir
+    from ..session import fixed_scratch_dir
 
-    d = scratch_dir("partscan")
+    d = fixed_scratch_dir("partscan")
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t0 = time.time()
     ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{d}/ev")
+    LAYOUT_WRITE_S["partition_pruned_scan"] = round(time.time() - t0, 3)
     back = spark.read.parquet(f"{d}/ev")
     return (
         back.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())

@@ -77,6 +77,22 @@ def scratch_dir(tag: str = "q") -> str:
     return tempfile.mkdtemp(prefix=f"{tag}_", dir=_SCRATCH_ROOT)
 
 
+_FIXED_SCRATCH: dict[str, str] = {}
+
+
+def fixed_scratch_dir(tag: str) -> str:
+    """Like :func:`scratch_dir` but memoized per tag: every call with
+    the same tag returns the SAME directory for the process lifetime.
+    For queries that rewrite a layout on every build (bucketed tables,
+    partitioned rewrites): repeated builds overwrite one location
+    instead of accumulating a fresh scratch tree per build (round-6
+    advice — bench's warm+timed double-build and the soak's repeated
+    builds otherwise leak disk for the whole process)."""
+    if tag not in _FIXED_SCRATCH:
+        _FIXED_SCRATCH[tag] = scratch_dir(tag)
+    return _FIXED_SCRATCH[tag]
+
+
 def shuffle_partitions_for(input_bytes: int, target_partition_bytes: int = 128 << 20) -> int:
     """Size shuffle parallelism to the data: ~128 MiB per post-shuffle
     partition, floored at the core count.  At 100 TB this yields
