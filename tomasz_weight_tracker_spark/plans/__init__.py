@@ -13,3 +13,4 @@ from . import python_api  # noqa: F401  (applyInPandas, pandas UDAF, Python UDTF
 from . import pathbound  # noqa: F401  (W1/W2/W4 pipelines gate-embedded via derived inputs)
 from . import advanced  # noqa: F401  (SCD2, PageRank, sorted-neighborhood, bitmap distinct)
 from . import round6  # noqa: F401  (span dedup, bucketed join, partition-pruned scan)
+from . import round7  # noqa: F401  (paged source gate, BPE vocab training)
