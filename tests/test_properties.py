@@ -116,6 +116,64 @@ def test_merge_never_loses_nonnull_cells(files):
             ), f"cell ({ts}, {v}) lost"
 
 
+# Two-measure exports where values repeat (integers cast to float) so
+# genuine conflicts, tolerant-equal overlaps, fills, new columns, and
+# all-null prunes all occur across examples.
+merge_equiv_strategy = st.lists(
+    st.dictionaries(
+        keys=st.integers(min_value=0, max_value=6),  # minute offset
+        values=st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=2,
+    max_size=4,
+)
+
+
+@SLOW
+@given(merge_equiv_strategy)
+def test_merge_collapse_equals_stepwise_fold(files):
+    """Round-7 fold-order property: the single-pass algebraic collapse
+    (merge_sensor_frames) must produce EXACTLY the step-wise
+    left-to-right fold of merge_step — same columns (including which
+    '!X! c' conflict columns materialize and their tag order), same
+    rows — for any sequence of overlapping two-measure exports."""
+    from tomasz_weight_tracker_spark.pipelines.sensors import (
+        drop_all_null_columns,
+        merge_step,
+        order_columns,
+    )
+
+    spark = get_session()
+    t0 = dt.datetime(2025, 1, 1, 0, 0)
+    frames = [
+        spark.createDataFrame(
+            [
+                (
+                    t0 + dt.timedelta(minutes=o),
+                    None if a is None else float(a),
+                    None if b is None else float(b),
+                )
+                for o, (a, b) in f.items()
+            ],
+            "Timestamp timestamp, temp double, hum double",
+        )
+        for f in files
+    ]
+    # The step-wise specification, exactly as round-6 shipped it.
+    combined, idx = frames[0], 0
+    for nxt in frames[1:]:
+        combined, idx = merge_step(combined, nxt, idx)
+    spec = order_columns(drop_all_null_columns(combined)).orderBy("Timestamp")
+    got = merge_sensor_frames(frames)
+    assert got.columns == spec.columns
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in spec.collect()]
+
+
 # ---------------------------------------------------------------------------
 # Codec round-trip properties (pure python — no Spark session needed).
 
