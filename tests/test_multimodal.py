@@ -164,6 +164,45 @@ class TestRealCodecs:
         raw = codecs.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x01\x02") + chunk(b"IEND", b"")
         assert codecs.parse_png(raw)["pixels"] is None
 
+    def test_gif_decode_through_chain(self, spark):
+        """Real GIF decode via decode_media: LZW inflate + palette
+        lookup yields the same channel-mean features as the BMP twin
+        of the same image."""
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        pal = [(255, 0, 0), (0, 0, 255)]  # red, blue
+
+        def idx(x, y):  # quarter red / rest blue on a 4x2 grid
+            return 0 if (y == 0 and x < 2) else 1
+
+        gif = codecs.make_gif(4, 2, idx, pal)
+        bmp = codecs.make_bmp(4, 2, lambda x, y: (0, 0, 255) if idx(x, y) == 0 else (255, 0, 0))
+        rows = {r.decoder: r for r in MM.decode_media(media_df(spark, [(gif, None), (bmp, None)])).collect()}
+        assert set(rows) == {"gif", "bmp"}
+        for r in rows.values():
+            assert (r.width, r.height) == (4, 2)
+            assert r.features[0] == 0.25  # mean R
+            assert r.features[2] == 0.75  # mean B
+        assert rows["gif"].features == rows["bmp"].features
+
+    def test_gif_interlaced_and_truncated_decode_header_only(self, spark):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        full = codecs.make_gif(5, 3, lambda x, y: 0, [(1, 2, 3), (4, 5, 6)])
+        # Flip the interlace bit in the image descriptor (offset: after
+        # 13-byte header + 6-byte palette + 9 descriptor bytes).
+        interlaced = bytearray(full)
+        desc = full.index(b"\x2c")
+        interlaced[desc + 9] |= 0x40
+        out = codecs.parse_gif(bytes(interlaced))
+        assert (out["width"], out["height"], out["pixels"]) == (5, 3, None)
+        # Truncated LZW data: header survives, pixels None.
+        out = codecs.parse_gif(full[: desc + 12])
+        assert out is not None and out["pixels"] is None
+        # Through the chain: header-only gets the '-header' label.
+        r = MM.decode_media(media_df(spark, [(bytes(interlaced), None)])).first()
+        assert r.decoder == "gif-header"
+
     def test_header_only_decodes_are_labeled(self, spark):
         """A blob whose header parses but whose pixels don't must be
         labeled '<fmt>-header', never plain 'png' — fake (md5) features

@@ -179,6 +179,37 @@ def test_merge_collapse_equals_stepwise_fold(files):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=25),
+    h=st.integers(min_value=1, max_value=12),
+    ncol=st.integers(min_value=2, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_round_trip(w, h, ncol, seed):
+    """make_gif (real LZW compress) -> parse_gif (LZW inflate +
+    palette) reconstructs every pixel for any geometry / palette size
+    — including >15-color palettes that force code-width growth and
+    the KwKwK self-referential case on repeated runs."""
+    import random as _r
+
+    from tomasz_weight_tracker_spark.operators.codecs import make_gif, parse_gif
+
+    rng = _r.Random(seed)
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(ncol)
+    ]
+    grid = [[rng.randrange(ncol) for _ in range(w)] for _ in range(h)]
+    out = parse_gif(make_gif(w, h, lambda x, y: grid[y][x], pal))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == [
+        (pal[grid[y][x]][2], pal[grid[y][x]][1], pal[grid[y][x]][0])
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+@given(
     w=st.integers(min_value=1, max_value=17),
     h=st.integers(min_value=1, max_value=9),
     seed=st.integers(min_value=0, max_value=2**31 - 1),

@@ -175,6 +175,223 @@ def parse_png(raw: bytes) -> dict | None:
     return out
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> list[int] | None:
+    """GIF-variant LZW: LSB-first bitstream, CLEAR/EOI codes, code
+    width grows (min+1)..12 as the table fills.  Output is bounded by
+    ``max_out`` (the declared raster size), so a crafted stream cannot
+    expand past the geometry the header promised."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: dict[int, tuple[int, ...]] = {}
+    width = next_code = 0
+    prev: tuple[int, ...] | None = None
+
+    def reset() -> None:
+        nonlocal table, width, next_code, prev
+        table = {i: (i,) for i in range(clear)}
+        width = min_code_size + 1
+        next_code = eoi + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+                out.extend(entry)
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK case
+                    entry = prev + (prev[0],)
+                else:
+                    return None
+                out.extend(entry)
+                if next_code < 4096:
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+            prev = entry
+            if len(out) >= max_out:
+                return out[:max_out]
+    return out
+
+
+def parse_gif(raw: bytes) -> dict | None:
+    """Decode a GIF: logical-screen header always; full pixels (real
+    LZW inflate + palette lookup) for a single non-interlaced
+    full-screen frame.  Returns the parse_bmp shape — {width, height,
+    bpp, pixels} with (b, g, r) row-major tuples — so downstream
+    feature extractors stay codec-agnostic.  Interlaced / partial /
+    multi-frame-first-partial images decode header-only; malformed
+    data returns None (corrupt blobs are data, same posture as the
+    other parsers).  The pixel decode is bomb-bounded twice: declared
+    geometry capped at _PNG_MAX_PIXELS, and the LZW output capped at
+    the declared raster size."""
+    if len(raw) < 13 or raw[:6] not in GIF_SIGS:
+        return None
+    w, h = struct.unpack_from("<HH", raw, 6)
+    flags = raw[10]
+    if w <= 0 or h <= 0:
+        return None
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = raw[13 : 13 + 3 * n]
+        pos += 3 * n
+    out = {"width": w, "height": h, "bpp": 8, "pixels": None}
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x3B:  # trailer
+            return out
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(raw):
+                return out
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+            iflags = raw[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = raw[pos : pos + 3 * n]
+                pos += 3 * n
+            if pos >= len(raw):
+                return out
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(raw) and raw[pos] != 0:
+                ln = raw[pos]
+                data += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if (
+                (iflags & 0x40)  # interlaced: no consumer here
+                or (ix, iy, iw, ih) != (0, 0, w, h)  # partial frame
+                or table is None
+                or not 2 <= min_code <= 11
+                or w * h > _PNG_MAX_PIXELS  # untrusted geometry cap
+            ):
+                return out  # header-only decode
+            idxs = _lzw_decode(bytes(data), min_code, w * h)
+            if idxs is None or len(idxs) < w * h:
+                return out
+            ncol = len(table) // 3
+            pixels: list[tuple[int, int, int]] = []
+            for i in idxs:
+                if i >= ncol:
+                    return out
+                pixels.append((table[3 * i + 2], table[3 * i + 1], table[3 * i]))
+            out["pixels"] = pixels
+            return out
+        else:
+            return out  # unknown block: keep the header decode
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF LZW compression (string table, growing code width,
+    table-full reset) — the encoder twin that exercises every decoder
+    path including KwKwK and width growth.  Width-bump sync: encoder
+    bumps at next_code == (1<<width)+1, decoder at next_code ==
+    (1<<width) — the standard one-entry offset (the decoder learns
+    each entry one code late)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = eoi + 1
+    bits.append((clear, width))
+    seq: tuple[int, ...] = ()
+    for i in indices:
+        cand = seq + (i,)
+        if cand in table:
+            seq = cand
+            continue
+        bits.append((table[seq], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bits.append((clear, width))
+            table = {(j,): j for j in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        seq = (i,)
+    if seq:
+        bits.append((table[seq], width))
+    bits.append((eoi, width))
+    # LSB-first bit packing.
+    out = bytearray()
+    acc = nbits = 0
+    for code, cw in bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(
+    width: int, height: int, index_fn, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Serialize a single-frame non-interlaced GIF (test fixture /
+    oracle twin).  ``index_fn(x, y) -> palette index`` with y=0 the
+    top row; ``palette`` is a list of (r, g, b), padded to the next
+    power of two >= 2."""
+    ncol = 2
+    while ncol < len(palette):
+        ncol *= 2
+    depth = max(ncol.bit_length() - 1, 1)
+    pal = bytearray()
+    for j in range(ncol):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        pal += bytes((r, g, b))
+    indices = [index_fn(x, y) for y in range(height) for x in range(width)]
+    min_code = max(depth, 2)
+    lzw = _lzw_encode(indices, min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += pal
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += bytes((min_code,))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def parse_wav(raw: bytes) -> dict | None:
     """Decode a WAV header (+ samples when 16-bit PCM).
 

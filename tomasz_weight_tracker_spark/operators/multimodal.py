@@ -7,11 +7,12 @@ Design (what is REAL vs STUBBED here):
   ``mapInPandas`` UDF signatures and batch shapes, partition-preserving
   per-row transforms, deterministic outputs, and the metadata model
   (``struct<modality,format,width,height,duration_ms>``) — AND the
-  BMP/PNG/WAV codecs: ``operators.codecs`` decodes BMP headers +
+  BMP/PNG/GIF/WAV codecs: ``operators.codecs`` decodes BMP headers +
   24-bit pixels, PNG (zlib inflate + full scanline unfilter for 8-bit
-  gray/RGB/RGBA), and RIFF/WAV headers + 16-bit PCM samples with
-  stdlib only (no external libs), producing real pixel/sample
-  features (``decoder='bmp'``/``'png'``/``'wav'``).
+  gray/RGB/RGBA), GIF (real LZW inflate + palette lookup), and
+  RIFF/WAV headers + 16-bit PCM samples with stdlib only (no external
+  libs), producing real pixel/sample features
+  (``decoder='bmp'``/``'png'``/``'gif'``/``'wav'``).
 - STUBBED: every OTHER format (jpeg/mp3/...).  Their codec libs
   are not in this container, so ``decode`` dispatches to Pillow when
   importable and otherwise produces a DETERMINISTIC FAKE derived from
@@ -128,8 +129,9 @@ def _try_real_image_decode(raw: bytes):
 
 def _decode_one(raw: bytes) -> dict:
     """Dispatch one blob through the decoder chain:
-    PNG (stdlib zlib) -> BMP (stdlib) -> WAV (stdlib) -> Pillow (if
-    importable) -> stub.  Signatures are disjoint, so order is cosmetic."""
+    PNG (stdlib zlib) -> GIF (stdlib LZW) -> BMP (stdlib) -> WAV
+    (stdlib) -> Pillow (if importable) -> stub.  Signatures are
+    disjoint, so order is cosmetic."""
     png = codecs.parse_png(raw)
     if png is not None:
         # pixel features are codec-agnostic: parse_png emits the same
@@ -142,6 +144,16 @@ def _decode_one(raw: bytes) -> dict:
             "decoder": "png" if feats is not None else "png-header",
             "width": png["width"],
             "height": png["height"],
+            "duration_ms": None,
+            "features": feats if feats is not None else _stub_features(raw),
+        }
+    gif = codecs.parse_gif(raw)
+    if gif is not None:
+        feats = codecs.bmp_features(gif, FEATURE_DIM)
+        return {
+            "decoder": "gif" if feats is not None else "gif-header",
+            "width": gif["width"],
+            "height": gif["height"],
             "duration_ms": None,
             "features": feats if feats is not None else _stub_features(raw),
         }
