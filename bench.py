@@ -103,6 +103,9 @@ HEADLINE = [
     "weighted_sample_events",
     "interval_bucket_join",
     "lexical_cosine_pairs",
+    # Round-7 flagship: distributed BPE vocabulary training (8 merge
+    # rounds; corpus touched once, then vocabulary-bounded state).
+    "bpe_vocab_train",
 ]
 
 SIDEBAR = ["user_zscore_arrow"]

@@ -51,6 +51,41 @@ class TestBpeTrain:
         out = bpe_train(spark, _words(spark, [("ab", 1)]), 3).collect()
         assert len(out) == 1  # (a,b) then single-symbol words only
 
+    def test_segment_words_applies_learned_merges(self, spark):
+        """After training on abab x3 / ab x2 / aaa x1 (4 rounds, the
+        hand-derived sequence above), the final state segments each
+        vocabulary word with the learned merges applied greedily."""
+        from tomasz_weight_tracker_spark.operators.bpe import (
+            bpe_train_full,
+            segment_words,
+        )
+
+        _, state = bpe_train_full(
+            spark, _words(spark, [("abab", 3), ("ab", 2), ("aaa", 1)]), 4
+        )
+        out = {r.word: r for r in segment_words(state).collect()}
+        assert (out["abab"].n_tokens, out["abab"].segmented) == (1, "abab")
+        assert (out["ab"].n_tokens, out["ab"].segmented) == (1, "ab")
+        # r3 merged (a,a) greedily: aaa -> [aa, a]; r4 merged (aa, a).
+        assert (out["aaa"].n_tokens, out["aaa"].segmented) == (1, "aaa")
+        assert out["abab"].freq == 3
+
+    def test_segment_oracle_matches_engine(self, spark):
+        from tomasz_weight_tracker_spark.operators.bpe import (
+            bpe_train_full,
+            segment_words,
+            sql_bpe_segments,
+        )
+
+        words = [("abab", 3), ("ab", 2), ("aaa", 1), ("banana", 2)]
+        cte = " UNION ALL ".join(
+            f"SELECT '{w}' AS word, {f}::BIGINT AS freq" for w, f in words
+        )
+        oracle = duckdb.connect().execute(sql_bpe_segments(cte, 3)).fetchall()
+        _, state = bpe_train_full(spark, _words(spark, words), 3)
+        got = [tuple(r) for r in segment_words(state).collect()]
+        assert sorted(got) == sorted(tuple(r) for r in oracle)
+
     def test_oracle_chain_matches_engine(self, spark):
         words = [("abab", 3), ("ab", 2), ("aaa", 1), ("banana", 2)]
         cte = " UNION ALL ".join(

@@ -67,6 +67,17 @@ def bpe_train(spark: SparkSession, words: DataFrame, rounds: int) -> DataFrame:
     only); callers that need a fixed row count should size ``rounds``
     to the corpus.
     """
+    merges_df, _ = bpe_train_full(spark, words, rounds)
+    return merges_df
+
+
+def bpe_train_full(
+    spark: SparkSession, words: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`bpe_train` plus the final symbol state — (merge table,
+    state (wid, freq, pos, sym)).  The state after the last merge IS
+    the learned tokenizer applied to the vocabulary: segmentation
+    comes for free with training (no second apply pass)."""
     w_ord = Window.partitionBy("wid").orderBy("pos")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
 
@@ -127,7 +138,25 @@ def bpe_train(spark: SparkSession, words: DataFrame, rounds: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return spark.createDataFrame(merges, MERGE_SCHEMA), state
+
+
+def segment_words(state: DataFrame) -> DataFrame:
+    """Collapse a symbol state into per-word segmentations: (word,
+    freq, n_tokens, segmented) — the learned-tokenizer view of the
+    vocabulary.  One keyed aggregation, bounded per word by its own
+    symbol count (the span_dedup sorted-collect pattern)."""
+    return state.groupBy(F.col("wid").alias("word")).agg(
+        F.max("freq").alias("freq"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda x: x["sym"],
+            ),
+            " ",
+        ).alias("segmented"),
+    )
 
 
 def sql_bpe_chain(words_cte: str, rounds: int) -> str:
@@ -139,6 +168,24 @@ def sql_bpe_chain(words_cte: str, rounds: int) -> str:
     integer counts all mirror :func:`bpe_train` step for step, so the
     learned merge table is value-hash comparable.
     """
+    body, _, outs = _sql_bpe_body(words_cte, rounds)
+    return body + " " + " UNION ALL ".join(outs)
+
+
+def sql_bpe_segments(words_cte: str, rounds: int) -> str:
+    """DuckDB twin of train-then-:func:`segment_words`: the chain's
+    FINAL state, grouped back into per-word segmentations."""
+    body, final, _ = _sql_bpe_body(words_cte, rounds)
+    return (
+        body
+        + f""" SELECT wid AS word, max(freq)::BIGINT AS freq,
+           count(*)::BIGINT AS n_tokens,
+           string_agg(sym, ' ' ORDER BY pos) AS segmented
+    FROM {final} GROUP BY wid"""
+    )
+
+
+def _sql_bpe_body(words_cte: str, rounds: int) -> tuple[str, str, list[str]]:
     parts = [
         f"WITH w0 AS ({words_cte}),",
         """s1 AS (
@@ -187,4 +234,4 @@ def sql_bpe_chain(words_cte: str, rounds: int) -> str:
             f"SELECT {r}::BIGINT AS round, a AS left_sym, b AS right_sym, "
             f"a || b AS merged, cnt FROM t{r}"
         )
-    return "".join(parts) + " " + " UNION ALL ".join(outs)
+    return "".join(parts), f"s{rounds + 1}", outs

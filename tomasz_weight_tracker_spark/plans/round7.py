@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..operators.bpe import bpe_train, sql_bpe_chain
+from ..operators.bpe import bpe_train, sql_bpe_chain, sql_bpe_segments
 from .catalog import load, register
 
 
@@ -206,3 +206,34 @@ def q_media_decode_gif(spark, sf_dir):
             F.floor(F.element_at("features", 1) * F.lit(1000000.0)) / F.lit(1000000.0)
         ).alias("mean_r"),
     )
+
+
+@register(
+    "bpe_segment_words",
+    sql_bpe_segments(_BPE_WORDS_CTE, _BPE_ROUNDS),
+    survey_ids=("A1", "G2"),
+    doc="The learned tokenizer APPLIED: after the same "
+    f"{_BPE_ROUNDS}-round training as bpe_vocab_train, the final "
+    "symbol state is collapsed into per-word segmentations (word, "
+    "freq, n_tokens, 'seg men ted') — training and application in "
+    "one pass, since the post-merge state IS the tokenization of the "
+    "vocabulary (operators/bpe.py:segment_words).  One extra keyed "
+    "aggregation over the vocabulary-bounded state, sorted-collect "
+    "bounded per word by its own symbol count.  The oracle extends "
+    "the training CTE chain with the identical final grouping, so "
+    "every word's full token sequence is value-hash checked — a far "
+    "stronger check of the merge application than the 8-row merge "
+    "table alone.",
+)
+def q_bpe_segment_words(spark, sf_dir):
+    from ..operators.bpe import bpe_train_full, segment_words
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$") & F.length("w").between(2, 20))
+        .groupBy(F.lower("w").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    _, state = bpe_train_full(spark, words, _BPE_ROUNDS)
+    return segment_words(state)

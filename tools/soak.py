@@ -89,6 +89,9 @@ DEFAULT_QUERIES = [
     "span_dedup_rebuild",
     "bucketed_join_orders",
     "partition_pruned_scan",
+    # round-7 families
+    "bpe_vocab_train",
+    "sensor_merge_fold",
 ]
 
 _SHIFTS = {
