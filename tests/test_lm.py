@@ -1,0 +1,100 @@
+"""Bigram-LM quality filtering and perceptron classifier training:
+hand-computed scores on a tiny corpus, convergence, totality on empty
+input, and the engine-portable floor division."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.operators.lm import (
+    LM_KEEP_E9,
+    N_BUCKETS,
+    SCALE_E9,
+    _floor_div,
+    lm_score,
+    perceptron_features,
+    perceptron_train,
+)
+
+
+def _docs(spark, items):
+    return spark.createDataFrame(items, "doc_id long, text string")
+
+
+class TestLmScore:
+    def test_hand_computed_bigram_probabilities(self, spark):
+        """train = doc 0: "a b a b" -> uni {a:2, b:2}, V=2,
+        bigrams {(a b):2, (b a):1}.
+        held doc 1 = "a b" -> p(a b) = (2+1)/(2+2) = 0.75 -> 750M.
+        held doc 2 = "b b" -> p(b b) = (0+1)/(2+2) = 0.25 -> 250M.
+        held doc 3 = "c c" -> p(c c) = (0+1)/(0+2) = 0.50 -> 500M.
+        """
+        out = lm_score(
+            _docs(
+                spark,
+                [(0, "a b a b"), (1, "a b"), (2, "b b"), (3, "c c")],
+            )
+        ).collect()
+        got = {r["doc_id"]: (r["n_bigrams"], r["lm_score_e9"], r["kept"]) for r in out}
+        assert got == {
+            1: (1, 750_000_000, True),
+            2: (1, 250_000_000, True),
+            3: (1, 500_000_000, True),
+        }
+
+    def test_short_and_empty_docs_unscoreable(self, spark):
+        out = lm_score(
+            _docs(spark, [(0, "a b"), (1, "one"), (2, ""), (3, None), (4, "x y")])
+        ).collect()
+        assert {r["doc_id"] for r in out} == {4}
+
+    def test_empty_corpus_total(self, spark):
+        assert lm_score(_docs(spark, [])).collect() == []
+
+    def test_gate_corpus_splits_both_classes(self, spark):
+        out = lm_score(
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        ).agg(
+            F.sum(F.col("kept").cast("int")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        assert 0 < out["k"] < out["n"]
+        assert out["n"] == 400  # 500 docs minus the 100-doc train split
+
+    def test_quantization_monotone(self):
+        # e9 quantization preserves the keep/drop ordering of rationals
+        # that differ by more than 1 ulp of the grid.
+        assert (SCALE_E9 * 3) // 4 > (SCALE_E9 * 1) // 4
+        assert 0 < LM_KEEP_E9 < SCALE_E9
+
+
+class TestPerceptron:
+    def test_floor_div_portable(self):
+        for a in (-9, -8, -7, -1, 0, 1, 7, 8, 9):
+            for d in (1, 2, 4, 8):
+                assert _floor_div(a, d) == a // d
+
+    def test_features_shape_and_bias(self, spark):
+        f = perceptron_features(_docs(spark, [(0, "the the x"), (1, "")]))
+        rows = {r["doc_id"]: r for r in f.collect()}
+        assert rows[0][f"x{N_BUCKETS}"] == 1 and rows[1][f"x{N_BUCKETS}"] == 1
+        # token counts land somewhere in the 32 buckets and sum to 3
+        assert sum(rows[0][f"x{b}"] for b in range(N_BUCKETS)) == 3
+        assert sum(rows[1][f"x{b}"] for b in range(N_BUCKETS)) == 0
+        # label: doc 0 is 2/3 stopwords -> +1; empty doc -> +1 (0 >= 0)
+        assert rows[0]["y"] == 1 and rows[1]["y"] == 1
+
+    def test_training_converges_on_gate_corpus(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        out = perceptron_train(spark, docs, 8)
+        errs = {r["round"]: r["errors"] for r in out.select("round", "errors").distinct().collect()}
+        assert errs[1] == 500  # w=0: every margin is 0, all flagged
+        # geometric decay converges well under the majority baseline (241)
+        assert errs[8] < 150
+        assert out.count() == 8 * (N_BUCKETS + 1)
+
+    def test_empty_corpus_total(self, spark):
+        out = perceptron_train(spark, _docs(spark, []), 2)
+        rows = out.collect()
+        assert len(rows) == 2 * (N_BUCKETS + 1)
+        assert all(r["weight"] == 0 and r["errors"] == 0 for r in rows)

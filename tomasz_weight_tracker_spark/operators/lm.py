@@ -1,0 +1,314 @@
+"""Statistical language-model filtering and classifier training for
+large-scale training-data pipelines.
+
+Two canonical curation primitives the public corpus-cleaning stacks
+(CCNet, fastText quality filters — Wenzek et al. 2020, Joulin et al.
+2017, public papers) run over raw crawls, re-expressed Spark-first:
+
+1. :func:`lm_score` — an add-1-smoothed **bigram language model**
+   trained on an in-domain reference split and applied to the rest of
+   the corpus (the CCNet "perplexity bucket" step).  ``ln()`` is not
+   bit-portable across engines (last-ulp differences; see BM25's
+   rational idf in plans/llm_ops.py), so the score is the *mean
+   smoothed bigram likelihood*, e9-quantized per token with pure
+   BIGINT arithmetic: ``p_e9 = (1e9 * (c(w1 w2)+1)) div (c(w1)+V)``.
+   Monotone in the model's probability estimates, so the keep/drop
+   decision it drives is the same filter CCNet's log-space score
+   drives — and it is bit-exact everywhere.  Int64 bound: the
+   numerator needs ``c(w1 w2) < 9.2e9``; a 100 TB corpus (~2e13
+   tokens, hottest bigram ~1e11) would drop SCALE to 1e6
+   (``c < 9.2e12``) — one constant, same semantics.
+
+2. :func:`perceptron_train` — distributed **quality-classifier
+   training** (the fastText-style classifier distilled from heuristic
+   labels): a batch perceptron over hashed token-bucket features.
+   All-integer updates with a fixed round count make the learned
+   weights deterministic and exactly replayable — the oracle unrolls
+   the identical rounds as a DuckDB CTE chain (the bpe/ivf_train
+   fixed-iteration pattern).
+
+Scale posture:
+
+- lm_score: the reference split collapses to VOCABULARY-bounded count
+  tables (one aggregation each); scoring is explode → two lookups →
+  per-doc aggregation.  The unigram table is broadcast (Zipf-pruned
+  at real scale: df-1 hapax rows add nothing to smoothing accuracy);
+  the bigram lookup is a keyed shuffle whose build side is unique per
+  key, so AQE's skew-join split handles the Zipf head ("of the")
+  exactly like plans/scale_ops.py:skew_join_events documents.
+- perceptron_train: the corpus is touched ONCE to build a dense
+  (B+1)-wide integer feature row per document (md5 bucket hashing,
+  zero shuffle, localCheckpoint); every round is one scan + one
+  tree-aggregate with the weight vector inlined as literals — no
+  parameter exchange, no join, the classic "broadcast the model,
+  aggregate the gradient" loop with an O(B) driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..functions import md5_long, tokens
+from .text_analysis import STOPWORDS, sql_tokens
+
+# --- bigram LM -------------------------------------------------------------
+
+SCALE_E9 = 1_000_000_000
+# Keep-threshold on the e9 mean bigram likelihood: the sf0.01 median
+# is ~32.8e6, so 32e6 splits the held-out corpus into real keep/drop
+# classes at every gate scale (the knob a production filter would
+# sweep per-domain, CCNet §4.3's bucket boundary).
+LM_KEEP_E9 = 32_000_000
+
+
+def _bigrams(tcol):
+    """Adjacent-token bigram strings ("w1 w2"); <2 tokens -> empty."""
+    n = F.size(tcol)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(tcol, 1, n - 1),
+            F.slice(tcol, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
+    """Score held-out documents with a bigram LM trained on the
+    ``doc_id % train_mod == 0`` reference split.
+
+    Returns (doc_id, n_bigrams, lm_score_e9, kept) for every held-out
+    document with at least one bigram (docs under 2 tokens are not
+    scoreable — excluded on both engines by construction).
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+    )
+    train = toked.filter(F.col("doc_id") % train_mod == 0)
+    held = toked.filter(F.col("doc_id") % train_mod != 0)
+
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    big = (
+        train.select(F.explode(_bigrams(F.col("t"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    pos = held.select(
+        "doc_id", F.explode(_bigrams(F.col("t"))).alias("bg")
+    ).withColumn("w1", F.split("bg", " ")[0])
+
+    scored = (
+        pos.join(big, "bg", "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            F.expr(f"({SCALE_E9} * (coalesce(cb, 0) + 1)) div (coalesce(cu, 0) + v)"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p").cast("long").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("s div n_bigrams").cast("long").alias("lm_score_e9"),
+        (F.expr("s div n_bigrams") >= LM_KEEP_E9).alias("kept"),
+    )
+
+
+def sql_lm_score(train_mod: int = 5) -> str:
+    """DuckDB oracle twin of :func:`lm_score` (same counts, same
+    integer quantization, same threshold)."""
+    t = sql_tokens("lower(coalesce(text, ''))")
+    return f"""
+    WITH tok AS (SELECT doc_id, {t} AS t FROM documents),
+    tr AS (SELECT t FROM tok WHERE doc_id % {train_mod} = 0),
+    uni AS (SELECT w, count(*)::BIGINT AS cu
+            FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+    vv AS (SELECT count(*)::BIGINT AS v FROM uni),
+    bg AS (SELECT g, count(*)::BIGINT AS cb FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+             FROM tr) GROUP BY g),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM tok WHERE doc_id % {train_mod} <> 0),
+    sc AS (SELECT doc_id,
+                  ({SCALE_E9} * (coalesce(cb, 0) + 1)) // (coalesce(cu, 0) + v) AS p
+           FROM pos LEFT JOIN bg USING (g)
+                    LEFT JOIN uni ON pos.w1 = uni.w
+                    CROSS JOIN vv),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(p)::BIGINT AS s
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, (s // n_bigrams)::BIGINT AS lm_score_e9,
+           (s // n_bigrams) >= {LM_KEEP_E9} AS kept
+    FROM agg
+    """
+
+
+# --- batch perceptron ------------------------------------------------------
+
+N_BUCKETS = 32  # hashed token features; feature N_BUCKETS is the bias
+# Label: stopword ratio >= 6% (the sf0.01 median — a balanced, purely
+# integer decision: 100*hits >= 6*n, empty docs land positive).
+LABEL_PCT = 6
+
+PERCEPTRON_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType()),
+        StructField("feature", IntegerType()),
+        StructField("weight", LongType()),
+        StructField("errors", LongType()),
+    ]
+)
+
+
+def _label(toks_col):
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks_col, lambda t: F.array_contains(stop, t)))
+    n = F.size(toks_col)
+    return F.when(100 * hits >= LABEL_PCT * n, F.lit(1)).otherwise(F.lit(-1))
+
+
+def perceptron_features(docs: DataFrame) -> DataFrame:
+    """Per-document label + dense hashed-bucket feature row:
+    (doc_id, y, x0..x{B-1}, x{B}=bias).  One corpus scan, no shuffle."""
+    toks_col = tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    base = docs.select(
+        "doc_id",
+        _label(toks_col).alias("y"),
+        F.transform(toks_col, lambda t: (md5_long(t) % N_BUCKETS).cast("int")).alias(
+            "bks"
+        ),
+    )
+    # Closure factory, not `lambda x, b=...`: a defaulted second param
+    # makes the lambda 2-ary and F.filter binds the ELEMENT INDEX to it
+    # (see .claude/skills/verify — the documented arity gotcha).
+    def _bucket_count(b: int):
+        return F.size(F.filter("bks", lambda x: x == F.lit(b))).cast("long")
+
+    return base.select(
+        "doc_id",
+        "y",
+        *[_bucket_count(b).alias(f"x{b}") for b in range(N_BUCKETS)],
+        F.lit(1).cast("long").alias(f"x{N_BUCKETS}"),
+    )
+
+
+def _floor_div(a: int, d: int) -> int:
+    """Floor division via truncating ``%`` — the one integer-division
+    form that is engine-portable: ``a - ((a % d) + d) % d`` is EXACTLY
+    divisible by ``d``, so Spark's truncating ``div``, DuckDB's ``//``
+    and Python's ``//`` all return the identical quotient."""
+    return (a - ((a % d) + d) % d) // d
+
+
+def perceptron_train(
+    spark: SparkSession, docs: DataFrame, rounds: int
+) -> DataFrame:
+    """Fixed-round batch perceptron with geometric step decay: round
+    ``r`` flags every document with ``y * (w . x) <= 0`` and adds
+    ``floor(sum(y * x) / 2^(r-1))`` over the flagged set to the
+    weights.  The rate-1 batch update oscillates between the two
+    class-total predictors (measured: 241/259 errors forever); halving
+    the step each round makes the weight trajectory Cauchy and the
+    error count converge (500 -> 114 on the sf0.01 corpus in 8
+    rounds, vs a 241-error majority baseline).  Returns the full
+    trajectory (round, feature, weight-after-update,
+    errors-that-round) — ``rounds * (B+1)`` rows, deterministic
+    (all-integer arithmetic, commutative sums, portable floor
+    division)."""
+    nf = N_BUCKETS + 1
+    ftab = perceptron_features(docs).localCheckpoint(eager=True)
+
+    w = [0] * nf
+    out_rows: list[tuple[int, int, int, int]] = []
+    for r in range(1, rounds + 1):
+        dot = None
+        for b in range(nf):
+            term = F.col(f"x{b}") * F.lit(w[b])
+            dot = term if dot is None else dot + term
+        mis = ftab.filter(F.col("y").cast("long") * dot <= 0)
+        row = mis.agg(
+            F.count(F.lit(1)).cast("long").alias("e"),
+            *[
+                F.sum(F.col("y").cast("long") * F.col(f"x{b}")).alias(f"u{b}")
+                for b in range(nf)
+            ],
+        ).first()
+        errors = int(row["e"])
+        step = 2 ** (r - 1)
+        for b in range(nf):
+            w[b] += _floor_div(int(row[f"u{b}"] or 0), step)
+        out_rows.extend((r, b, w[b], errors) for b in range(nf))
+
+    return spark.createDataFrame(out_rows, PERCEPTRON_SCHEMA)
+
+
+def sql_perceptron_chain(rounds: int) -> str:
+    """DuckDB oracle: replay the identical perceptron rounds as an
+    unrolled CTE chain (fx/yy are corpus-derived once; each round is
+    dot -> misclassified set -> per-feature update -> new weights)."""
+    t = sql_tokens("lower(coalesce(text, ''))")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    nf = N_BUCKETS + 1
+    # MATERIALIZED is load-bearing: every round references the previous
+    # round's weights and the shared fx/yy relations more than once, and
+    # DuckDB CTE inlining would otherwise re-execute the whole prefix
+    # per reference (2^rounds blowup — measured: the 8-round chain never
+    # finishes inlined, milliseconds materialized).
+    parts = [
+        f"WITH tok AS MATERIALIZED (SELECT doc_id, {t} AS t FROM documents),",
+        f"""lab AS MATERIALIZED (SELECT doc_id,
+              CASE WHEN 100 * len(list_filter(t, x -> list_contains({stop_list}, x)))
+                        >= {LABEL_PCT} * len(t)
+                   THEN 1 ELSE -1 END AS y, t FROM tok),""",
+        f"""fx AS MATERIALIZED (
+          SELECT doc_id,
+                 (('0x' || substr(md5(tkn), 1, 15))::BIGINT % {N_BUCKETS})::BIGINT AS f,
+                 count(*)::BIGINT AS x
+          FROM (SELECT doc_id, unnest(t) AS tkn FROM lab) GROUP BY 1, 2
+          UNION ALL SELECT doc_id, {N_BUCKETS}::BIGINT, 1::BIGINT FROM lab),""",
+        "yy AS MATERIALIZED (SELECT doc_id, y FROM lab),",
+        f"w0 AS (SELECT unnest(range(0, {nf}))::BIGINT AS f, 0::BIGINT AS w),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        step = 2 ** (r - 1)
+        # Portable floor division of the decayed update (see _floor_div).
+        fd = f"((du - ((du % {step}) + {step}) % {step}) // {step})"
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+                   SELECT fx.doc_id, sum(fx.x * w{p}.w)::BIGINT AS dot
+                   FROM fx JOIN w{p} USING (f) GROUP BY fx.doc_id),
+            m{r} AS MATERIALIZED (
+                     SELECT yy.doc_id, yy.y FROM yy JOIN d{r} USING (doc_id)
+                     WHERE yy.y * d{r}.dot <= 0),
+            u{r} AS MATERIALIZED (
+                     SELECT fx.f, sum(m{r}.y * fx.x)::BIGINT AS du
+                     FROM m{r} JOIN fx USING (doc_id) GROUP BY fx.f),
+            w{r} AS MATERIALIZED (
+                     SELECT w{p}.f,
+                            (w{p}.w + coalesce({fd}, 0))::BIGINT AS w
+                     FROM w{p} LEFT JOIN u{r} USING (f)),"""
+        )
+    selects = [
+        f"""SELECT {r}::INT AS round, f::INT AS feature, w AS weight,
+                   (SELECT count(*)::BIGINT FROM m{r}) AS errors FROM w{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return "\n".join(parts)[:-1] + "\n" + body

@@ -23,6 +23,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_train, sql_bpe_chain, sql_bpe_segments
+from ..operators.lm import sql_lm_score, sql_perceptron_chain
 from .catalog import load, register
 
 
@@ -237,3 +238,61 @@ def q_bpe_segment_words(spark, sf_dir):
     )
     _, state = bpe_train_full(spark, words, _BPE_ROUNDS)
     return segment_words(state)
+
+
+# ===========================================================================
+# Bigram-LM quality filtering + perceptron classifier training (round 7b)
+# ===========================================================================
+
+_PERCEPTRON_ROUNDS = 8
+
+
+@register(
+    "ngram_lm_score",
+    sql_lm_score(),
+    survey_ids=("A1", "G2"),
+    doc="CCNet-style statistical LM filtering (Wenzek et al. 2020, "
+    "public): an add-1-smoothed bigram model trained on the "
+    "doc_id%5==0 reference split scores every held-out document, and "
+    "a fixed threshold drives the keep/drop decision.  ln() is not "
+    "bit-portable (BM25's rational-idf reasoning), so the score is "
+    "the mean smoothed bigram likelihood in pure BIGINT e9 "
+    "quantization — monotone in the model probability, bit-exact in "
+    "both engines (operators/lm.py:lm_score, int64 bound documented "
+    "there).  Scale: the reference split collapses to "
+    "vocabulary-bounded unigram/bigram count tables (one aggregation "
+    "each); scoring is explode -> broadcast unigram lookup + keyed "
+    "bigram join (build side unique per key, so AQE's skew split "
+    "absorbs the Zipf head) -> one per-doc aggregation.",
+)
+def q_ngram_lm_score(spark, sf_dir):
+    from ..operators.lm import lm_score
+
+    return lm_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "perceptron_quality_train",
+    sql_perceptron_chain(_PERCEPTRON_ROUNDS),
+    survey_ids=("A1", "A2"),
+    doc="Distributed quality-classifier TRAINING (the fastText-style "
+    "filter distilled from heuristic labels, Joulin et al. 2017): a "
+    f"batch perceptron with geometric step decay, {_PERCEPTRON_ROUNDS} "
+    "fixed rounds over md5-hashed token-bucket count features with a "
+    "stopword-ratio label (operators/lm.py:perceptron_train).  "
+    "All-integer updates + a portable floor division make the learned "
+    "weight trajectory deterministic and exactly replayable: the "
+    "oracle unrolls the identical rounds as a MATERIALIZED DuckDB CTE "
+    "chain (the bpe/ivf_train fixed-iteration pattern) and the "
+    "value-hash covers every (round, feature, weight, errors) row — "
+    "training converges 500 -> 114 errors on sf0.01 vs a 241-error "
+    "majority baseline.  Scale: one corpus scan builds the dense "
+    "(B+1)-integer feature row per doc (no shuffle, localCheckpoint); "
+    "each round is one scan + one tree-aggregate with the O(B) weight "
+    "vector inlined as literals — broadcast-the-model / "
+    "aggregate-the-gradient with no parameter exchange.",
+)
+def q_perceptron_quality_train(spark, sf_dir):
+    from ..operators.lm import perceptron_train
+
+    return perceptron_train(spark, load(spark, sf_dir, "documents"), _PERCEPTRON_ROUNDS)

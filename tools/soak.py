@@ -92,6 +92,8 @@ DEFAULT_QUERIES = [
     # round-7 families
     "bpe_vocab_train",
     "sensor_merge_fold",
+    "ngram_lm_score",
+    "perceptron_quality_train",
 ]
 
 _SHIFTS = {
