@@ -98,3 +98,38 @@ class TestPerceptron:
         rows = out.collect()
         assert len(rows) == 2 * (N_BUCKETS + 1)
         assert all(r["weight"] == 0 and r["errors"] == 0 for r in rows)
+
+
+class TestDsir:
+    def test_hand_computed_ratio(self, spark):
+        """target doc 0 = "aa aa", raw doc 1 = "aa bb".
+        Nt=2, Nr=2, B=256.  bucket(aa) != bucket(bb) w.h.p. (fixed md5).
+        ratio(b_aa) = 1e6 * (2+1) * (2+256) // ((1+1) * (2+256)) = 1_500_000
+        ratio(b_bb) = 1e6 * (0+1) * 258 // ((1+1) * 258)         =   500_000
+        doc 1 weight = (1_500_000 + 500_000) // 2 = 1_000_000
+        """
+        from tomasz_weight_tracker_spark.operators.lm import dsir_weights
+
+        out = dsir_weights(_docs(spark, [(0, "aa aa"), (1, "aa bb")])).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_id"], r["n_tokens"], r["weight_e6"]) == (1, 2, 1_000_000)
+        assert r["rnk"] == 1 and r["selected"]
+
+    def test_target_affinity_ranks_higher(self, spark):
+        """A raw doc sharing the target's vocabulary outweighs one
+        with unseen vocabulary."""
+        from tomasz_weight_tracker_spark.operators.lm import dsir_weights
+
+        out = {
+            r["doc_id"]: r["weight_e6"]
+            for r in dsir_weights(
+                _docs(spark, [(0, "x x y"), (1, "x y x"), (2, "q r s")])
+            ).collect()
+        }
+        assert out[1] > out[2]
+
+    def test_empty_corpus_total(self, spark):
+        from tomasz_weight_tracker_spark.operators.lm import dsir_weights
+
+        assert dsir_weights(_docs(spark, [])).collect() == []

@@ -1,9 +1,11 @@
 """Statistical language-model filtering and classifier training for
 large-scale training-data pipelines.
 
-Two canonical curation primitives the public corpus-cleaning stacks
-(CCNet, fastText quality filters — Wenzek et al. 2020, Joulin et al.
-2017, public papers) run over raw crawls, re-expressed Spark-first:
+Three canonical curation primitives the public corpus-cleaning and
+data-selection stacks (CCNet, fastText quality filters, DSIR —
+Wenzek et al. 2020, Joulin et al. 2017, Xie et al. 2023, public
+papers) run over raw crawls, re-expressed Spark-first (the third,
+:func:`dsir_weights`, is documented at its definition below):
 
 1. :func:`lm_score` — an add-1-smoothed **bigram language model**
    trained on an in-domain reference split and applied to the rest of
@@ -312,3 +314,145 @@ def sql_perceptron_chain(rounds: int) -> str:
     ]
     body = "\nUNION ALL\n".join(selects)
     return "\n".join(parts)[:-1] + "\n" + body
+
+
+# --- DSIR-style importance weighting ---------------------------------------
+
+# Hashed-feature importance weighting for data selection (Xie et al.
+# 2023, "Data Selection for Language Models via Importance
+# Resampling", public paper): estimate hashed-unigram bucket
+# distributions on a target (in-domain) split and on the raw corpus,
+# weight every raw document by its tokens' target/raw likelihood
+# ratios, and select the top-K.  DSIR scores in log space
+# (sum of log ratios); ln() is not bit-portable, so this implements
+# the LINEAR-domain estimator — the mean per-token likelihood ratio,
+# e6-quantized per bucket with pure BIGINT arithmetic:
+#
+#   ratio_e6(b) = floor(1e6 * (ct_b+1) * (Nr+B) / ((cr_b+1) * (Nt+B)))
+#   weight_e6(doc) = floor(mean over tokens of ratio_e6(bucket(tok)))
+#
+# Same add-1 smoothing, same ranking intent, bit-exact in both
+# engines.  Int64 bound: 1e6 * (ct+1) * (Nr+B) needs ct * Nr < 9.2e12
+# — holds through the 10x soak (2.2e6 * 2.7e6); a 100 TB corpus
+# (Nr ~ 2e13) would drop the quantization to e3 and prescale both
+# counts by a common 2^k (ratios unchanged), or widen the numerator
+# to decimal(38)/hugeint — one constant, same semantics.
+DSIR_BUCKETS = 256
+DSIR_TOP_K = 100
+
+
+def dsir_weights(docs: DataFrame, train_mod: int = 5) -> DataFrame:
+    """Importance-weight the raw split (``doc_id % train_mod != 0``)
+    against the target split, rank, and mark the top-K selection.
+
+    Scale posture: two bucket aggregations (map-side combined to at
+    most B partial rows per task), then scoring is a BROADCAST join
+    of the B-row ratio table onto the token stream — the corpus never
+    shuffles on volume; one per-doc aggregation and one window over
+    the group-reduced (one row per doc) relation close it out.
+    """
+    toked = docs.select(
+        "doc_id",
+        (F.col("doc_id") % train_mod == 0).alias("is_target"),
+        tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+    )
+    tok = toked.select(
+        "doc_id",
+        "is_target",
+        F.explode("t").alias("tok"),
+    ).withColumn("b", (md5_long("tok") % DSIR_BUCKETS).cast("long"))
+
+    tgt = tok.filter("is_target").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    raw = tok.filter(~F.col("is_target")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    totals = tok.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("nr"),
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"(1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS})) "
+                f"div ((cr + 1) * (nt + {DSIR_BUCKETS}))"
+            ).alias("ratio_e6"),
+        )
+    )
+    scored = (
+        tok.filter(~F.col("is_target"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("ratio_e6").cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("s div n_tokens").cast("long").alias("weight_e6"),
+        )
+    )
+    # Top-K via TakeOrderedAndProject (distributed per-partition top-K
+    # + driver merge of K-row heads), NOT a global row_number window —
+    # an unpartitioned sort over one-row-per-doc is still corpus-sized
+    # at real scale.  Rank is assigned on the K-row result only, then
+    # broadcast back; unselected docs carry a NULL rank.
+    from pyspark.sql import Window
+
+    top = (
+        scored.orderBy(F.desc("weight_e6"), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("weight_e6"), "doc_id"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_e6",
+            "rnk",
+            F.col("rnk").isNotNull().alias("selected"),
+        )
+    )
+
+
+def sql_dsir_weights(train_mod: int = 5) -> str:
+    """DuckDB oracle twin of :func:`dsir_weights`."""
+    t = sql_tokens("lower(coalesce(text, ''))")
+    return f"""
+    WITH toked AS (SELECT doc_id, doc_id % {train_mod} = 0 AS is_target, {t} AS t
+                   FROM documents),
+    tok AS (SELECT doc_id, is_target,
+                   ('0x' || substr(md5(tk), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, is_target, unnest(t) AS tk FROM toked)),
+    tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tok WHERE is_target GROUP BY b),
+    raw AS (SELECT b, count(*)::BIGINT AS cr FROM tok WHERE NOT is_target GROUP BY b),
+    tot AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS nt,
+                   sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS nr
+            FROM tok),
+    ratio AS (SELECT raw.b,
+                     (1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS}))
+                     // ((cr + 1) * (nt + {DSIR_BUCKETS})) AS ratio_e6
+              FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+    scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      (sum(ratio_e6)::BIGINT // count(*))::BIGINT AS weight_e6
+               FROM tok JOIN ratio USING (b)
+               WHERE NOT is_target
+               GROUP BY doc_id)
+    SELECT doc_id, n_tokens, weight_e6,
+           CASE WHEN rn <= {DSIR_TOP_K} THEN rn END AS rnk,
+           rn <= {DSIR_TOP_K} AS selected
+    FROM (SELECT *, row_number() OVER (ORDER BY weight_e6 DESC, doc_id)::BIGINT AS rn
+          FROM scored)
+    """

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_train, sql_bpe_chain, sql_bpe_segments
-from ..operators.lm import sql_lm_score, sql_perceptron_chain
+from ..operators.lm import sql_dsir_weights, sql_lm_score, sql_perceptron_chain
 from .catalog import load, register
 
 
@@ -296,3 +296,26 @@ def q_perceptron_quality_train(spark, sf_dir):
     from ..operators.lm import perceptron_train
 
     return perceptron_train(spark, load(spark, sf_dir, "documents"), _PERCEPTRON_ROUNDS)
+
+
+@register(
+    "dsir_importance_weights",
+    sql_dsir_weights(),
+    survey_ids=("A1", "A2"),
+    doc="DSIR-style data selection (Xie et al. 2023, public): hashed "
+    "unigram-bucket distributions estimated on the target split vs "
+    "the raw corpus, every raw document weighted by its tokens' "
+    "add-1-smoothed target/raw likelihood ratios, top-K selected.  "
+    "The linear-domain estimator (mean per-token ratio, e6-quantized "
+    "BIGINT — operators/lm.py:dsir_weights, int64 bound documented) "
+    "replaces DSIR's log-space sum because ln() is not bit-portable.  "
+    "Scale: two B-bounded bucket aggregations (map-side combined), "
+    "then scoring is a BROADCAST of the 256-row ratio table onto the "
+    "token stream — the corpus never shuffles on volume; selection is "
+    "TakeOrderedAndProject top-K + a broadcast rank join, NOT a "
+    "global row_number window over the per-doc relation.",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    from ..operators.lm import dsir_weights
+
+    return dsir_weights(load(spark, sf_dir, "documents"))

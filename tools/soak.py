@@ -94,6 +94,7 @@ DEFAULT_QUERIES = [
     "sensor_merge_fold",
     "ngram_lm_score",
     "perceptron_quality_train",
+    "dsir_importance_weights",
 ]
 
 _SHIFTS = {
