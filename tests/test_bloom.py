@@ -1,0 +1,36 @@
+"""Bloom-filter semi-join pruning: no false negatives ever, measured
+false-positive rate near theory, scale-invariant sizing, day-one
+empty-input totality."""
+
+from __future__ import annotations
+
+from tomasz_weight_tracker_spark.plans import REGISTRY
+from tomasz_weight_tracker_spark.plans.catalog import load
+
+SF_GATE = "/root/testdata/sf0.01"
+
+
+class TestBloomSemijoin:
+    def test_gate_corpus_stats(self, spark):
+        r = REGISTRY["bloom_semijoin_prune"].build(spark, SF_GATE).first()
+        assert r["n_false_neg"] == 0  # Bloom filters never miss
+        assert r["n_false_pos"] > 0  # and the FP cost is visible, not hidden
+        # measured FP rate stays near the k=4 @ 16 bits/key theory (~0.24%)
+        non_match = r["n_probe"] - r["n_match"]
+        assert r["n_false_pos"] / non_match < 0.01
+        assert r["n_pass_bloom"] == r["n_match"] + r["n_false_pos"]
+        # data-driven sizing: whole 62-bit words, >= 16 bits per key
+        assert r["m_bits"] % 62 == 0
+        assert r["m_bits"] >= 16 * r["n_keys"]
+        assert 0 < r["bits_set"] <= r["m_bits"]
+
+    def test_empty_tables_total(self, spark, tmp_path):
+        path = str(tmp_path / "empty")
+        for table in ("orders", "lineitem"):
+            load(spark, "/root/testdata/sf0.001", table).limit(0).write.parquet(
+                f"{path}/{table}.parquet"
+            )
+        r = REGISTRY["bloom_semijoin_prune"].build(spark, path).first()
+        assert r["n_probe"] == 0 and r["n_keys"] == 0
+        assert r["m_bits"] == 62  # the mod-by-zero guard word
+        assert r["bits_set"] == 0

@@ -327,3 +327,43 @@ def sql_stratified_predicate(
         f"{h} < (CASE {stratum_expr} {branches} "
         f"ELSE {int(round(default_rate * SCALE))} END)"
     )
+
+
+# --- Bloom-filter semi-join pruning ----------------------------------------
+
+# The classic 100 TB star-join shuffle-avoidance lever: build a compact
+# Bloom filter of the dimension's join keys, broadcast it, and prune
+# the fact side BEFORE any exchange — what Spark's own runtime Bloom
+# pruning (spark.sql.optimizer.runtime.bloomFilter.*) does inside the
+# optimizer, made explicit, portable, and measurable here (false
+# positives are COUNTED in-data against the exact semi-join).
+#
+# Engine-portable layout: 62-bit words (max shift 61 — DuckDB raises
+# on 1<<63 and bit 62 would flip the sign), md5 double hashing
+# (h1 + j*h2, the operators/dedup.py MinHash convention), and
+# data-driven sizing at BLOOM_BITS_PER_KEY bits/key rounded up to a
+# whole word (the fill factor — and with it the ~0.2% FP rate of
+# k=4 probes at 16 bits/key — is scale-invariant, unlike a fixed-m
+# filter that saturates at 10x the keys).  All arithmetic BIGINT.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 4
+BLOOM_WORD = 62
+
+
+def bloom_h1(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(F.concat(F.lit("bf:"), key.cast("string"))), 1, 15), 16, 10).cast("long")
+
+
+def bloom_h2(key: Column) -> Column:
+    return F.shiftright(
+        F.conv(F.substring(F.md5(F.concat(F.lit("bf:"), key.cast("string"))), 16, 15), 16, 10).cast("long"),
+        4,
+    )
+
+
+def sql_bloom_h1(expr: str) -> str:
+    return f"('0x' || substr(md5('bf:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def sql_bloom_h2(expr: str) -> str:
+    return f"(('0x' || substr(md5('bf:' || CAST({expr} AS VARCHAR)), 16, 15))::BIGINT >> 4)"

@@ -319,3 +319,181 @@ def q_dsir_importance_weights(spark, sf_dir):
     from ..operators.lm import dsir_weights
 
     return dsir_weights(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Bloom-filter semi-join pruning (round 7c)
+# ===========================================================================
+
+_BLOOM_ORACLE = """
+    WITH keys AS MATERIALIZED (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+    meta AS MATERIALIZED (
+        SELECT count(*)::BIGINT AS n_keys,
+               62 * greatest(1::BIGINT, (count(*)::BIGINT * 16 + 61) // 62)
+                   AS m_bits
+        FROM keys),
+    kh AS (SELECT k, {h1} AS h1, {h2} AS h2 FROM keys),
+    probes AS (SELECT ((h1 + j * h2) % m_bits) AS pos
+               FROM kh CROSS JOIN meta,
+                    unnest([0, 1, 2, 3]) AS t(j)),
+    bloom AS MATERIALIZED (
+        SELECT pos // 62 AS word, bit_or(1::BIGINT << (pos % 62)::INT) AS bits
+        FROM probes GROUP BY 1),
+    bstats AS (SELECT count(*)::BIGINT AS n_words,
+                      coalesce(sum(bit_count(bits)), 0)::BIGINT AS bits_set
+               FROM bloom),
+    li AS (SELECT l_orderkey AS k, {lh1} AS h1, {lh2} AS h2 FROM lineitem),
+    pr AS (SELECT li.k,
+                  {passes} AS pass_bloom
+           FROM li CROSS JOIN meta),
+    mt AS (SELECT pr.k, pr.pass_bloom, keys.k IS NOT NULL AS is_match
+           FROM pr LEFT JOIN keys ON pr.k = keys.k)
+    SELECT count(*)::BIGINT AS n_probe,
+           sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END)::BIGINT AS n_pass_bloom,
+           sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_match,
+           sum(CASE WHEN pass_bloom AND NOT is_match THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_pos,
+           sum(CASE WHEN is_match AND NOT pass_bloom THEN 1 ELSE 0 END)::BIGINT
+               AS n_false_neg,
+           (SELECT n_keys FROM meta) AS n_keys,
+           (SELECT m_bits FROM meta) AS m_bits,
+           (SELECT bits_set FROM bstats) AS bits_set
+    FROM mt
+"""
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sketches import sql_bloom_h1, sql_bloom_h2
+
+    # Each probe j tests bit (h1 + j*h2) % m_bits via a scalar
+    # subquery into the bloom CTE (the SQL twin of the broadcast
+    # joins on the Spark side).
+    passes = " AND ".join(
+        f"(coalesce((SELECT bits FROM bloom "
+        f"WHERE word = ((h1 + {j} * h2) % m_bits) // 62), 0) "
+        f">> (((h1 + {j} * h2) % m_bits) % 62)::INT) & 1 = 1"
+        for j in range(4)
+    )
+    return _BLOOM_ORACLE.format(
+        h1=sql_bloom_h1("k"), h2=sql_bloom_h2("k"),
+        lh1=sql_bloom_h1("l_orderkey"), lh2=sql_bloom_h2("l_orderkey"),
+        passes=passes,
+    )
+
+
+@register(
+    "bloom_semijoin_prune",
+    _bloom_oracle(),
+    survey_ids=("J1", "A1"),
+    doc="Bloom-filter semi-join pruning — the star-join "
+    "shuffle-avoidance lever Spark's runtime Bloom pruning "
+    "(spark.sql.optimizer.runtime.bloomFilter.*) applies inside the "
+    "optimizer, made explicit, portable, and MEASURED: a Bloom of "
+    "the 1995 orders' keys (md5 double hashing h1 + j*h2 — the "
+    "MinHash convention; 62-bit words — DuckDB raises on 1<<63; "
+    "data-driven sizing at 16 bits/key so the ~0.2% FP rate of k=4 "
+    "probes is scale-invariant instead of saturating at 10x keys) "
+    "prunes the lineitem fact side, and the exact broadcast semi-join "
+    "replays beside it so false positives are COUNTED in-data and "
+    "zero false negatives is an asserted output column, not a hope.  "
+    "Scale: the filter is a <=n_keys*16-bit broadcast (KB-scale for "
+    "millions of keys); the fact table is pruned BEFORE any exchange "
+    "with 4 broadcast word lookups per row; no corpus-keyed shuffle "
+    "anywhere (operators/sketches.py bloom helpers).",
+)
+def q_bloom_semijoin_prune(spark, sf_dir):
+    from ..operators.sketches import (
+        BLOOM_WORD,
+        bloom_h1,
+        bloom_h2,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    keys = (
+        orders.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    meta = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).select(
+        "n_keys",
+        F.expr(f"{BLOOM_WORD} * greatest(1L, (n_keys * 16 + 61) div {BLOOM_WORD})").alias(
+            "m_bits"
+        ),
+    )
+
+    kh = keys.crossJoin(F.broadcast(meta)).select(
+        "m_bits", bloom_h1(F.col("k")).alias("h1"), bloom_h2(F.col("k")).alias("h2")
+    )
+    probes = kh.select(
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+        "m_bits",
+        "h1",
+        "h2",
+    ).select(((F.col("h1") + F.col("j") * F.col("h2")) % F.col("m_bits")).alias("pos"))
+    bloom = probes.groupBy(
+        F.expr(f"pos div {BLOOM_WORD}").alias("word")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, cast(pos % {BLOOM_WORD} as int)))").alias("bits")
+    )
+    bstats = bloom.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).cast("long").alias("bits_set"),
+    )
+
+    li = lineitem.select(F.col("l_orderkey").alias("k")).crossJoin(
+        F.broadcast(meta)
+    ).select(
+        "k",
+        "n_keys",
+        "m_bits",
+        bloom_h1(F.col("k")).alias("h1"),
+        bloom_h2(F.col("k")).alias("h2"),
+    )
+    p = li
+    for j in range(4):
+        p = p.withColumn(
+            f"w{j}", F.expr(f"((h1 + {j} * h2) % m_bits) div {BLOOM_WORD}")
+        ).withColumn(f"b{j}", F.expr(f"cast(((h1 + {j} * h2) % m_bits) % {BLOOM_WORD} as int)"))
+        p = p.join(
+            F.broadcast(bloom.select(F.col("word").alias(f"w{j}"), F.col("bits").alias(f"bits{j}"))),
+            f"w{j}",
+            "left",
+        )
+    pass_expr = None
+    for j in range(4):
+        t = F.expr(f"(shiftright(coalesce(bits{j}, 0L), b{j}) & 1) = 1")
+        pass_expr = t if pass_expr is None else (pass_expr & t)
+    mt = p.withColumn("pass_bloom", pass_expr).join(
+        F.broadcast(keys.withColumn("is_match", F.lit(True))), "k", "left"
+    ).withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+
+    agg = mt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("pass_bloom").cast("int")).cast("long").alias("n_pass_bloom"),
+        F.sum(F.col("is_match").cast("int")).cast("long").alias("n_match"),
+        F.sum((F.col("pass_bloom") & ~F.col("is_match")).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_match") & ~F.col("pass_bloom")).cast("int"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    # n_keys/m_bits come from meta directly (NOT first() over the probe
+    # rows) so the empty-tables day-one state yields 0/62 like the
+    # oracle's scalar subqueries, not NULLs.
+    return agg.crossJoin(F.broadcast(meta)).crossJoin(F.broadcast(bstats)).select(
+        "n_probe",
+        "n_pass_bloom",
+        "n_match",
+        "n_false_pos",
+        "n_false_neg",
+        "n_keys",
+        "m_bits",
+        "bits_set",
+    )

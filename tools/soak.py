@@ -95,6 +95,7 @@ DEFAULT_QUERIES = [
     "ngram_lm_score",
     "perceptron_quality_train",
     "dsir_importance_weights",
+    "bloom_semijoin_prune",
 ]
 
 _SHIFTS = {
