@@ -497,3 +497,139 @@ def q_bloom_semijoin_prune(spark, sf_dir):
         "m_bits",
         "bits_set",
     )
+
+
+# ===========================================================================
+# Token-budget mixture allocation — integer water-filling (round 7c)
+# ===========================================================================
+
+_MIX_BUDGET_PCT = 95  # global token budget as % of corpus tokens
+
+
+@register(
+    "token_budget_mix",
+    f"""
+    WITH tok AS (SELECT source,
+                        len(CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                                 THEN []::VARCHAR[]
+                                 ELSE string_split_regex(
+                                          trim(lower(coalesce(text, ''))), '\\s+')
+                            END)::BIGINT AS nt
+                 FROM documents),
+    src AS (SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS avail
+            FROM tok GROUP BY source),
+    tot AS (SELECT count(*)::BIGINT AS s,
+                   (sum(avail) * {_MIX_BUDGET_PCT}) // 100 AS budget
+            FROM src),
+    ord AS (SELECT src.*, s, budget,
+                   row_number() OVER (ORDER BY avail, source) AS i,
+                   coalesce(sum(avail) OVER (ORDER BY avail, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS p_prev
+            FROM src CROSS JOIN tot),
+    lvl AS (SELECT *, (budget - p_prev) // (s - i + 1) AS level,
+                   avail > (budget - p_prev) // (s - i + 1) AS is_capped
+            FROM ord),
+    jj AS (SELECT coalesce(min(CASE WHEN is_capped THEN i END),
+                           (SELECT s FROM tot) + 1) AS j
+           FROM lvl),
+    lam AS (SELECT coalesce(min(CASE WHEN i = j THEN level END), 0) AS lambda
+            FROM lvl CROSS JOIN jj)
+    SELECT source, n_docs, avail AS tokens_avail,
+           CASE WHEN i < j THEN avail ELSE lambda END AS tokens_alloc,
+           i >= j AS capped,
+           CASE WHEN avail > 0
+                THEN ((CASE WHEN i < j THEN avail ELSE lambda END) * 1000000)
+                     // avail
+                ELSE 0 END AS accept_ppm
+    FROM lvl CROSS JOIN jj CROSS JOIN lam
+    """,
+    survey_ids=("A1", "O5"),
+    doc="Mixture design under a global token budget (the Pile/Dolma "
+    "source-mixing step): exact integer WATER-FILLING — sources are "
+    "leveled at the largest lambda such that sum(min(avail, lambda)) "
+    f"fits the budget ({_MIX_BUDGET_PCT}% of corpus tokens), so small "
+    "sources keep everything and large sources are capped at the "
+    "water line.  Alloc rule is defined through j = first capped "
+    "index in the (avail, source) order — identical expressions in "
+    "both engines, no reliance on floating water levels or on "
+    "cap-monotonicity under integer division.  Emits accept_ppm as "
+    "the handoff to the md5 per-row acceptance sampler "
+    "(source_rebalance's realization mechanism).  Scale: one "
+    "source-keyed aggregation over the corpus; everything after runs "
+    "on the S-row source relation (windows over #sources rows, the "
+    "documented group-reduced exception).",
+)
+def q_token_budget_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source",
+            F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast(
+                "long"
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("avail"),
+        )
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.expr(f"(sum(avail) * {_MIX_BUDGET_PCT}) div 100").alias("budget"),
+    )
+    w = Window.orderBy("avail", "source")
+    ordd = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    lvl = ordd.withColumn(
+        "level", F.expr("(budget - p_prev) div (s - i + 1)")
+    ).withColumn("is_capped", F.col("avail") > F.col("level"))
+    jj = lvl.agg(
+        F.coalesce(
+            F.min(F.when(F.col("is_capped"), F.col("i"))),
+            (F.first("s") + 1),
+        ).alias("j")
+    )
+    lam = (
+        lvl.crossJoin(F.broadcast(jj))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("i") == F.col("j"), F.col("level"))), F.lit(0)
+            ).cast("long").alias("lambda")
+        )
+    )
+    out = (
+        lvl.crossJoin(F.broadcast(jj))
+        .crossJoin(F.broadcast(lam))
+        .withColumn(
+            "tokens_alloc",
+            F.when(F.col("i") < F.col("j"), F.col("avail")).otherwise(
+                F.col("lambda")
+            ),
+        )
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("avail").alias("tokens_avail"),
+        "tokens_alloc",
+        (F.col("i") >= F.col("j")).alias("capped"),
+        F.when(F.col("avail") > 0, F.expr("(tokens_alloc * 1000000) div avail"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("accept_ppm"),
+    )

@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     "perceptron_quality_train",
     "dsir_importance_weights",
     "bloom_semijoin_prune",
+    "token_budget_mix",
 ]
 
 _SHIFTS = {
