@@ -383,3 +383,48 @@ class TestEmbedLshPlanShape:
             plan,
         )
         assert len(joins) == 1, f"expected exactly the band self-join, got {joins}"
+
+
+class TestRound7PlanShapes:
+    def test_ngram_lm_unigram_lookup_is_broadcast(self, spark):
+        """The unigram lookup must be a broadcast hash join (the Zipf
+        head of first-tokens would skew a shuffle join); scans must
+        prune to (doc_id, text)."""
+        plan = formatted(spark, "ngram_lm_score")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "struct<doc_id:bigint,text:string>" in plan
+
+    def test_perceptron_features_zero_shuffle(self, spark):
+        """Feature building is one corpus scan with NO exchange — the
+        md5 bucketing and label are per-row expressions."""
+        from tomasz_weight_tracker_spark.operators.lm import perceptron_features
+        from tomasz_weight_tracker_spark.plans.catalog import load
+
+        df = perceptron_features(load(spark, SF, "documents"))
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan
+
+    def test_bloom_probe_has_no_fact_side_shuffle(self, spark):
+        """The fact side is pruned via broadcast word lookups; the only
+        exchanges allowed are the tiny key/bloom-build aggregations and
+        the single-row final aggregate — lineitem itself must never be
+        exchange-partitioned on a join key (no SortMergeJoin, no
+        ShuffledHashJoin)."""
+        plan = formatted(spark, "bloom_semijoin_prune")
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 5  # 4 word probes + key join
+
+    def test_token_mix_single_corpus_aggregation(self, spark):
+        """One source-keyed aggregation touches the corpus; all window
+        work runs on the S-row source relation."""
+        plan = formatted(spark, "token_budget_mix")
+        # corpus-side: scan -> partial agg -> exchange on source -> agg;
+        # every other exchange is the S-row single-partition window feed
+        assert "hashpartitioning(source" in plan
+        assert "SortMergeJoin" not in plan
