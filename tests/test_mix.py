@@ -62,3 +62,30 @@ class TestTokenBudgetMix:
             f"{path}/documents.parquet"
         )
         assert REGISTRY["token_budget_mix"].build(spark, path).collect() == []
+
+
+class TestTokenBudgetMixApply:
+    def test_realized_yield_tracks_allocation(self, spark):
+        rows = REGISTRY["token_budget_mix_apply"].build(spark, SF_GATE).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # full-acceptance sources keep every doc and every token
+            if r["accept_ppm"] == 1_000_000:
+                continue
+            # sampled sources: realized tokens within doc-granularity
+            # noise of the target (docs avg ~54 tokens; 4 docs slack)
+            assert abs(r["tokens_kept"] - r["tokens_alloc"]) < 4 * 120
+        full = [r for r in rows if r["accept_ppm"] == 1_000_000]
+        assert full  # the keep-all branch is represented
+        assert all(r["docs_kept"] == 25 for r in full)
+
+    def test_deterministic_across_builds(self, spark):
+        a = sorted(
+            tuple(r)
+            for r in REGISTRY["token_budget_mix_apply"].build(spark, SF_GATE).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in REGISTRY["token_budget_mix_apply"].build(spark, SF_GATE).collect()
+        )
+        assert a == b

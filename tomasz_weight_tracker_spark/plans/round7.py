@@ -506,10 +506,11 @@ def q_bloom_semijoin_prune(spark, sf_dir):
 _MIX_BUDGET_PCT = 95  # global token budget as % of corpus tokens
 
 
-@register(
-    "token_budget_mix",
-    f"""
-    WITH tok AS (SELECT source,
+# Shared CTE chain: tokenize -> per-source avail -> integer water-fill
+# level.  token_budget_mix appends the allocation SELECT; the _apply
+# twin wraps that SELECT as one more CTE and realizes the sample.
+_MIX_CHAIN = f"""
+    WITH tok AS (SELECT doc_id, source,
                         len(CASE WHEN trim(lower(coalesce(text, ''))) = ''
                                  THEN []::VARCHAR[]
                                  ELSE string_split_regex(
@@ -534,16 +535,21 @@ _MIX_BUDGET_PCT = 95  # global token budget as % of corpus tokens
                            (SELECT s FROM tot) + 1) AS j
            FROM lvl),
     lam AS (SELECT coalesce(min(CASE WHEN i = j THEN level END), 0) AS lambda
-            FROM lvl CROSS JOIN jj)
-    SELECT source, n_docs, avail AS tokens_avail,
+            FROM lvl CROSS JOIN jj)"""
+
+_MIX_SELECT = """SELECT source, n_docs, avail AS tokens_avail,
            CASE WHEN i < j THEN avail ELSE lambda END AS tokens_alloc,
            i >= j AS capped,
            CASE WHEN avail > 0
                 THEN ((CASE WHEN i < j THEN avail ELSE lambda END) * 1000000)
                      // avail
                 ELSE 0 END AS accept_ppm
-    FROM lvl CROSS JOIN jj CROSS JOIN lam
-    """,
+    FROM lvl CROSS JOIN jj CROSS JOIN lam"""
+
+
+@register(
+    "token_budget_mix",
+    _MIX_CHAIN + "\n    " + _MIX_SELECT,
     survey_ids=("A1", "O5"),
     doc="Mixture design under a global token budget (the Pile/Dolma "
     "source-mixing step): exact integer WATER-FILLING — sources are "
@@ -632,4 +638,66 @@ def q_token_budget_mix(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long")
         .alias("accept_ppm"),
+    )
+
+
+@register(
+    "token_budget_mix_apply",
+    _MIX_CHAIN + ",\n    mix AS (" + _MIX_SELECT + """),
+    acc AS (SELECT t.source, t.nt
+            FROM tok t JOIN mix USING (source)
+            WHERE ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < mix.accept_ppm),
+    ag AS (SELECT source, count(*)::BIGINT AS docs_kept,
+                  sum(nt)::BIGINT AS tokens_kept
+           FROM acc GROUP BY source)
+    SELECT mix.source, mix.tokens_alloc, mix.accept_ppm,
+           coalesce(ag.docs_kept, 0)::BIGINT AS docs_kept,
+           coalesce(ag.tokens_kept, 0)::BIGINT AS tokens_kept
+    FROM mix LEFT JOIN ag USING (source)
+    """,
+    survey_ids=("A1", "A2"),
+    doc="The mixture REALIZED: token_budget_mix's accept_ppm drives "
+    "the md5 per-row acceptance sampler (source_rebalance's "
+    "mechanism — deterministic, RNG-free, append-stable) and the "
+    "realized per-source document/token yield is reported against "
+    "the allocation.  Sampling is doc-granular so the realized token "
+    "count differs from the target by binomial noise — visible "
+    "in-data, which is the point: the design->realize gap is a "
+    "number, not an assumption.  Scale: the corpus is scanned once "
+    "more with the S-row mix table broadcast onto it; one keyed "
+    "aggregation.",
+)
+def q_token_budget_mix_apply(spark, sf_dir):
+    from ..functions import md5_long, tokens
+
+    mix = q_token_budget_mix(spark, sf_dir).select(
+        "source", "tokens_alloc", "accept_ppm"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast(
+            "long"
+        ).alias("nt"),
+    )
+    acc = (
+        docs.join(F.broadcast(mix), "source")
+        .filter(
+            md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 1000000
+            < F.col("accept_ppm")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("nt").cast("long").alias("tokens_kept"),
+        )
+    )
+    return mix.join(acc, "source", "left").select(
+        "source",
+        "tokens_alloc",
+        "accept_ppm",
+        F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
     )

@@ -97,6 +97,7 @@ DEFAULT_QUERIES = [
     "dsir_importance_weights",
     "bloom_semijoin_prune",
     "token_budget_mix",
+    "token_budget_mix_apply",
 ]
 
 _SHIFTS = {
