@@ -9,11 +9,24 @@
   partition per page, executor-side content download), proving the
   pages→partitions reassembly is value-exact against a closed-form
   DuckDB oracle on the original table.
-- ``bpe_vocab_train``: distributed tokenizer-vocabulary training —
-  fixed-round BPE merge learning as DataFrame jobs (the canonical
-  100 TB LLM-pipeline primitive the catalog lacked; the pagerank /
-  ivf_train fixed-iteration pattern), with a DuckDB oracle that
-  replays the same merges as a CTE chain.
+- ``bpe_vocab_train`` / ``bpe_segment_words``: distributed
+  tokenizer-vocabulary training and its application — fixed-round BPE
+  merge learning as DataFrame jobs (the pagerank / ivf_train
+  fixed-iteration pattern), oracle replaying the same merges as a
+  CTE chain.
+- ``media_decode_gif``: real LZW decode, closing the codec surface
+  (docs/SCALE.md §8).
+- ``ngram_lm_score`` / ``perceptron_quality_train`` /
+  ``dsir_importance_weights``: the statistical filtering + selection
+  family (operators/lm.py — CCNet bigram LM, fastText-style
+  classifier training, DSIR importance weighting; integer-rational
+  score surrogates, docs/SCALE.md §9).
+- ``bloom_semijoin_prune``: data-driven-sized Bloom pruning of a fact
+  table with in-data false-positive accounting
+  (operators/sketches.py bloom helpers).
+- ``token_budget_mix`` / ``token_budget_mix_apply``: mixture design
+  under a global token budget via exact integer water-filling, and
+  its realization through the md5 acceptance sampler.
 """
 
 from __future__ import annotations
