@@ -34,3 +34,23 @@ class TestBloomSemijoin:
         assert r["n_probe"] == 0 and r["n_keys"] == 0
         assert r["m_bits"] == 62  # the mod-by-zero guard word
         assert r["bits_set"] == 0
+
+
+class TestLshRecallAudit:
+    def test_gate_corpus_audit(self, spark):
+        r = REGISTRY["lsh_recall_audit"].build(spark, "/root/testdata/sf0.01").first()
+        assert r["n_docs"] == 256
+        assert r["n_true"] == 2879  # exact all-pairs Jaccard >= 0.9 ground truth
+        # the uncapped generator has the recall MinHash theory promises...
+        assert r["recall_nocap_ppm"] > 850_000
+        # ...and the hot-bucket cap is what costs recall on this
+        # adversarially dense corpus (half of all pairs > 0.5 Jaccard)
+        assert r["recall_ppm"] < r["recall_nocap_ppm"]
+        assert r["n_cand"] <= r["n_cand_nocap"]
+        # capped candidate volume stays bounded — the cap does its job
+        assert r["n_cand"] < 1000 and r["n_cand_nocap"] > 10_000
+
+    def test_sample_is_scale_invariant(self, spark):
+        # same fixed 256-doc audit cost at every corpus scale
+        r = REGISTRY["lsh_recall_audit"].build(spark, "/root/testdata/sf0.001").first()
+        assert r["n_docs"] == 256

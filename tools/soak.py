@@ -98,6 +98,7 @@ DEFAULT_QUERIES = [
     "bloom_semijoin_prune",
     "token_budget_mix",
     "token_budget_mix_apply",
+    "lsh_recall_audit",
 ]
 
 _SHIFTS = {
