@@ -133,3 +133,20 @@ class TestDsir:
         from tomasz_weight_tracker_spark.operators.lm import dsir_weights
 
         assert dsir_weights(_docs(spark, [])).collect() == []
+
+
+class TestStreamingLmFilter:
+    def test_stream_equals_batch(self, spark):
+        """Train-offline / score-online introduces no drift: the drained
+        streaming state must equal the batch scorer row-for-row."""
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            tuple(r)
+            for r in REGISTRY["streaming_lm_filter"].build(spark, sf).collect()
+        )
+        want = sorted(
+            tuple(r) for r in REGISTRY["ngram_lm_score"].build(spark, sf).collect()
+        )
+        assert got == want and len(got) > 0

@@ -78,20 +78,20 @@ def _bigrams(tcol):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
-    """Score held-out documents with a bigram LM trained on the
-    ``doc_id % train_mod == 0`` reference split.
-
-    Returns (doc_id, n_bigrams, lm_score_e9, kept) for every held-out
-    document with at least one bigram (docs under 2 tokens are not
-    scoreable — excluded on both engines by construction).
-    """
-    toked = docs.select(
+def _toked(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id", tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t")
     )
-    train = toked.filter(F.col("doc_id") % train_mod == 0)
-    held = toked.filter(F.col("doc_id") % train_mod != 0)
 
+
+def lm_model(
+    docs: DataFrame, train_mod: int = 5
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram LM on the ``doc_id % train_mod == 0`` reference
+    split: returns (unigram counts, bigram counts, vocab-size scalar) —
+    all VOCABULARY-bounded frames, the model a stream scorer broadcasts
+    (see plans/round7.py:streaming_lm_filter)."""
+    train = _toked(docs).filter(F.col("doc_id") % train_mod == 0)
     uni = (
         train.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -103,8 +103,16 @@ def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
     )
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return uni, big, vocab
 
-    pos = held.select(
+
+def lm_apply(
+    held_docs: DataFrame, uni: DataFrame, big: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Score (doc_id, text) rows with an already-trained model — the
+    per-batch body of the streaming filter and the second half of
+    :func:`lm_score`."""
+    pos = _toked(held_docs).select(
         "doc_id", F.explode(_bigrams(F.col("t"))).alias("bg")
     ).withColumn("w1", F.split("bg", " ")[0])
 
@@ -127,6 +135,19 @@ def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
         F.expr("s div n_bigrams").cast("long").alias("lm_score_e9"),
         (F.expr("s div n_bigrams") >= LM_KEEP_E9).alias("kept"),
     )
+
+
+def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
+    """Score held-out documents with a bigram LM trained on the
+    ``doc_id % train_mod == 0`` reference split.
+
+    Returns (doc_id, n_bigrams, lm_score_e9, kept) for every held-out
+    document with at least one bigram (docs under 2 tokens are not
+    scoreable — excluded on both engines by construction).
+    """
+    uni, big, vocab = lm_model(docs, train_mod)
+    held = docs.filter(F.col("doc_id") % train_mod != 0)
+    return lm_apply(held, uni, big, vocab)
 
 
 def sql_lm_score(train_mod: int = 5) -> str:

@@ -931,3 +931,53 @@ def q_lsh_recall_audit(spark, sf_dir):
         .cast("long")
         .alias("recall_nocap_ppm"),
     )
+
+
+@register(
+    "streaming_lm_filter",
+    sql_lm_score(),
+    survey_ids=("ST1", "S11"),
+    doc="The LM quality filter in its production shape: the bigram "
+    "model is trained OFFLINE on the batch reference split "
+    "(operators/lm.py:lm_model — vocabulary-bounded count frames, "
+    "localCheckpointed once), then a documents STREAM is scored per "
+    "micro-batch inside foreachBatch (lm_apply — where joins against "
+    "the static model and the per-doc aggregation are plain batch "
+    "ops) and MERGEd by doc_id into a keyed parquet state table "
+    "(stream_upsert: checkpointed, idempotent — replaying a batch "
+    "after a crash is a no-op since each doc scores identically).  "
+    "The drained state must equal the batch ngram_lm_score oracle "
+    "exactly: train-offline/score-online introduces NO drift because "
+    "the score is integer-rational, not float-path-dependent.",
+)
+def q_streaming_lm_filter(spark, sf_dir):
+    from ..operators.lm import lm_apply, lm_model
+    from ..session import scratch_dir
+    from ..streaming.pipelines import stream_docs, stream_upsert
+
+    docs = load(spark, sf_dir, "documents")
+    uni, big, vocab = (
+        f.localCheckpoint(eager=True) for f in lm_model(docs)
+    )
+
+    stream = stream_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 5 != 0
+    ).select("doc_id", "text")
+
+    def score(batch):
+        return lm_apply(batch, uni, big, vocab)
+
+    d = scratch_dir("stream_lm")
+    q = stream_upsert(
+        stream,
+        f"{d}/state",
+        keys=["doc_id"],
+        checkpoint=f"{d}/ckpt",
+        prepare=score,
+    ).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_lm_filter drain timed out")
+    return spark.read.parquet(f"{d}/state").select(
+        "doc_id", "n_bigrams", "lm_score_e9", "kept"
+    )

@@ -293,6 +293,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the gate's documents table (the
+    stream_events pattern for text corpora: schema sniff +
+    pathGlobFilter narrowing in ONE place; no timestamp conversion —
+    documents carry none)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def drain_to_memory(
     spark: SparkSession,
     df: DataFrame,

@@ -99,6 +99,7 @@ DEFAULT_QUERIES = [
     "token_budget_mix",
     "token_budget_mix_apply",
     "lsh_recall_audit",
+    "streaming_lm_filter",
 ]
 
 _SHIFTS = {
