@@ -150,3 +150,31 @@ class TestStreamingLmFilter:
             tuple(r) for r in REGISTRY["ngram_lm_score"].build(spark, sf).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestPerceptronApply:
+    def test_apply_consistent_with_training(self, spark):
+        from tomasz_weight_tracker_spark.operators.lm import (
+            perceptron_apply,
+            perceptron_train,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        rows = perceptron_apply(docs, 8).collect()
+        assert len(rows) == 500
+        n_correct = sum(1 for r in rows if r["correct"])
+        # final-round errors from the trajectory == misclassified here
+        errs = {
+            r["round"]: r["errors"]
+            for r in perceptron_train(spark, docs, 8)
+            .select("round", "errors")
+            .distinct()
+            .collect()
+        }
+        # note: round-8 errors were measured against the PRE-update
+        # weights of round 8; apply uses post-update weights, so the
+        # two agree only if the last update barely moves the boundary
+        assert 500 - n_correct <= errs[8] + 20
+        for r in rows:
+            assert r["pred"] == (1 if r["dot"] > 0 else -1)
+            assert r["correct"] == (r["pred"] == r["y"])

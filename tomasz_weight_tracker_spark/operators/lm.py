@@ -254,6 +254,14 @@ def perceptron_train(
     errors-that-round) — ``rounds * (B+1)`` rows, deterministic
     (all-integer arithmetic, commutative sums, portable floor
     division)."""
+    out_rows, _, _ = _train_loop(docs, rounds)
+    return spark.createDataFrame(out_rows, PERCEPTRON_SCHEMA)
+
+
+def _train_loop(docs: DataFrame, rounds: int):
+    """The training loop body shared by :func:`perceptron_train` and
+    :func:`perceptron_apply`: returns (trajectory rows, final weights,
+    checkpointed feature table)."""
     nf = N_BUCKETS + 1
     ftab = perceptron_features(docs).localCheckpoint(eager=True)
 
@@ -278,12 +286,33 @@ def perceptron_train(
             w[b] += _floor_div(int(row[f"u{b}"] or 0), step)
         out_rows.extend((r, b, w[b], errors) for b in range(nf))
 
-    return spark.createDataFrame(out_rows, PERCEPTRON_SCHEMA)
+    return out_rows, w, ftab
 
 
-def sql_perceptron_chain(rounds: int) -> str:
-    """DuckDB oracle: replay the identical perceptron rounds as an
-    unrolled CTE chain (fx/yy are corpus-derived once; each round is
+def perceptron_apply(docs: DataFrame, rounds: int) -> DataFrame:
+    """Train (deterministically — same loop as :func:`perceptron_train`)
+    and APPLY the final weights: per-document dot product, sign
+    prediction, correctness against the heuristic label.  One scan of
+    the checkpointed feature table with the O(B) model inlined as
+    literals — classification at corpus scale is a zero-shuffle map."""
+    _, w, ftab = _train_loop(docs, rounds)
+    dot = None
+    for b in range(N_BUCKETS + 1):
+        term = F.col(f"x{b}") * F.lit(w[b])
+        dot = term if dot is None else dot + term
+    pred = F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1))
+    return ftab.select(
+        "doc_id",
+        "y",
+        dot.cast("long").alias("dot"),
+        pred.cast("int").alias("pred"),
+        (pred == F.col("y")).alias("correct"),
+    )
+
+
+def _sql_perceptron_parts(rounds: int) -> list[str]:
+    """The shared CTE chain of :func:`sql_perceptron_chain` and
+    :func:`sql_perceptron_apply` (corpus-derived fx/yy once; per round
     dot -> misclassified set -> per-feature update -> new weights)."""
     t = sql_tokens("lower(coalesce(text, ''))")
     stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -328,6 +357,13 @@ def sql_perceptron_chain(rounds: int) -> str:
                             (w{p}.w + coalesce({fd}, 0))::BIGINT AS w
                      FROM w{p} LEFT JOIN u{r} USING (f)),"""
         )
+    return parts
+
+
+def sql_perceptron_chain(rounds: int) -> str:
+    """DuckDB oracle: replay the identical perceptron rounds and emit
+    the full (round, feature, weight, errors) trajectory."""
+    parts = _sql_perceptron_parts(rounds)
     selects = [
         f"""SELECT {r}::INT AS round, f::INT AS feature, w AS weight,
                    (SELECT count(*)::BIGINT FROM m{r}) AS errors FROM w{r}"""
@@ -335,6 +371,20 @@ def sql_perceptron_chain(rounds: int) -> str:
     ]
     body = "\nUNION ALL\n".join(selects)
     return "\n".join(parts)[:-1] + "\n" + body
+
+
+def sql_perceptron_apply(rounds: int) -> str:
+    """DuckDB oracle twin of applying the round-``rounds`` weights:
+    per-document dot product, sign prediction, correctness flag."""
+    parts = _sql_perceptron_parts(rounds)
+    body = f"""dd AS (SELECT fx.doc_id, sum(fx.x * w{rounds}.w)::BIGINT AS dot
+          FROM fx JOIN w{rounds} USING (f) GROUP BY fx.doc_id)
+    SELECT dd.doc_id, yy.y,
+           dd.dot,
+           CASE WHEN dd.dot > 0 THEN 1 ELSE -1 END AS pred,
+           (CASE WHEN dd.dot > 0 THEN 1 ELSE -1 END) = yy.y AS correct
+    FROM dd JOIN yy USING (doc_id)"""
+    return "\n".join(parts) + "\n" + body
 
 
 # --- DSIR-style importance weighting ---------------------------------------

@@ -36,7 +36,12 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.bpe import bpe_train, sql_bpe_chain, sql_bpe_segments
-from ..operators.lm import sql_dsir_weights, sql_lm_score, sql_perceptron_chain
+from ..operators.lm import (
+    sql_dsir_weights,
+    sql_lm_score,
+    sql_perceptron_apply,
+    sql_perceptron_chain,
+)
 from .catalog import load, register
 
 
@@ -980,4 +985,29 @@ def q_streaming_lm_filter(spark, sf_dir):
         raise RuntimeError("streaming_lm_filter drain timed out")
     return spark.read.parquet(f"{d}/state").select(
         "doc_id", "n_bigrams", "lm_score_e9", "kept"
+    )
+
+
+@register(
+    "perceptron_quality_apply",
+    sql_perceptron_apply(_PERCEPTRON_ROUNDS),
+    survey_ids=("A1", "A2"),
+    doc="The learned quality classifier APPLIED: after the same "
+    f"{_PERCEPTRON_ROUNDS}-round training as perceptron_quality_train "
+    "(deterministic, so train+apply in one query is exact), every "
+    "document gets its dot product against the final weights, the "
+    "sign prediction, and a correctness flag vs the heuristic label "
+    "— per-document, so the value hash covers all 500 dot products, "
+    "not just a summary (the bpe_segment_words / token_budget_mix_"
+    "apply symmetry: every LEARNING operator has its application "
+    "under the gate).  386/500 correct on sf0.01 — consistent with "
+    "the training trajectory's final 114 errors.  Scale: inference "
+    "is one zero-shuffle scan of the checkpointed feature table with "
+    "the O(B) model inlined as literals.",
+)
+def q_perceptron_quality_apply(spark, sf_dir):
+    from ..operators.lm import perceptron_apply
+
+    return perceptron_apply(
+        load(spark, sf_dir, "documents"), _PERCEPTRON_ROUNDS
     )

@@ -100,6 +100,7 @@ DEFAULT_QUERIES = [
     "token_budget_mix_apply",
     "lsh_recall_audit",
     "streaming_lm_filter",
+    "perceptron_quality_apply",
 ]
 
 _SHIFTS = {
