@@ -178,3 +178,25 @@ class TestPerceptronApply:
         for r in rows:
             assert r["pred"] == (1 if r["dot"] > 0 else -1)
             assert r["correct"] == (r["pred"] == r["y"])
+
+
+class TestLmCalibrated:
+    def test_per_source_median_threshold(self, spark):
+        from tomasz_weight_tracker_spark.plans import REGISTRY
+
+        rows = REGISTRY["lm_score_calibrated"].build(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert len(rows) == 400
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, rs in by_src.items():
+            scores = sorted(x["lm_score_e9"] for x in rs)
+            lower_median = scores[(len(scores) + 1) // 2 - 1]
+            assert all(x["src_median_e9"] == lower_median for x in rs)
+            kept = [x for x in rs if x["kept_cal"]]
+            # the per-source cut keeps roughly the top half of EVERY
+            # source — the whole point vs a corpus-global threshold
+            assert len(kept) >= len(rs) // 2
+            assert all(x["lm_score_e9"] >= lower_median for x in kept)

@@ -150,6 +150,15 @@ def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
     return lm_apply(held, uni, big, vocab)
 
 
+def sql_lm_chain(train_mod: int = 5) -> str:
+    """The WITH-chain of :func:`sql_lm_score` up to the per-doc ``agg``
+    relation — shared with the calibrated variant's oracle
+    (plans/round7.py:lm_score_calibrated)."""
+    return sql_lm_score(train_mod).rstrip()[
+        : sql_lm_score(train_mod).rstrip().rfind("SELECT doc_id")
+    ].rstrip().rstrip(",")
+
+
 def sql_lm_score(train_mod: int = 5) -> str:
     """DuckDB oracle twin of :func:`lm_score` (same counts, same
     integer quantization, same threshold)."""

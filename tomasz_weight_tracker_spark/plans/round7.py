@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..operators.bpe import bpe_train, sql_bpe_chain, sql_bpe_segments
 from ..operators.lm import (
     sql_dsir_weights,
+    sql_lm_chain,
     sql_lm_score,
     sql_perceptron_apply,
     sql_perceptron_chain,
@@ -1010,4 +1011,72 @@ def q_perceptron_quality_apply(spark, sf_dir):
 
     return perceptron_apply(
         load(spark, sf_dir, "documents"), _PERCEPTRON_ROUNDS
+    )
+
+
+@register(
+    "lm_score_calibrated",
+    sql_lm_chain()
+    + """,
+    base AS (SELECT doc_id, n_bigrams, (s // n_bigrams)::BIGINT AS lm_score_e9
+             FROM agg),
+    src AS (SELECT b.doc_id, d.source, b.n_bigrams, b.lm_score_e9
+            FROM base b JOIN documents d USING (doc_id)),
+    rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY lm_score_e9, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM src),
+    thr AS (SELECT source,
+                   min(CASE WHEN rn = (n + 1) // 2 THEN lm_score_e9 END)::BIGINT
+                       AS src_median_e9
+            FROM rk GROUP BY source)
+    SELECT rk.doc_id, rk.source, rk.n_bigrams, rk.lm_score_e9,
+           thr.src_median_e9,
+           rk.lm_score_e9 >= thr.src_median_e9 AS kept_cal
+    FROM rk JOIN thr USING (source)
+    """,
+    survey_ids=("A1", "W1"),
+    doc="Per-DOMAIN calibrated LM filtering — the CCNet detail the "
+    "global threshold misses: bucket boundaries are computed per "
+    "domain (here per source), so a systematically low-likelihood "
+    "domain is not wholesale dropped by a corpus-global cut.  The "
+    "boundary is the exact integer LOWER MEDIAN of each source's "
+    "scores (k = (n+1) div 2-th order statistic via one per-source "
+    "row_number — deterministic (score, doc_id) order, no "
+    "interpolated float median), broadcast back as an S-row "
+    "threshold table.  Scale: the scoring plan is ngram_lm_score's; "
+    "calibration adds one source-partitioned window over the "
+    "per-doc relation and one broadcast join.",
+)
+def q_lm_score_calibrated(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.lm import lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = lm_score(docs).drop("kept").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("lm_score_e9", "doc_id")
+    rk = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    thr = rk.groupBy("source").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lm_score_e9"))
+        )
+        .cast("long")
+        .alias("src_median_e9")
+    )
+    return (
+        rk.join(F.broadcast(thr), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "lm_score_e9",
+            "src_median_e9",
+            (F.col("lm_score_e9") >= F.col("src_median_e9")).alias("kept_cal"),
+        )
     )

@@ -101,6 +101,7 @@ DEFAULT_QUERIES = [
     "lsh_recall_audit",
     "streaming_lm_filter",
     "perceptron_quality_apply",
+    "lm_score_calibrated",
 ]
 
 _SHIFTS = {
