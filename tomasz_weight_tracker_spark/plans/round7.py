@@ -27,6 +27,16 @@
 - ``token_budget_mix`` / ``token_budget_mix_apply``: mixture design
   under a global token budget via exact integer water-filling, and
   its realization through the md5 acceptance sampler.
+- ``lsh_recall_audit``: the production LSH pipeline measured against
+  exact all-pairs ground truth on a constant-cost sample, capped and
+  uncapped — the hot-bucket cap's recall trade as a number.
+- ``streaming_lm_filter``: the LM filter in its production shape —
+  model trained offline, document stream scored per micro-batch,
+  MERGEd into keyed state; drained state == the batch scorer.
+- ``perceptron_quality_apply``: the learned classifier applied
+  per-document (dot, prediction, correctness) under the hash gate.
+- ``lm_score_calibrated``: CCNet's per-domain bucket boundaries —
+  each source thresholds at its own exact integer lower median.
 """
 
 from __future__ import annotations
