@@ -47,23 +47,53 @@ class TestMinHashLsh:
         sig = D.minhash_signature(df, "text", k=32).collect()[0]
         assert all(sig[f"mh{i}"] >= 0 for i in range(32))
 
-    def test_hot_bucket_cap_drops_quadratic_buckets(self, spark):
-        # 80 identical docs form a bucket of width 80 in EVERY band —
-        # the quadratic blowup the cap exists to stop.  With the cap at
-        # 10 those buckets are dropped wholesale (no pairs among the 80),
-        # while an unrelated near-dup pair in small buckets survives.
+    def test_identical_cluster_over_cap_is_output_bound(self, spark):
+        # 80 identical docs form an over-cap bucket in EVERY band that
+        # no amount of signature splitting can shatter (all 16 hashes
+        # equal).  Round-8 semantics: every pair in such a cluster IS a
+        # true near-dup (16/16 agreement), so the full quadratic pair
+        # set is the query's own output and is emitted exactly once —
+        # not dropped (the round-7 rule's 0.45% recall collapse), and
+        # not duplicated across the 4 bands.
         rows = [(i, "common filler tokens here") for i in range(80)]
         rows += [(100, "rare unique doc alpha beta"), (101, "rare unique doc alpha beta")]
         df = spark.createDataFrame(rows, "doc_id int, text string")
         sig = D.minhash_signature(df, "text", k=16)
+        out = D.lsh_candidate_pairs(
+            sig, "doc_id", k=16, bands=4, max_bucket=10, emit_sig_matches=True
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in out}
+        assert (100, 101) in got
+        cluster = [(a, b) for a, b in got if a < 100]
+        assert len(cluster) == 80 * 79 // 2  # all-pairs, emitted once
+        assert len(out) == len(got)  # no cross-band duplicates
+        assert all(
+            r.sig_matches == 16 for r in out if r.id_a < 100
+        )  # every cluster pair verifies at full agreement
+
+    def test_over_cap_mixed_bucket_splits_bounded(self, spark):
+        # A hot band bucket whose members are NOT near-dups must be
+        # SPLIT, not emitted quadratically: 40 synthetic signatures
+        # share band 0 (mh0..3) but fall into 4 groups of 10 on mh4
+        # (the first split position), with every other hash unique per
+        # doc.  cap=10: the 40-bucket splits into four 10-buckets, so
+        # only within-group pairs are emitted — 4*45=180, not 780.
+        rows = []
+        for i in range(40):
+            sig = [7, 8, 9, 10]          # shared band 0
+            sig.append(i // 10)          # mh4: four groups of 10
+            sig += [1000 + 100 * i + j for j in range(11)]  # mh5..15 unique
+            rows.append((i, *sig))
+        cols = "doc_id int, " + ", ".join(f"mh{i} long" for i in range(16))
+        df = spark.createDataFrame(rows, cols)
         got = {
             (r.id_a, r.id_b)
             for r in D.lsh_candidate_pairs(
-                sig, "doc_id", k=16, bands=4, max_bucket=10
+                df, "doc_id", k=16, bands=4, max_bucket=10
             ).collect()
         }
-        assert (100, 101) in got
-        assert all(a >= 100 for a, _ in got)
+        assert len(got) == 4 * 45
+        assert all(a // 10 == b // 10 for a, b in got)
 
     def test_aqe_splits_skewed_band_join(self, spark):
         """SCALE.md claims skewed band buckets (under the cap) are

@@ -191,9 +191,12 @@ class TestRound4PlanShape:
         """Round-3 scale defect: the verify stage joined candidate pairs
         back to the signature table with BOTH sides broadcast — a
         corpus-cardinality broadcast that OOMs at scale.  The fix
-        threads the signature columns through the band join, so the
-        whole plan must contain exactly ONE join (the band-key
-        self-join) and no broadcast hint anywhere."""
+        computes sig_matches from the band-shuffled signature array
+        itself, so the plan contains exactly TWO self-joins — the
+        sub-cap band join and the identical-signature-cluster join
+        (round-8 split semantics) — and no broadcast hint anywhere:
+        a verify-stage join back to the signature table would make a
+        third."""
         import re
 
         df = REGISTRY["lsh_near_dup"].build(spark, SF)
@@ -207,7 +210,7 @@ class TestRound4PlanShape:
             r"BroadcastNestedLoopJoin|CartesianProduct)",
             plan,
         )
-        assert len(joins) == 1, f"expected exactly the band self-join, got {joins}"
+        assert len(joins) == 2, f"expected the two self-joins, got {joins}"
 
     def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
         """The 100 TB semi-join-reduction lever: with a selective filter

@@ -115,6 +115,19 @@ def minhash_signature(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     return df.drop("__mh_pairs")
 
 
+def lsh_band_order(k: int, bands: int, band: int) -> list[int]:
+    """Signature positions for band ``band`` in split order: the band's
+    own ``k//bands`` positions first, then every other position in
+    cyclic order starting just after the band.  ``skey = [mh[i] for i
+    in order]`` makes every split level a PREFIX of one array, and the
+    cyclic start means a pair disagreeing on one hash only risks the
+    bands whose split path reaches that hash early."""
+    rpb = k // bands
+    base = [band * rpb + j for j in range(rpb)]
+    extra = [(rpb * (band + 1) + j) % k for j in range(k - rpb)]
+    return base + extra
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -122,71 +135,287 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int | None = 64,
     carry: Sequence[str] = (),
+    emit_sig_matches: bool = False,
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     k/bands rows each; docs sharing any full band become a candidate
     pair.  Returns distinct (id_a, id_b) with id_a < id_b.
 
-    One shuffle on (band_id, band_key); the self-join is an equi-join
-    on the band key so Catalyst plans a shuffled hash join and AQE
-    splits skewed buckets.
+    ``max_bucket`` bounds FALSE-candidate emission by recursive bucket
+    *splitting* (round-8 fix — the round-7 rule dropped over-cap
+    buckets wholesale, which the repo's own lsh_recall_audit measured
+    at 0.45% recall vs 90.8% uncapped on a dense corpus):
 
-    ``max_bucket`` is the hot-bucket cap: any band bucket with more
-    than this many members is dropped entirely before the self-join
-    (a bucket of B docs emits B*(B-1)/2 pairs, so one hot bucket goes
-    quadratic — round 1 recorded 4.6M candidate pairs from 5k docs
-    with no cap).  Dropping a hot bucket costs recall only for pairs
-    not ALSO caught by one of the other bands, and a bucket that hot
-    is band-key degeneracy (near-constant tokens), not near-duplicate
-    signal.  The window count shares the band-key hash partitioning
-    with the join that follows, so the cap adds no extra shuffle.
+    - a band bucket with more than ``max_bucket`` members is split by
+      appending one more signature position to its key (the cyclic
+      order of :func:`lsh_band_order`), recursively, until every
+      sub-bucket fits under the cap — so a bucket of B docs never
+      emits more than ``max_bucket``-choose-2 pairs unless its members
+      agree on the FULL signature;
+    - a bucket still over the cap at full-signature depth is a set of
+      documents with IDENTICAL k-wide signatures: every pair in it
+      passes any ``sig_matches >= t`` verify by construction, so its
+      quadratic pair set is the query's own OUTPUT, not candidate
+      waste, and is emitted in full, once — computed directly as the
+      identical-signature clusters larger than the cap (one window
+      over the full signature; band-independent, hence no cross-band
+      duplication and no distinct).  Total emission is therefore
+      O(true_output + buckets * cap^2): the floor for a
+      pair-enumeration query.  Callers that only need cluster-level
+      dedup (keep one representative) should collapse these
+      identical-signature clusters to a representative instead of
+      enumerating pairs — see plans.round8's star-edge query.
+
+    Shuffle posture: the banded frame is exchanged ONCE on
+    (band_id, 4-position prefix); every finer split count is a window
+    whose partition keys include the full chain of coarser prefixes,
+    so Catalyst proves the existing hash partitioning satisfies each
+    window's required distribution and inserts sorts, not exchanges.
+    The self-joins are equi-joins on (band_id, level, prefix-array) so
+    AQE splits skewed buckets.
 
     ``carry`` lists signature columns to thread THROUGH the band join,
     emitted as ``a_<col>`` / ``b_<col>`` on each pair.  This is how a
-    verify stage (full-signature agreement, Jaccard, etc.) gets both
-    sides' data without a second join back to the signature table —
-    which at corpus scale would either shuffle the whole signature
-    table twice more or (worse) broadcast a corpus-cardinality frame.
-    Cost: the band shuffle carries ``bands`` copies of the carried
-    columns per doc; for k=16 longs that is ~0.5 KB/doc, far cheaper
-    than re-joining at 100 TB.  Carried values are functionally
-    dependent on the id, so the pair-level ``distinct`` stays exact.
+    verify stage (Jaccard, metadata screens) gets both sides' data
+    without a second join back to the signature table — which at
+    corpus scale would either shuffle the whole signature table twice
+    more or (worse) broadcast a corpus-cardinality frame.  Carried
+    values are functionally dependent on the id, so the pair-level
+    ``distinct`` stays exact.
+
+    ``emit_sig_matches`` adds a ``sig_matches`` column — the count of
+    agreeing signature positions — computed from the band-shuffled
+    signature array itself (position-permuted per band, which leaves
+    the agreement COUNT invariant), so full-signature verify needs no
+    ``carry`` at all: the shuffle stays k longs per doc-band instead
+    of 2k.
     """
     rows_per_band = k // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), F.concat_ws("_", *cols).alias("band_key"))
+    if max_bucket is None:
+        # Uncapped path: plain banding, no split machinery.
+        band_structs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws("_", *cols).alias("band_key"),
+                )
+            )
+        sig_cols = (
+            [F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("__sig")]
+            if emit_sig_matches
+            else []
         )
+        banded = signatures.select(
+            F.col(id_col),
+            *carry,
+            *sig_cols,
+            F.explode(F.array(*band_structs)).alias("band"),
+        ).select(
+            id_col,
+            *carry,
+            *(["__sig"] if emit_sig_matches else []),
+            "band.band_id",
+            "band.band_key",
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        extra_out = (
+            [
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y
+                        ),
+                        lambda m: m,
+                    )
+                )
+                .cast("long")
+                .alias("sig_matches")
+            ]
+            if emit_sig_matches
+            else []
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *extra_out,
+                *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+                *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+            )
+            .distinct()
+        )
+
+    levels = k - rows_per_band  # split depths beyond the band itself
+    star_lvl = levels + 1  # over-cap at full-signature depth
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.array(
+                *[F.col(f"mh{i}") for i in lsh_band_order(k, bands, b)]
+            ).alias("skey"),
+        )
+        for b in range(bands)
+    ]
     banded = signatures.select(
         F.col(id_col), *carry, F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, *carry, "band.band_id", "band.band_key")
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        banded = (
-            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bucket_n") <= max_bucket)
-            .drop("__bucket_n")
+    ).select(id_col, *carry, "band.band_id", "band.skey")
+
+    # Nested bucket counts: window l partitions by the CHAIN of prefix
+    # slices up to length rows_per_band+l.  The chain (not just the
+    # finest slice) is what lets every window after the first reuse the
+    # level-0 exchange — HashPartitioning(band_id, slice4) is a subset
+    # of each finer window's partition expressions.
+    chain: list[Column] = [F.col("band_id")]
+    counts: list[Column] = []
+    for l in range(levels + 1):
+        chain = chain + [F.slice(F.col("skey"), 1, rows_per_band + l)]
+        counts.append(F.count(F.lit(1)).over(Window.partitionBy(*chain)))
+    lvl = F.lit(star_lvl)
+    for l in reversed(range(levels + 1)):
+        lvl = F.when(counts[l] <= max_bucket, F.lit(l)).otherwise(lvl)
+    keyed = banded.select(
+        F.col(id_col),
+        *carry,
+        "band_id",
+        lvl.alias("__lvl"),
+        F.slice(
+            F.col("skey"),
+            F.lit(1),
+            F.lit(rows_per_band) + F.least(lvl, F.lit(levels)),
+        ).alias("__eff"),
+        # Full signature in band order, for the verify column: both
+        # join sides share a band, hence the same position permutation,
+        # so the zip_with agreement COUNT equals agreement over mh0..k.
+        *([F.col("skey").alias("__sig")] if emit_sig_matches else []),
+    )
+
+    def pair_select(a, b, matched: Column):
+        extra_out = (
+            [matched.cast("long").alias("sig_matches")] if emit_sig_matches else []
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+        return [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *extra_out,
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+        ]
+
+    zip_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+
+    # Sub-cap buckets: all pairs, deduped across bands.
+    sub = keyed.filter(F.col("__lvl") < star_lvl)
+    a, b = sub.alias("a"), sub.alias("b")
+    sub_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__lvl") == F.col("b.__lvl"))
+            & (F.col("a.__eff") == F.col("b.__eff"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
-            *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
-        )
+        .select(*pair_select(a, b, zip_matches))
         .distinct()
     )
-    return pairs
+
+    # Signature-exhausted buckets: a bucket still over the cap at
+    # full-signature depth is exactly an identical-full-signature
+    # cluster larger than the cap (every prefix bucket contains it, so
+    # every split path exhausts) — computed directly with ONE window
+    # over the full signature instead of filtering the split stack.
+    # Every pair in such a cluster agrees on all k positions, so this
+    # branch's emission is the query's own output, not candidate
+    # waste.  No distinct needed: one bucket per cluster, and none of
+    # these pairs can also appear in the sub-cap branch (any bucket
+    # holding both endpoints contains the whole over-cap cluster).
+    fsig = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    clus = (
+        signatures.select(F.col(id_col), *carry, fsig.alias("__fsig"))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__fsig"))
+        )
+        .filter(F.col("__n") > max_bucket)
+        .drop("__n")
+    )
+    ea, eb = clus.alias("a"), clus.alias("b")
+    exh_pairs = ea.join(
+        eb,
+        (F.col("a.__fsig") == F.col("b.__fsig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(*pair_select(ea, eb, F.lit(k)))
+    return sub_pairs.unionByName(exh_pairs)
+
+
+def sql_lsh_banded(k: int, bands: int, sig_cte: str = "sig") -> str:
+    """DuckDB twin of the banded frame: one row per (doc, band) with
+    ``skey`` = the full signature as a list in :func:`lsh_band_order`
+    split order (band positions first)."""
+    selects = []
+    for b in range(bands):
+        arr = "[" + ", ".join(f"mh{i}" for i in lsh_band_order(k, bands, b)) + "]"
+        selects.append(
+            f"      SELECT doc_id, {b} AS band_id, {arr} AS skey FROM {sig_cte}"
+        )
+    return "\n      UNION ALL\n".join(selects)
+
+
+def sql_lsh_candidates(k: int, bands: int, cap: int) -> str:
+    """DuckDB twin of the capped split semantics of
+    :func:`lsh_candidate_pairs`: CTE fragments (``lv``, ``keyed``,
+    ``cand``) to splice after a ``banded0(doc_id, band_id, skey)`` CTE.
+    ``cand`` holds the distinct (id_a, id_b) candidate pairs —
+    sub-cap split buckets all-pairs, identical-signature clusters
+    over the cap all-pairs once.  Expects a ``sig`` CTE with
+    mh0..mh{{k-1}} columns (for the exhausted-cluster branch)."""
+    rpb = k // bands
+    levels = k - rpb
+    whens = "\n           ".join(
+        f"WHEN count(*) OVER (PARTITION BY band_id, "
+        f"list_slice(skey, 1, {rpb + l})) <= {cap} THEN {l}"
+        for l in range(levels + 1)
+    )
+    fsig = "[" + ", ".join(f"mh{i}" for i in range(k)) + "]"
+    return f"""
+    lv AS (
+      SELECT doc_id, band_id, skey,
+           CASE {whens}
+           ELSE {levels + 1} END AS lvl
+      FROM banded0),
+    keyed AS (
+      SELECT doc_id, band_id, lvl,
+             list_slice(skey, 1, {rpb} + least(lvl, {levels})) AS eff
+      FROM lv
+      WHERE lvl < {levels + 1}),
+    fullsig AS (
+      SELECT doc_id, {fsig} AS fsig,
+             count(*) OVER (PARTITION BY {fsig}) AS n
+      FROM sig),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.band_id = b.band_id AND a.lvl = b.lvl AND a.eff = b.eff
+       AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM fullsig a JOIN fullsig b
+        ON a.fsig = b.fsig AND a.doc_id < b.doc_id
+      WHERE a.n > {cap})"""
 
 
 def simhash_exprs(token_arr: Column, bits: int = 16) -> Column:

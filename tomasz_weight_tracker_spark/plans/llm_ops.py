@@ -255,12 +255,7 @@ _SIG_MATCHES = " + ".join(
     f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(LSH_K)
 )
 
-_BANDED_SQL = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, {b} AS band_id, "
-    + " || '_' || ".join(f"mh{b * LSH_ROWS + j}::VARCHAR" for j in range(LSH_ROWS))
-    + " AS band_key FROM sig"
-    for b in range(LSH_BANDS)
-)
+_BANDED_SQL = D.sql_lsh_banded(LSH_K, LSH_BANDS)
 
 
 @register(
@@ -270,37 +265,32 @@ _BANDED_SQL = "\n      UNION ALL\n".join(
     + ", ".join(f"{D.sql_minhash_from_pairs('hs', i)} AS mh{i}" for i in range(LSH_K))
     + " FROM h),\n    banded0 AS (\n"
     + _BANDED_SQL
+    + "\n    ),"
+    + D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP)
     + f"""
-    ),
-    banded AS (
-      SELECT doc_id, band_id, band_key FROM banded0
-      QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_CAP}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
     SELECT id_a, id_b, ({_SIG_MATCHES})::BIGINT AS sig_matches
     FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id
     WHERE {_SIG_MATCHES} >= {LSH_THRESH}""",
     survey_ids=(),
     doc=f"MinHash-LSH near-dup: {LSH_K} hashes, {LSH_BANDS} bands of {LSH_ROWS} "
-    "generate candidates (shingle->minhash->band->bucket-join) with a "
-    f"{LSH_CAP}-member hot-bucket cap (dropped buckets are band-key "
-    "degeneracy, not near-dup signal); the full signature then "
-    f"estimates Jaccard and pairs under {LSH_THRESH}/{LSH_K} agreement "
-    "are dropped.",
+    "generate candidates (shingle->minhash->band->bucket-join); a band "
+    f"bucket over {LSH_CAP} members is recursively SPLIT on further "
+    "signature positions (round-8 fix for the recall collapse the "
+    "round-7 drop-the-bucket cap measured: 0.45% vs 90.8% uncapped on "
+    "lsh_recall_audit), and a bucket still over the cap at full-"
+    "signature depth is an identical-signature cluster whose pairs "
+    "are ALL true near-dups — emitted once, output-bound.  The full "
+    f"signature then estimates Jaccard and pairs under "
+    f"{LSH_THRESH}/{LSH_K} agreement are dropped.",
 )
 def q_lsh_near_dup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    # Single-pass plan: the full k-wide signature is threaded THROUGH
-    # the band join (``carry``), so the verify stage is a per-row
-    # expression over a_mh*/b_mh* — no second join back to the
-    # signature table.  The earlier design broadcast both sides of a
-    # verify join; a signature table is corpus-cardinality (one row
-    # per document), so at 100 TB that broadcast OOMs every executor.
-    # Carrying costs ~0.5 KB/doc in the band shuffle instead.
+    # Single-pass plan: sig_matches is computed from the band-shuffled
+    # signature array itself (emit_sig_matches) — no second join back
+    # to the signature table and no 2k-wide carry.  The earlier design
+    # broadcast both sides of a verify join; a signature table is
+    # corpus-cardinality (one row per document), so at 100 TB that
+    # broadcast OOMs every executor.
     sig = D.minhash_signature(d.select("doc_id", "text"), "text", k=LSH_K).drop("text")
     pairs = D.lsh_candidate_pairs(
         sig,
@@ -308,16 +298,10 @@ def q_lsh_near_dup(spark, sf_dir):
         k=LSH_K,
         bands=LSH_BANDS,
         max_bucket=LSH_CAP,
-        carry=[f"mh{i}" for i in range(LSH_K)],
+        emit_sig_matches=True,
     )
-    matches = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-        for i in range(LSH_K)
-    )
-    return (
-        pairs.withColumn("sig_matches", matches.cast("long"))
-        .filter(F.col("sig_matches") >= LSH_THRESH)
-        .select("id_a", "id_b", "sig_matches")
+    return pairs.filter(F.col("sig_matches") >= LSH_THRESH).select(
+        "id_a", "id_b", "sig_matches"
     )
 
 

@@ -743,7 +743,7 @@ _AUDIT_P, _AUDIT_Q = 9, 10  # ground-truth Jaccard threshold p/q = 0.9
 
 def _lsh_audit_oracle() -> str:
     from ..operators import dedup as D
-    from .llm_ops import _BANDED_SQL, _SIG_MATCHES, LSH_CAP, LSH_K, LSH_THRESH
+    from .llm_ops import _BANDED_SQL, _SIG_MATCHES, LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH
 
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
     guarded = (
@@ -773,25 +773,19 @@ def _lsh_audit_oracle() -> str:
     sig AS (SELECT doc_id, {mh} FROM h),
     banded0 AS (
 {_BANDED_SQL}
-    ),
-    banded AS (
-      SELECT doc_id, band_id, band_key FROM banded0
-      QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_CAP}
-    ),
-    cand0 AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
-    cand AS MATERIALIZED (
+    ),{D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP)},
+    candv AS MATERIALIZED (
       SELECT id_a, id_b
-      FROM cand0 JOIN sig sa ON cand0.id_a = sa.doc_id
-                 JOIN sig sb ON cand0.id_b = sb.doc_id
+      FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+                JOIN sig sb ON cand.id_b = sb.doc_id
       WHERE {_SIG_MATCHES} >= {LSH_THRESH}),
     nocap0 AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded0 a JOIN banded0 b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ON a.band_id = b.band_id
+       AND list_slice(a.skey, 1, {LSH_K // LSH_BANDS})
+           = list_slice(b.skey, 1, {LSH_K // LSH_BANDS})
+       AND a.doc_id < b.doc_id
     ),
     nocap AS MATERIALIZED (
       SELECT id_a, id_b
@@ -799,10 +793,10 @@ def _lsh_audit_oracle() -> str:
                   JOIN sig sb ON nocap0.id_b = sb.doc_id
       WHERE {_SIG_MATCHES} >= {LSH_THRESH}),
     hit AS (SELECT count(*)::BIGINT AS n_hit
-            FROM cand JOIN truth USING (id_a, id_b)),
+            FROM candv JOIN truth USING (id_a, id_b)),
     hitn AS (SELECT count(*)::BIGINT AS n_hit_nocap
              FROM nocap JOIN truth USING (id_a, id_b)),
-    c AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+    c AS (SELECT count(*)::BIGINT AS n_cand FROM candv),
     cn AS (SELECT count(*)::BIGINT AS n_cand_nocap FROM nocap),
     tr AS (SELECT count(*)::BIGINT AS n_true FROM truth),
     sz AS (SELECT count(*)::BIGINT AS n_docs FROM samp)
@@ -831,16 +825,17 @@ def _lsh_audit_oracle() -> str:
     f"deterministic {_AUDIT_N}-document sample (TakeOrdered over an "
     "md5 priority — fixed COST at any corpus scale, which is exactly "
     "how one audits at 100 TB: the all-pairs truth is O(n^2) and must "
-    "never see the full corpus).  Reported capped AND uncapped, which "
-    "is the finding: on this synthetic corpus — adversarially dense, "
-    "half of all pairs over 0.5 Jaccard — the 64-member hot-bucket "
-    "cap drops nearly every bucket (recall 0.45% capped vs 90.8% "
-    "uncapped at sf0.01), quantifying exactly the trade the cap's "
-    "docstring claims for degenerate band keys; on a Zipf-natural "
-    "corpus buckets stay under the cap and the two columns converge.  "
-    "The theta test is pure-integer ((p+q)*common >= p*(|A|+|B|)), "
-    "the sample is broadcast for the truth self-join, and every rate "
-    "lands as a ppm integer.",
+    "never see the full corpus).  Reported capped AND uncapped.  In "
+    "round 7 this audit measured the then-current drop-the-bucket cap "
+    "at 0.45% recall vs 90.8% uncapped on this adversarially dense "
+    "corpus; round 8 replaced truncation with recursive bucket "
+    "splitting plus output-bound emission of signature-exhausted "
+    "clusters (operators/dedup.py:lsh_candidate_pairs), and the same "
+    "instrument now shows capped == uncapped recall here — the cap "
+    "only bounds FALSE-candidate emission.  The theta test is "
+    "pure-integer ((p+q)*common >= p*(|A|+|B|)), the sample is "
+    "broadcast for the truth self-join, and every rate lands as a "
+    "ppm integer.",
 )
 def q_lsh_recall_audit(spark, sf_dir):
     from ..functions import md5_long
@@ -878,27 +873,25 @@ def q_lsh_recall_audit(spark, sf_dir):
     )
 
     sig = D.minhash_signature(samp, "text", k=LSH_K).drop("text")
-    # Checkpoint the carried-signature pair frame BEFORE the 16-term
-    # agreement filter: optimizing the predicate over the carry plan
-    # substitutes every a_mh*/b_mh* reference with its full md5 tree
-    # (x16 terms x2 sides x4 band branches) and the driver OOMs during
-    # TREE TRANSFORMATION — the sample-bounded pair set is tiny, so
-    # materializing it first costs nothing and caps the plan size.
+    # Checkpoint the pair frames BEFORE the downstream aggregates: the
+    # final stats reference each frame twice, and re-inlining the
+    # signature expression trees (16 md5 terms x 4 band branches) per
+    # reference blows up plan CONSTRUCTION (driver OOM in TreeNode) —
+    # the sample-bounded pair set is tiny, so materializing it first
+    # costs nothing and caps the plan size.  sig_matches comes from
+    # the band-shuffled signature array (emit_sig_matches), the same
+    # verify the production lsh_near_dup runs.
     pairs = D.lsh_candidate_pairs(
         sig,
         "doc_id",
         k=LSH_K,
         bands=LSH_BANDS,
         max_bucket=LSH_CAP,
-        carry=[f"mh{i}" for i in range(LSH_K)],
+        emit_sig_matches=True,
     ).localCheckpoint(eager=True)
-    matches = None
-    for i in range(LSH_K):
-        m = (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("long")
-        matches = m if matches is None else matches + m
-    cand = pairs.filter(matches >= LSH_THRESH).select("id_a", "id_b")
+    cand = pairs.filter(F.col("sig_matches") >= LSH_THRESH).select("id_a", "id_b")
 
-    # The uncapped twin isolates the hot-bucket cap's recall cost
+    # The uncapped twin isolates the bucket-handling recall cost
     # (sample-bounded: at most N*(N-1)/2 pairs, safe without the cap).
     pairs_nocap = D.lsh_candidate_pairs(
         sig,
@@ -906,9 +899,11 @@ def q_lsh_recall_audit(spark, sf_dir):
         k=LSH_K,
         bands=LSH_BANDS,
         max_bucket=None,
-        carry=[f"mh{i}" for i in range(LSH_K)],
+        emit_sig_matches=True,
     ).localCheckpoint(eager=True)
-    nocap = pairs_nocap.filter(matches >= LSH_THRESH).select("id_a", "id_b")
+    nocap = pairs_nocap.filter(F.col("sig_matches") >= LSH_THRESH).select(
+        "id_a", "id_b"
+    )
 
     hit = cand.join(truth, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_hit")
