@@ -95,6 +95,29 @@ class TestMinHashLsh:
         assert len(got) == 4 * 45
         assert all(a // 10 == b // 10 for a, b in got)
 
+    def test_dedup_edges_star_collapse(self, spark):
+        # The cluster-level consumer shape: 80 identical docs emit 79
+        # rep->member star edges (linear), NOT 3160 all-pairs; the
+        # 2-doc identical cluster emits one star edge; no 'near'
+        # edges unless distinct signatures collide on a band AND pass
+        # the verify gate.
+        rows = [(i, "common filler tokens here") for i in range(80)]
+        rows += [(100, "rare unique doc alpha beta"), (101, "rare unique doc alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(df, "text", k=16)
+        out = D.lsh_dedup_edges(
+            sig, "doc_id", k=16, bands=4, max_bucket=10, verify_min=12
+        ).collect()
+        stars = {(r.src_id, r.dst_id) for r in out if r.kind == "exact"}
+        assert stars == {(0, i) for i in range(1, 80)} | {(100, 101)}
+        assert all(r.sig_matches == 16 for r in out if r.kind == "exact")
+        # near edges connect only cluster REPS (members are collapsed)
+        assert all(
+            r.src_id in (0, 100) and r.dst_id in (0, 100)
+            for r in out
+            if r.kind == "near"
+        )
+
     def test_aqe_splits_skewed_band_join(self, spark):
         """SCALE.md claims skewed band buckets (under the cap) are
         handled by AQE skew-join splitting.  Pin it: build a band join

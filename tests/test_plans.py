@@ -192,11 +192,12 @@ class TestRound4PlanShape:
         back to the signature table with BOTH sides broadcast — a
         corpus-cardinality broadcast that OOMs at scale.  The fix
         computes sig_matches from the band-shuffled signature array
-        itself, so the plan contains exactly TWO self-joins — the
-        sub-cap band join and the identical-signature-cluster join
-        (round-8 split semantics) — and no broadcast hint anywhere:
-        a verify-stage join back to the signature table would make a
-        third."""
+        itself, so the plan contains exactly FOUR joins — the
+        rep-level band self-join, the two expansion left-joins onto
+        the multi-member subset, and the within-cluster self-join
+        (round-8 collapse-first semantics) — and no broadcast HINT
+        anywhere: a verify-stage join back to the full signature
+        table would make a fifth."""
         import re
 
         df = REGISTRY["lsh_near_dup"].build(spark, SF)
@@ -210,7 +211,7 @@ class TestRound4PlanShape:
             r"BroadcastNestedLoopJoin|CartesianProduct)",
             plan,
         )
-        assert len(joins) == 2, f"expected the two self-joins, got {joins}"
+        assert len(joins) == 4, f"expected band + 2 expansion + cluster joins, got {joins}"
 
     def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
         """The 100 TB semi-join-reduction lever: with a selective filter

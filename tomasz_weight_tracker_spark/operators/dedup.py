@@ -136,43 +136,58 @@ def lsh_candidate_pairs(
     max_bucket: int | None = 64,
     carry: Sequence[str] = (),
     emit_sig_matches: bool = False,
+    verify_min: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands of
     k/bands rows each; docs sharing any full band become a candidate
     pair.  Returns distinct (id_a, id_b) with id_a < id_b.
 
-    ``max_bucket`` bounds FALSE-candidate emission by recursive bucket
-    *splitting* (round-8 fix — the round-7 rule dropped over-cap
-    buckets wholesale, which the repo's own lsh_recall_audit measured
-    at 0.45% recall vs 90.8% uncapped on a dense corpus):
+    ``max_bucket`` bounds FALSE-candidate emission with a
+    COLLAPSE-FIRST split design (round-8 fix — the round-7 rule
+    dropped over-cap buckets wholesale, which the repo's own
+    lsh_recall_audit measured at 0.45% recall vs 90.8% uncapped on a
+    dense corpus):
 
-    - a band bucket with more than ``max_bucket`` members is split by
-      appending one more signature position to its key (the cyclic
-      order of :func:`lsh_band_order`), recursively, until every
-      sub-bucket fits under the cap — so a bucket of B docs never
-      emits more than ``max_bucket``-choose-2 pairs unless its members
-      agree on the FULL signature;
-    - a bucket still over the cap at full-signature depth is a set of
-      documents with IDENTICAL k-wide signatures: every pair in it
-      passes any ``sig_matches >= t`` verify by construction, so its
-      quadratic pair set is the query's own OUTPUT, not candidate
-      waste, and is emitted in full, once — computed directly as the
-      identical-signature clusters larger than the cap (one window
-      over the full signature; band-independent, hence no cross-band
-      duplication and no distinct).  Total emission is therefore
-      O(true_output + buckets * cap^2): the floor for a
-      pair-enumeration query.  Callers that only need cluster-level
-      dedup (keep one representative) should collapse these
-      identical-signature clusters to a representative instead of
-      enumerating pairs — see plans.round8's star-edge query.
+    1. identical full signatures collapse to one REPRESENTATIVE row
+       (rep = min id, one window over the signature) before banding,
+       so duplicated documents never inflate a bucket count — the
+       degenerate buckets that forced the round-7 cap were almost
+       entirely identical-signature mass;
+    2. a band bucket of DISTINCT signatures still over the cap is
+       split by appending one more signature position to its key (the
+       cyclic order of :func:`lsh_band_order`), recursively; at
+       full-signature depth every bucket holds exactly one distinct
+       signature, so the recursion always terminates under any
+       ``max_bucket >= 1`` and no bucket is ever dropped;
+    3. verified rep-pairs and the identical-signature clusters are
+       EXPANDED back to member pairs: within-cluster all-pairs
+       (``sig_matches == k`` by construction — true dups, the query's
+       own output) plus cross-cluster pairs via a left join to the
+       multi-member table (singleton clusters — the overwhelming
+       majority — expand join-free through coalesce).
 
-    Shuffle posture: the banded frame is exchanged ONCE on
-    (band_id, 4-position prefix); every finer split count is a window
+    ``verify_min`` gates the expansion: a FALSE rep-pair between two
+    large clusters would otherwise expand to |A|*|B| junk pairs, so at
+    corpus scale callers must pass their verify threshold here (the
+    filter runs on the bounded rep-pair set, before expansion; the
+    post-expansion filter the caller runs anyway is then a no-op,
+    since cluster members share the rep's signature exactly).  With it
+    set, total emission is O(true_output + buckets * cap^2) — the
+    floor for a pair-enumeration query.  Callers that only need
+    cluster-level dedup (keep one representative) should use
+    :func:`lsh_dedup_edges` instead, which emits linear star edges
+    for the clusters rather than quadratic within-cluster pairs.
+
+    Shuffle posture: the rep-banded frame is exchanged ONCE on
+    (band_id, first prefix); every finer split count is a window
     whose partition keys include the full chain of coarser prefixes,
     so Catalyst proves the existing hash partitioning satisfies each
     window's required distribution and inserts sorts, not exchanges.
     The self-joins are equi-joins on (band_id, level, prefix-array) so
-    AQE splits skewed buckets.
+    AQE splits skewed buckets.  The collapse window shuffles the
+    signature table once on the signature itself; the expansion joins
+    touch only the rep-pair set and the multi-member subset
+    (duplicated docs), never the full corpus.
 
     ``carry`` lists signature columns to thread THROUGH the band join,
     emitted as ``a_<col>`` / ``b_<col>`` on each pair.  This is how a
@@ -256,110 +271,213 @@ def lsh_candidate_pairs(
             .distinct()
         )
 
+    rep_pairs, multi = _lsh_rep_pairs(
+        signatures, id_col, k, bands, max_bucket, carry,
+        need_sig=emit_sig_matches or verify_min is not None,
+        verify_min=verify_min,
+    )
+
+    sm_pass = [F.col("sig_matches")] if emit_sig_matches else []
+    # Cross-cluster expansion: each side of a rep-pair fans out to its
+    # cluster members via a LEFT join to the multi-member subset —
+    # singleton clusters (the common case) pass through coalesce with
+    # no matching row, so the join sides are (bounded rep-pairs) x
+    # (duplicated docs only), never the corpus.  Member ids are not
+    # ordered like their reps, so the pair is re-oriented with a swap
+    # (clusters are disjoint, hence no duplicate risk and no distinct).
+    ma = multi.select(
+        F.col("__rep").alias("ra"),
+        F.col(id_col).alias("__xa"),
+        *[F.col(c).alias(f"ma_{c}") for c in carry],
+    )
+    mb = multi.select(
+        F.col("__rep").alias("rb"),
+        F.col(id_col).alias("__xb"),
+        *[F.col(c).alias(f"mb_{c}") for c in carry],
+    )
+    exp = (
+        rep_pairs.join(ma, "ra", "left")
+        .join(mb, "rb", "left")
+        .withColumn("__ia", F.coalesce("__xa", "ra"))
+        .withColumn("__ib", F.coalesce("__xb", "rb"))
+    )
+    flip = F.col("__ia") > F.col("__ib")
+
+    def _oriented(c: str):
+        a_val = F.coalesce(F.col(f"ma_{c}"), F.col(f"ra_{c}"))
+        b_val = F.coalesce(F.col(f"mb_{c}"), F.col(f"rb_{c}"))
+        return (
+            F.when(flip, b_val).otherwise(a_val).alias(f"a_{c}"),
+            F.when(flip, a_val).otherwise(b_val).alias(f"b_{c}"),
+        )
+
+    carry_cols = [col for c in carry for col in _oriented(c)]
+    cross = exp.select(
+        F.when(flip, F.col("__ib")).otherwise(F.col("__ia")).alias("id_a"),
+        F.when(flip, F.col("__ia")).otherwise(F.col("__ib")).alias("id_b"),
+        *sm_pass,
+        *carry_cols,
+    )
+
+    # Within-cluster all-pairs: members of one identical-signature
+    # cluster agree on all k positions, so these ARE the query's
+    # output (sig_matches == k passes any sane verify), emitted once —
+    # output-bound, the floor for pair enumeration.
+    wa, wb = multi.alias("a"), multi.alias("b")
+    within = wa.join(
+        wb,
+        (F.col("a.__rep") == F.col("b.__rep"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *([F.lit(k).cast("long").alias("sig_matches")] if emit_sig_matches else []),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+    )
+    return cross.unionByName(within)
+
+
+def _lsh_rep_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    max_bucket: int,
+    carry: Sequence[str],
+    need_sig: bool,
+    verify_min: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse-first banding core shared by :func:`lsh_candidate_pairs`
+    and :func:`lsh_dedup_edges`: returns (rep_pairs, multi) where
+    ``rep_pairs`` is the distinct (ra, rb[, sig_matches][, ra_*/rb_*
+    carry]) candidate pairs over cluster REPRESENTATIVES and ``multi``
+    is the member rows of clusters with >= 2 identical signatures
+    (columns: id, __rep, __cnt, carry)."""
+    rows_per_band = k // bands
     levels = k - rows_per_band  # split depths beyond the band itself
-    star_lvl = levels + 1  # over-cap at full-signature depth
+
+    fsig = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    wsig = Window.partitionBy("__fsig")
+    members = (
+        signatures.select(F.col(id_col), *carry, fsig.alias("__fsig"))
+        .withColumn("__rep", F.min(id_col).over(wsig))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wsig))
+    )
+    # The rep keeps ITS OWN carry columns (it is a real member row),
+    # which is what the singleton side of the expansion coalesces to.
+    reps = members.filter(F.col(id_col) == F.col("__rep"))
+    multi = members.filter(F.col("__cnt") > 1).drop("__fsig", "__cnt")
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.array(
-                *[F.col(f"mh{i}") for i in lsh_band_order(k, bands, b)]
+                *[F.element_at("__fsig", i + 1) for i in lsh_band_order(k, bands, b)]
             ).alias("skey"),
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
-        F.col(id_col), *carry, F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, *carry, "band.band_id", "band.skey")
+    banded = reps.select(
+        F.col(id_col).alias("rid"),
+        *carry,
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select("rid", *carry, "band.band_id", "band.skey")
 
     # Nested bucket counts: window l partitions by the CHAIN of prefix
     # slices up to length rows_per_band+l.  The chain (not just the
     # finest slice) is what lets every window after the first reuse the
-    # level-0 exchange — HashPartitioning(band_id, slice4) is a subset
-    # of each finer window's partition expressions.
+    # level-0 exchange — HashPartitioning(band_id, first slice) is a
+    # subset of each finer window's partition expressions.  The chain
+    # stops one short of full depth: distinct signatures mean the
+    # full-signature bucket always has exactly one row, so level
+    # ``levels`` needs no count and the recursion always terminates.
     chain: list[Column] = [F.col("band_id")]
     counts: list[Column] = []
-    for l in range(levels + 1):
+    for l in range(levels):
         chain = chain + [F.slice(F.col("skey"), 1, rows_per_band + l)]
         counts.append(F.count(F.lit(1)).over(Window.partitionBy(*chain)))
-    lvl = F.lit(star_lvl)
-    for l in reversed(range(levels + 1)):
+    lvl = F.lit(levels)
+    for l in reversed(range(levels)):
         lvl = F.when(counts[l] <= max_bucket, F.lit(l)).otherwise(lvl)
     keyed = banded.select(
-        F.col(id_col),
+        "rid",
         *carry,
         "band_id",
         lvl.alias("__lvl"),
-        F.slice(
-            F.col("skey"),
-            F.lit(1),
-            F.lit(rows_per_band) + F.least(lvl, F.lit(levels)),
-        ).alias("__eff"),
+        F.slice(F.col("skey"), F.lit(1), F.lit(rows_per_band) + lvl).alias("__eff"),
         # Full signature in band order, for the verify column: both
         # join sides share a band, hence the same position permutation,
         # so the zip_with agreement COUNT equals agreement over mh0..k.
-        *([F.col("skey").alias("__sig")] if emit_sig_matches else []),
+        *([F.col("skey").alias("__sig")] if need_sig else []),
     )
-
-    def pair_select(a, b, matched: Column):
-        extra_out = (
-            [matched.cast("long").alias("sig_matches")] if emit_sig_matches else []
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sm_cols = []
+    if need_sig:
+        zip_matches = F.size(
+            F.filter(
+                F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
         )
-        return [
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *extra_out,
-            *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
-            *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
-        ]
-
-    zip_matches = F.size(
-        F.filter(
-            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-
-    # Sub-cap buckets: all pairs, deduped across bands.
-    sub = keyed.filter(F.col("__lvl") < star_lvl)
-    a, b = sub.alias("a"), sub.alias("b")
-    sub_pairs = (
+        sm_cols = [zip_matches.cast("long").alias("sig_matches")]
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.__lvl") == F.col("b.__lvl"))
             & (F.col("a.__eff") == F.col("b.__eff"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.rid") < F.col("b.rid")),
         )
-        .select(*pair_select(a, b, zip_matches))
+        .select(
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
+            *sm_cols,
+            *[F.col(f"a.{c}").alias(f"ra_{c}") for c in carry],
+            *[F.col(f"b.{c}").alias(f"rb_{c}") for c in carry],
+        )
         .distinct()
     )
+    if verify_min is not None:
+        rep_pairs = rep_pairs.filter(F.col("sig_matches") >= verify_min)
+    return rep_pairs, multi
 
-    # Signature-exhausted buckets: a bucket still over the cap at
-    # full-signature depth is exactly an identical-full-signature
-    # cluster larger than the cap (every prefix bucket contains it, so
-    # every split path exhausts) — computed directly with ONE window
-    # over the full signature instead of filtering the split stack.
-    # Every pair in such a cluster agrees on all k positions, so this
-    # branch's emission is the query's own output, not candidate
-    # waste.  No distinct needed: one bucket per cluster, and none of
-    # these pairs can also appear in the sub-cap branch (any bucket
-    # holding both endpoints contains the whole over-cap cluster).
-    fsig = F.array(*[F.col(f"mh{i}") for i in range(k)])
-    clus = (
-        signatures.select(F.col(id_col), *carry, fsig.alias("__fsig"))
-        .withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("__fsig"))
-        )
-        .filter(F.col("__n") > max_bucket)
-        .drop("__n")
+
+def lsh_dedup_edges(
+    signatures: DataFrame,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    verify_min: int | None = None,
+) -> DataFrame:
+    """Cluster-level near-dup edges — the LINEAR-output consumer shape
+    of the same collapse-first machinery: (src_id, dst_id, sig_matches,
+    kind) where kind ``exact`` edges are rep -> member stars over
+    identical-signature clusters (|cluster| - 1 edges instead of the
+    quadratic all-pairs a pair enumerator must emit) and kind ``near``
+    edges are the verified rep-pair candidates between distinct
+    signatures.  A dedup consumer keeps every id that never appears as
+    ``dst_id`` of an edge it acts on — the keep-one-representative
+    pattern at 100 TB, where enumerating within-cluster pairs would be
+    quadratic in cluster size for no information gain."""
+    rep_pairs, multi = _lsh_rep_pairs(
+        signatures, id_col, k, bands, max_bucket, (),
+        need_sig=True, verify_min=verify_min,
     )
-    ea, eb = clus.alias("a"), clus.alias("b")
-    exh_pairs = ea.join(
-        eb,
-        (F.col("a.__fsig") == F.col("b.__fsig"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(*pair_select(ea, eb, F.lit(k)))
-    return sub_pairs.unionByName(exh_pairs)
+    near = rep_pairs.select(
+        F.col("ra").alias("src_id"),
+        F.col("rb").alias("dst_id"),
+        "sig_matches",
+        F.lit("near").alias("kind"),
+    )
+    stars = multi.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("src_id"),
+        F.col(id_col).alias("dst_id"),
+        F.lit(k).cast("long").alias("sig_matches"),
+        F.lit("exact").alias("kind"),
+    )
+    return near.unionByName(stars)
 
 
 def sql_lsh_banded(k: int, bands: int, sig_cte: str = "sig") -> str:
@@ -375,47 +493,95 @@ def sql_lsh_banded(k: int, bands: int, sig_cte: str = "sig") -> str:
     return "\n      UNION ALL\n".join(selects)
 
 
-def sql_lsh_candidates(k: int, bands: int, cap: int) -> str:
-    """DuckDB twin of the capped split semantics of
-    :func:`lsh_candidate_pairs`: CTE fragments (``lv``, ``keyed``,
-    ``cand``) to splice after a ``banded0(doc_id, band_id, skey)`` CTE.
-    ``cand`` holds the distinct (id_a, id_b) candidate pairs —
-    sub-cap split buckets all-pairs, identical-signature clusters
-    over the cap all-pairs once.  Expects a ``sig`` CTE with
-    mh0..mh{{k-1}} columns (for the exhausted-cluster branch)."""
+def _sql_lsh_rep_parts(k: int, bands: int, cap: int, verify_min: int | None) -> str:
+    """Shared CTE chain of the collapse-first capped semantics
+    (:func:`_lsh_rep_pairs`): ``members`` (rep/cnt windows over the
+    full signature), ``bandedr`` (reps banded in split order), ``lv``
+    / ``keyedr`` (recursive split level), ``rp`` (distinct verified
+    rep-pairs), ``multi`` (members of clusters >= 2).  Expects a
+    ``sig`` CTE with doc_id + mh0..mh{{k-1}} columns."""
     rpb = k // bands
     levels = k - rpb
+    fsig = "[" + ", ".join(f"mh{i}" for i in range(k)) + "]"
+    bandsel = "\n      UNION ALL\n".join(
+        "      SELECT doc_id AS rid, "
+        + f"{b} AS band_id, ["
+        + ", ".join(f"fsig[{i + 1}]" for i in lsh_band_order(k, bands, b))
+        + "] AS skey FROM members WHERE doc_id = rep"
+        for b in range(bands)
+    )
     whens = "\n           ".join(
         f"WHEN count(*) OVER (PARTITION BY band_id, "
         f"list_slice(skey, 1, {rpb + l})) <= {cap} THEN {l}"
-        for l in range(levels + 1)
+        for l in range(levels)
     )
-    fsig = "[" + ", ".join(f"mh{i}" for i in range(k)) + "]"
+    matches = (
+        f"len(list_filter(list_transform(range(1, {k + 1}), "
+        "i -> a.skey[i] = b.skey[i]), x -> x))"
+    )
+    verify = f"WHERE sig_matches >= {verify_min}" if verify_min is not None else ""
     return f"""
-    lv AS (
-      SELECT doc_id, band_id, skey,
-           CASE {whens}
-           ELSE {levels + 1} END AS lvl
-      FROM banded0),
-    keyed AS (
-      SELECT doc_id, band_id, lvl,
-             list_slice(skey, 1, {rpb} + least(lvl, {levels})) AS eff
-      FROM lv
-      WHERE lvl < {levels + 1}),
-    fullsig AS (
+    members AS (
       SELECT doc_id, {fsig} AS fsig,
-             count(*) OVER (PARTITION BY {fsig}) AS n
+             min(doc_id) OVER (PARTITION BY {fsig}) AS rep,
+             count(*) OVER (PARTITION BY {fsig}) AS cnt
       FROM sig),
+    bandedr AS (
+{bandsel}
+    ),
+    lv AS (
+      SELECT rid, band_id, skey,
+           CASE {whens}
+           ELSE {levels} END AS lvl
+      FROM bandedr),
+    keyedr AS (
+      SELECT rid, band_id, lvl, skey,
+             list_slice(skey, 1, {rpb} + lvl) AS eff
+      FROM lv),
+    rp AS (
+      SELECT * FROM (
+        SELECT DISTINCT a.rid AS ra, b.rid AS rb,
+               {matches}::BIGINT AS sig_matches
+        FROM keyedr a JOIN keyedr b
+          ON a.band_id = b.band_id AND a.lvl = b.lvl AND a.eff = b.eff
+         AND a.rid < b.rid)
+      {verify}),
+    multi AS (SELECT rep, doc_id FROM members WHERE cnt > 1)"""
+
+
+def sql_lsh_candidates(k: int, bands: int, cap: int, verify_min: int | None = None) -> str:
+    """DuckDB twin of the capped collapse-first semantics of
+    :func:`lsh_candidate_pairs`: CTE fragments ending in
+    ``cand(id_a, id_b)`` — verified rep-pairs expanded to member
+    pairs through the multi-member left joins, plus within-cluster
+    all-pairs.  Expects a ``sig`` CTE with doc_id + mh columns."""
+    return (
+        _sql_lsh_rep_parts(k, bands, cap, verify_min)
+        + """,
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keyed a JOIN keyed b
-        ON a.band_id = b.band_id AND a.lvl = b.lvl AND a.eff = b.eff
-       AND a.doc_id < b.doc_id
-      UNION
+      SELECT least(coalesce(ma.doc_id, ra), coalesce(mb.doc_id, rb)) AS id_a,
+             greatest(coalesce(ma.doc_id, ra), coalesce(mb.doc_id, rb)) AS id_b
+      FROM rp LEFT JOIN multi ma ON ma.rep = rp.ra
+              LEFT JOIN multi mb ON mb.rep = rp.rb
+      UNION ALL
       SELECT a.doc_id, b.doc_id
-      FROM fullsig a JOIN fullsig b
-        ON a.fsig = b.fsig AND a.doc_id < b.doc_id
-      WHERE a.n > {cap})"""
+      FROM multi a JOIN multi b
+        ON a.rep = b.rep AND a.doc_id < b.doc_id)"""
+    )
+
+
+def sql_lsh_star_edges(k: int, bands: int, cap: int, verify_min: int | None = None) -> str:
+    """DuckDB twin of :func:`lsh_dedup_edges`: fragments ending in
+    ``edges(src_id, dst_id, sig_matches, kind)``."""
+    return (
+        _sql_lsh_rep_parts(k, bands, cap, verify_min)
+        + f""",
+    edges AS (
+      SELECT ra AS src_id, rb AS dst_id, sig_matches, 'near' AS kind FROM rp
+      UNION ALL
+      SELECT rep, doc_id, {k}::BIGINT, 'exact'
+      FROM multi WHERE doc_id <> rep)"""
+    )
 
 
 def simhash_exprs(token_arr: Column, bits: int = 16) -> Column:

@@ -14,3 +14,4 @@ from . import pathbound  # noqa: F401  (W1/W2/W4 pipelines gate-embedded via der
 from . import advanced  # noqa: F401  (SCD2, PageRank, sorted-neighborhood, bitmap distinct)
 from . import round6  # noqa: F401  (span dedup, bucketed join, partition-pruned scan)
 from . import round7  # noqa: F401  (paged source gate, BPE vocab training)
+from . import round8  # noqa: F401  (star-edge dedup, sparse perceptron, media phash)

@@ -263,25 +263,26 @@ _BANDED_SQL = D.sql_lsh_banded(LSH_K, LSH_BANDS)
     f"WITH h AS (SELECT doc_id, {D.sql_minhash_pairs(TOKS)} AS hs FROM documents),\n"
     "    sig AS (SELECT doc_id, "
     + ", ".join(f"{D.sql_minhash_from_pairs('hs', i)} AS mh{i}" for i in range(LSH_K))
-    + " FROM h),\n    banded0 AS (\n"
-    + _BANDED_SQL
-    + "\n    ),"
-    + D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP)
+    + " FROM h),"
+    + D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP, LSH_THRESH)
     + f"""
     SELECT id_a, id_b, ({_SIG_MATCHES})::BIGINT AS sig_matches
     FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id
     WHERE {_SIG_MATCHES} >= {LSH_THRESH}""",
     survey_ids=(),
     doc=f"MinHash-LSH near-dup: {LSH_K} hashes, {LSH_BANDS} bands of {LSH_ROWS} "
-    "generate candidates (shingle->minhash->band->bucket-join); a band "
-    f"bucket over {LSH_CAP} members is recursively SPLIT on further "
-    "signature positions (round-8 fix for the recall collapse the "
-    "round-7 drop-the-bucket cap measured: 0.45% vs 90.8% uncapped on "
-    "lsh_recall_audit), and a bucket still over the cap at full-"
-    "signature depth is an identical-signature cluster whose pairs "
-    "are ALL true near-dups — emitted once, output-bound.  The full "
-    f"signature then estimates Jaccard and pairs under "
-    f"{LSH_THRESH}/{LSH_K} agreement are dropped.",
+    "generate candidates (shingle->minhash->band->bucket-join), "
+    "COLLAPSE-FIRST (round-8 fix for the recall collapse the round-7 "
+    "drop-the-bucket cap measured: 0.45% vs 90.8% uncapped on "
+    "lsh_recall_audit): identical signatures collapse to one "
+    "representative before banding, a band bucket of distinct "
+    f"signatures over {LSH_CAP} members recursively splits on further "
+    "signature positions, verified rep-pairs expand back to member "
+    "pairs, and identical-signature clusters emit their (true, "
+    "output-bound) all-pairs once.  The full signature estimates "
+    f"Jaccard; pairs under {LSH_THRESH}/{LSH_K} agreement are dropped "
+    "BEFORE expansion (verify_min), so a false rep-pair between two "
+    "big clusters never fans out.",
 )
 def q_lsh_near_dup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -299,6 +300,7 @@ def q_lsh_near_dup(spark, sf_dir):
         bands=LSH_BANDS,
         max_bucket=LSH_CAP,
         emit_sig_matches=True,
+        verify_min=LSH_THRESH,
     )
     return pairs.filter(F.col("sig_matches") >= LSH_THRESH).select(
         "id_a", "id_b", "sig_matches"

@@ -360,15 +360,17 @@ _BLOOM_ORACLE = """
         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
     meta AS MATERIALIZED (
         SELECT count(*)::BIGINT AS n_keys,
-               62 * greatest(1::BIGINT, (count(*)::BIGINT * 16 + 61) // 62)
+               {word} * greatest(1::BIGINT,
+                                 (count(*)::BIGINT * {bpk} + {word} - 1) // {word})
                    AS m_bits
         FROM keys),
     kh AS (SELECT k, {h1} AS h1, {h2} AS h2 FROM keys),
     probes AS (SELECT ((h1 + j * h2) % m_bits) AS pos
                FROM kh CROSS JOIN meta,
-                    unnest([0, 1, 2, 3]) AS t(j)),
+                    unnest([{jlist}]) AS t(j)),
     bloom AS MATERIALIZED (
-        SELECT pos // 62 AS word, bit_or(1::BIGINT << (pos % 62)::INT) AS bits
+        SELECT pos // {word} AS word,
+               bit_or(1::BIGINT << (pos % {word})::INT) AS bits
         FROM probes GROUP BY 1),
     bstats AS (SELECT count(*)::BIGINT AS n_words,
                       coalesce(sum(bit_count(bits)), 0)::BIGINT AS bits_set
@@ -394,21 +396,32 @@ _BLOOM_ORACLE = """
 
 
 def _bloom_oracle() -> str:
-    from ..operators.sketches import sql_bloom_h1, sql_bloom_h2
+    from ..operators.sketches import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        BLOOM_WORD,
+        sql_bloom_h1,
+        sql_bloom_h2,
+    )
 
     # Each probe j tests bit (h1 + j*h2) % m_bits via a scalar
     # subquery into the bloom CTE (the SQL twin of the broadcast
-    # joins on the Spark side).
+    # joins on the Spark side).  All sizing/probe constants are
+    # interpolated from operators/sketches.py so the helpers, the
+    # Spark plan and this oracle can never desynchronize.
     passes = " AND ".join(
         f"(coalesce((SELECT bits FROM bloom "
-        f"WHERE word = ((h1 + {j} * h2) % m_bits) // 62), 0) "
-        f">> (((h1 + {j} * h2) % m_bits) % 62)::INT) & 1 = 1"
-        for j in range(4)
+        f"WHERE word = ((h1 + {j} * h2) % m_bits) // {BLOOM_WORD}), 0) "
+        f">> (((h1 + {j} * h2) % m_bits) % {BLOOM_WORD})::INT) & 1 = 1"
+        for j in range(BLOOM_K)
     )
     return _BLOOM_ORACLE.format(
         h1=sql_bloom_h1("k"), h2=sql_bloom_h2("k"),
         lh1=sql_bloom_h1("l_orderkey"), lh2=sql_bloom_h2("l_orderkey"),
         passes=passes,
+        word=BLOOM_WORD,
+        bpk=BLOOM_BITS_PER_KEY,
+        jlist=", ".join(str(j) for j in range(BLOOM_K)),
     )
 
 
@@ -434,6 +447,8 @@ def _bloom_oracle() -> str:
 )
 def q_bloom_semijoin_prune(spark, sf_dir):
     from ..operators.sketches import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
         BLOOM_WORD,
         bloom_h1,
         bloom_h2,
@@ -451,16 +466,17 @@ def q_bloom_semijoin_prune(spark, sf_dir):
     )
     meta = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).select(
         "n_keys",
-        F.expr(f"{BLOOM_WORD} * greatest(1L, (n_keys * 16 + 61) div {BLOOM_WORD})").alias(
-            "m_bits"
-        ),
+        F.expr(
+            f"{BLOOM_WORD} * greatest(1L, "
+            f"(n_keys * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD - 1}) div {BLOOM_WORD})"
+        ).alias("m_bits"),
     )
 
     kh = keys.crossJoin(F.broadcast(meta)).select(
         "m_bits", bloom_h1(F.col("k")).alias("h1"), bloom_h2(F.col("k")).alias("h2")
     )
     probes = kh.select(
-        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+        F.explode(F.array(*[F.lit(j) for j in range(BLOOM_K)])).alias("j"),
         "m_bits",
         "h1",
         "h2",
@@ -485,7 +501,7 @@ def q_bloom_semijoin_prune(spark, sf_dir):
         bloom_h2(F.col("k")).alias("h2"),
     )
     p = li
-    for j in range(4):
+    for j in range(BLOOM_K):
         p = p.withColumn(
             f"w{j}", F.expr(f"((h1 + {j} * h2) % m_bits) div {BLOOM_WORD}")
         ).withColumn(f"b{j}", F.expr(f"cast(((h1 + {j} * h2) % m_bits) % {BLOOM_WORD} as int)"))
@@ -495,7 +511,7 @@ def q_bloom_semijoin_prune(spark, sf_dir):
             "left",
         )
     pass_expr = None
-    for j in range(4):
+    for j in range(BLOOM_K):
         t = F.expr(f"(shiftright(coalesce(bits{j}, 0L), b{j}) & 1) = 1")
         pass_expr = t if pass_expr is None else (pass_expr & t)
     mt = p.withColumn("pass_bloom", pass_expr).join(
@@ -773,7 +789,7 @@ def _lsh_audit_oracle() -> str:
     sig AS (SELECT doc_id, {mh} FROM h),
     banded0 AS (
 {_BANDED_SQL}
-    ),{D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP)},
+    ),{D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP, LSH_THRESH)},
     candv AS MATERIALIZED (
       SELECT id_a, id_b
       FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
@@ -888,6 +904,7 @@ def q_lsh_recall_audit(spark, sf_dir):
         bands=LSH_BANDS,
         max_bucket=LSH_CAP,
         emit_sig_matches=True,
+        verify_min=LSH_THRESH,
     ).localCheckpoint(eager=True)
     cand = pairs.filter(F.col("sig_matches") >= LSH_THRESH).select("id_a", "id_b")
 
@@ -966,13 +983,20 @@ def q_streaming_lm_filter(spark, sf_dir):
     from ..session import scratch_dir
     from ..streaming.pipelines import stream_docs, stream_upsert
 
+    from ..operators.lm import LM_TRAIN_MOD
+
     docs = load(spark, sf_dir, "documents")
+    # One named modulus drives BOTH the offline model's train split
+    # and the stream's held-out predicate — they must stay the exact
+    # complement of each other or the drained state diverges from the
+    # batch oracle (scoring train docs / dropping held docs).
     uni, big, vocab = (
-        f.localCheckpoint(eager=True) for f in lm_model(docs)
+        f.localCheckpoint(eager=True)
+        for f in lm_model(docs, train_mod=LM_TRAIN_MOD)
     )
 
     stream = stream_docs(spark, sf_dir).filter(
-        F.col("doc_id") % 5 != 0
+        F.col("doc_id") % LM_TRAIN_MOD != 0
     ).select("doc_id", "text")
 
     def score(batch):
