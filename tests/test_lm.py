@@ -100,6 +100,67 @@ class TestPerceptron:
         assert all(r["weight"] == 0 and r["errors"] == 0 for r in rows)
 
 
+class TestPerceptronSparse:
+    """Long-form sparse trainer (round 8): same integer trajectory as
+    the dense trainer when run at the same B, and the scale ceiling
+    lifted — B=4096 converges with no 4096-column plan."""
+
+    def test_sparse_equals_dense_at_same_buckets(self, spark):
+        from tomasz_weight_tracker_spark.operators.lm import (
+            perceptron_train_sparse,
+        )
+
+        docs = _docs(
+            spark,
+            [
+                (0, "the of and quality content here"),
+                (1, "zz yy xx ww vv uu tt ss"),
+                (2, "the the the filler"),
+                (3, "aa bb cc dd ee ff gg hh ii jj"),
+                (4, ""),
+            ],
+        )
+        dense = {
+            (r["round"], r["feature"]): (r["weight"], r["errors"])
+            for r in perceptron_train(spark, docs, 4).collect()
+        }
+        sparse = {
+            (r["round"], r["feature"]): (r["weight"], r["errors"])
+            for r in perceptron_train_sparse(
+                spark, docs, 4, n_buckets=N_BUCKETS
+            ).collect()
+        }
+        assert dense == sparse
+
+    def test_b4096_converges_on_gate_corpus(self, spark):
+        from tomasz_weight_tracker_spark.operators.lm import (
+            SPARSE_BUCKETS,
+            perceptron_train_sparse,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        out = perceptron_train_sparse(spark, docs, 6)
+        errs = {
+            r["round"]: r["errors"]
+            for r in out.select("round", "errors").distinct().collect()
+        }
+        assert errs[1] == 500  # w=0: every margin is 0, all flagged
+        # wider feature space separates better than both the majority
+        # baseline (241) and the dense B=32 trainer's plateau (114)
+        assert errs[6] < 100
+        assert out.count() == 6 * (SPARSE_BUCKETS + 1)
+
+    def test_empty_corpus_total(self, spark):
+        from tomasz_weight_tracker_spark.operators.lm import (
+            perceptron_train_sparse,
+        )
+
+        out = perceptron_train_sparse(spark, _docs(spark, []), 2, n_buckets=8)
+        rows = out.collect()
+        assert len(rows) == 2 * 9
+        assert all(r["weight"] == 0 and r["errors"] == 0 for r in rows)
+
+
 class TestDsir:
     def test_hand_computed_ratio(self, spark):
         """target doc 0 = "aa aa", raw doc 1 = "aa bb".

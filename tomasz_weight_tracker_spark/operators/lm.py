@@ -58,6 +58,11 @@ from .text_analysis import STOPWORDS, sql_tokens
 # --- bigram LM -------------------------------------------------------------
 
 SCALE_E9 = 1_000_000_000
+# The default reference-split modulus (doc_id % LM_TRAIN_MOD == 0
+# trains, the rest is scored).  Named once so batch scorers, the
+# streaming filter's held-out predicate, and the SQL oracles can
+# never disagree on which docs are the model's own training data.
+LM_TRAIN_MOD = 5
 # Keep-threshold on the e9 mean bigram likelihood: the sf0.01 median
 # is ~32.8e6, so 32e6 splits the held-out corpus into real keep/drop
 # classes at every gate scale (the knob a production filter would
@@ -85,7 +90,7 @@ def _toked(docs: DataFrame) -> DataFrame:
 
 
 def lm_model(
-    docs: DataFrame, train_mod: int = 5
+    docs: DataFrame, train_mod: int = LM_TRAIN_MOD
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the bigram LM on the ``doc_id % train_mod == 0`` reference
     split: returns (unigram counts, bigram counts, vocab-size scalar) —
@@ -121,8 +126,16 @@ def lm_apply(
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
+            # greatest(..., 1) guards the degenerate empty-train-split
+            # case (v = 0, no unigrams): Spark's div would yield NULL
+            # rows where DuckDB's // raises Division-by-Zero — a silent
+            # engine/oracle divergence.  With any non-empty vocabulary
+            # the guard is inert (cu + v >= 1 already).
             "p",
-            F.expr(f"({SCALE_E9} * (coalesce(cb, 0) + 1)) div (coalesce(cu, 0) + v)"),
+            F.expr(
+                f"({SCALE_E9} * (coalesce(cb, 0) + 1))"
+                " div greatest(coalesce(cu, 0) + v, 1)"
+            ),
         )
     )
     agg = scored.groupBy("doc_id").agg(
@@ -137,7 +150,7 @@ def lm_apply(
     )
 
 
-def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
+def lm_score(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
     """Score held-out documents with a bigram LM trained on the
     ``doc_id % train_mod == 0`` reference split.
 
@@ -150,18 +163,14 @@ def lm_score(docs: DataFrame, train_mod: int = 5) -> DataFrame:
     return lm_apply(held, uni, big, vocab)
 
 
-def sql_lm_chain(train_mod: int = 5) -> str:
+def sql_lm_chain(train_mod: int = LM_TRAIN_MOD) -> str:
     """The WITH-chain of :func:`sql_lm_score` up to the per-doc ``agg``
     relation — shared with the calibrated variant's oracle
-    (plans/round7.py:lm_score_calibrated)."""
-    return sql_lm_score(train_mod).rstrip()[
-        : sql_lm_score(train_mod).rstrip().rfind("SELECT doc_id")
-    ].rstrip().rstrip(",")
-
-
-def sql_lm_score(train_mod: int = 5) -> str:
-    """DuckDB oracle twin of :func:`lm_score` (same counts, same
-    integer quantization, same threshold)."""
+    (plans/round7.py:lm_score_calibrated).  Built from the same
+    constant :func:`sql_lm_score` appends its final SELECT to, so the
+    two can never drift (the earlier version rfind-sliced the rendered
+    query on a SELECT literal — string surgery a rewording would
+    silently corrupt)."""
     t = sql_tokens("lower(coalesce(text, ''))")
     return f"""
     WITH tok AS (SELECT doc_id, {t} AS t FROM documents),
@@ -179,16 +188,27 @@ def sql_lm_score(train_mod: int = 5) -> str:
                                          i -> t[i] || ' ' || t[i + 1])) AS g
             FROM tok WHERE doc_id % {train_mod} <> 0),
     sc AS (SELECT doc_id,
-                  ({SCALE_E9} * (coalesce(cb, 0) + 1)) // (coalesce(cu, 0) + v) AS p
+                  ({SCALE_E9} * (coalesce(cb, 0) + 1))
+                  // greatest(coalesce(cu, 0) + v, 1) AS p
            FROM pos LEFT JOIN bg USING (g)
                     LEFT JOIN uni ON pos.w1 = uni.w
                     CROSS JOIN vv),
     agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(p)::BIGINT AS s
-            FROM sc GROUP BY doc_id)
+            FROM sc GROUP BY doc_id)"""
+
+
+def sql_lm_score(train_mod: int = LM_TRAIN_MOD) -> str:
+    """DuckDB oracle twin of :func:`lm_score` (same counts, same
+    integer quantization — including the empty-vocabulary greatest()
+    guard, see lm_apply — same threshold)."""
+    return (
+        sql_lm_chain(train_mod)
+        + f"""
     SELECT doc_id, n_bigrams, (s // n_bigrams)::BIGINT AS lm_score_e9,
            (s // n_bigrams) >= {LM_KEEP_E9} AS kept
     FROM agg
     """
+    )
 
 
 # --- batch perceptron ------------------------------------------------------
@@ -319,13 +339,123 @@ def perceptron_apply(docs: DataFrame, rounds: int) -> DataFrame:
     )
 
 
-def _sql_perceptron_parts(rounds: int) -> list[str]:
-    """The shared CTE chain of :func:`sql_perceptron_chain` and
-    :func:`sql_perceptron_apply` (corpus-derived fx/yy once; per round
-    dot -> misclassified set -> per-feature update -> new weights)."""
+SPARSE_BUCKETS = 4096  # fastText-scale hashed feature space
+
+
+def perceptron_features_sparse(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Long-form sparse features: (doc_id, y, f, x) rows — one row per
+    (document, occupied bucket) plus a bias row (f = n_buckets, x = 1)
+    per document.  The round-7 dense design materialized one COLUMN
+    per bucket, which caps B at ~1e3 (a 4096-column plan); long form
+    keeps the plan width O(1) at any B, the fastText regime (B >= 1e4).
+    One corpus scan, one (doc_id, f) map-side-combined aggregation."""
+    toks_col = tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    exploded = docs.select(
+        "doc_id",
+        _label(toks_col).alias("y"),
+        F.explode(
+            F.concat(
+                F.transform(toks_col, lambda t: md5_long(t) % n_buckets),
+                F.array(F.lit(n_buckets).cast("long")),  # bias occurrence
+            )
+        ).alias("f"),
+    )
+    return exploded.groupBy("doc_id", "y", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+
+
+def perceptron_train_sparse(
+    spark: SparkSession, docs: DataFrame, rounds: int, n_buckets: int = SPARSE_BUCKETS
+) -> DataFrame:
+    """The batch perceptron of :func:`perceptron_train` over LONG-FORM
+    sparse features — identical integer trajectory semantics (same
+    label, same md5 bucketing, same geometric step decay, same
+    portable floor division), feature-space width B appearing nowhere
+    in the plan:
+
+    - the feature table is hash-partitioned by doc_id once
+      (repartition + localCheckpoint), so each round's per-document
+      dot product (groupBy doc_id) and misclassified-set join (on
+      doc_id) reuse that exchange;
+    - the model reaches the data as a BROADCAST of the non-zero
+      (feature, weight) rows — O(min(B, corpus vocabulary)) — never
+      as inlined literals (the dense design's 257-term expressions);
+    - the per-feature update is ONE exchange of the misclassified
+      subset keyed by feature (map-side combined to <= B+1 partial
+      rows per task), collected O(B) to the driver;
+    - the error count rides the update aggregation for free: every
+      document owns exactly one bias row (f = B, x = 1), so the bias
+      feature's row count over the misclassified join IS the error
+      count — no second job.
+
+    Returns the same (round, feature, weight, errors) trajectory
+    relation as the dense trainer, rounds * (B+1) rows, verified by
+    the same unrolled-CTE oracle with ``n_buckets`` swapped in.
+    """
+    nf = n_buckets + 1
+    fx = (
+        perceptron_features_sparse(docs, n_buckets)
+        .repartition(F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    w: dict[int, int] = {}
+    out_rows: list[tuple[int, int, int, int]] = []
+    for r in range(1, rounds + 1):
+        nz = [(f, wt) for f, wt in sorted(w.items()) if wt != 0]
+        if nz:
+            w_df = spark.createDataFrame(nz, "f long, w long")
+            dots = (
+                fx.join(F.broadcast(w_df), "f", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.min("y").alias("y"),
+                    F.sum(F.col("x") * F.coalesce("w", F.lit(0)))
+                    .cast("long")
+                    .alias("dot"),
+                )
+            )
+        else:  # round 1: all-zero model, dot is identically 0
+            dots = fx.groupBy("doc_id").agg(
+                F.min("y").alias("y"), F.lit(0).cast("long").alias("dot")
+            )
+        mis = dots.filter(F.col("y").cast("long") * F.col("dot") <= 0).select(
+            "doc_id", F.col("y").alias("my")
+        )
+        upd = (
+            fx.join(mis, "doc_id")
+            .groupBy("f")
+            .agg(
+                F.sum(F.col("my").cast("long") * F.col("x")).alias("du"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        ).collect()
+        errors = 0
+        step = 2 ** (r - 1)
+        deltas: dict[int, int] = {}
+        for row in upd:
+            if int(row["f"]) == n_buckets:
+                errors = int(row["n"])
+            deltas[int(row["f"])] = _floor_div(int(row["du"]), step)
+        for f, d in deltas.items():
+            if d:
+                w[f] = w.get(f, 0) + d
+        out_rows.extend((r, b, w.get(b, 0), errors) for b in range(nf))
+
+    return spark.createDataFrame(out_rows, PERCEPTRON_SCHEMA)
+
+
+def _sql_perceptron_parts(rounds: int, n_buckets: int = N_BUCKETS) -> list[str]:
+    """The shared CTE chain of :func:`sql_perceptron_chain`,
+    :func:`sql_perceptron_apply` and the sparse B=4096 twin
+    (corpus-derived fx/yy once; per round dot -> misclassified set ->
+    per-feature update -> new weights).  The oracle was long-form
+    (doc_id, feature, count) from day one, so widening the feature
+    space is just this parameter."""
     t = sql_tokens("lower(coalesce(text, ''))")
     stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
-    nf = N_BUCKETS + 1
+    nf = n_buckets + 1
     # MATERIALIZED is load-bearing: every round references the previous
     # round's weights and the shared fx/yy relations more than once, and
     # DuckDB CTE inlining would otherwise re-execute the whole prefix
@@ -339,10 +469,10 @@ def _sql_perceptron_parts(rounds: int) -> list[str]:
                    THEN 1 ELSE -1 END AS y, t FROM tok),""",
         f"""fx AS MATERIALIZED (
           SELECT doc_id,
-                 (('0x' || substr(md5(tkn), 1, 15))::BIGINT % {N_BUCKETS})::BIGINT AS f,
+                 (('0x' || substr(md5(tkn), 1, 15))::BIGINT % {n_buckets})::BIGINT AS f,
                  count(*)::BIGINT AS x
           FROM (SELECT doc_id, unnest(t) AS tkn FROM lab) GROUP BY 1, 2
-          UNION ALL SELECT doc_id, {N_BUCKETS}::BIGINT, 1::BIGINT FROM lab),""",
+          UNION ALL SELECT doc_id, {n_buckets}::BIGINT, 1::BIGINT FROM lab),""",
         "yy AS MATERIALIZED (SELECT doc_id, y FROM lab),",
         f"w0 AS (SELECT unnest(range(0, {nf}))::BIGINT AS f, 0::BIGINT AS w),",
     ]
@@ -369,10 +499,12 @@ def _sql_perceptron_parts(rounds: int) -> list[str]:
     return parts
 
 
-def sql_perceptron_chain(rounds: int) -> str:
+def sql_perceptron_chain(rounds: int, n_buckets: int = N_BUCKETS) -> str:
     """DuckDB oracle: replay the identical perceptron rounds and emit
-    the full (round, feature, weight, errors) trajectory."""
-    parts = _sql_perceptron_parts(rounds)
+    the full (round, feature, weight, errors) trajectory.  The same
+    chain verifies the dense trainer (B=32) and the long-form sparse
+    trainer (B=4096) — the oracle never had per-bucket columns."""
+    parts = _sql_perceptron_parts(rounds, n_buckets)
     selects = [
         f"""SELECT {r}::INT AS round, f::INT AS feature, w AS weight,
                    (SELECT count(*)::BIGINT FROM m{r}) AS errors FROM w{r}"""
@@ -421,7 +553,7 @@ DSIR_BUCKETS = 256
 DSIR_TOP_K = 100
 
 
-def dsir_weights(docs: DataFrame, train_mod: int = 5) -> DataFrame:
+def dsir_weights(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
     """Importance-weight the raw split (``doc_id % train_mod != 0``)
     against the target split, rank, and mark the top-K selection.
 
@@ -452,14 +584,32 @@ def dsir_weights(docs: DataFrame, train_mod: int = 5) -> DataFrame:
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("nt"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("nr"),
     )
+    # In-data int64 guard (cheap: B rows): the numerator needs
+    # 1e6*(ct+1)*(nr+B) and the denominator (cr+1)*(nt+B) to fit in
+    # int64.  Past the bound Spark (non-ANSI) would WRAP silently to
+    # wrong weights while DuckDB errors — a silent-divergence failure
+    # mode; the guard makes overflow a loud error on BOTH engines
+    # (the production fix is one constant: drop quantization to e3 /
+    # prescale both counts, see the module comment).  The guard
+    # comparisons divide instead of multiplying so they cannot
+    # themselves overflow.
+    _nofl = (
+        f"(nr + {DSIR_BUCKETS}) <= (9223372036854775807 div 1000000)"
+        " div (coalesce(ct, 0) + 1)"
+        f" AND (nt + {DSIR_BUCKETS}) <= 9223372036854775807 div (cr + 1)"
+    )
     ratio = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.expr(
-                f"(1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS})) "
-                f"div ((cr + 1) * (nt + {DSIR_BUCKETS}))"
+                f"CASE WHEN {_nofl} THEN"
+                f" (1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS}))"
+                f" div ((cr + 1) * (nt + {DSIR_BUCKETS}))"
+                " ELSE cast(raise_error("
+                "'dsir ratio_e6 int64 overflow: rescale quantization') as bigint)"
+                " END"
             ).alias("ratio_e6"),
         )
     )
@@ -507,7 +657,7 @@ def dsir_weights(docs: DataFrame, train_mod: int = 5) -> DataFrame:
     )
 
 
-def sql_dsir_weights(train_mod: int = 5) -> str:
+def sql_dsir_weights(train_mod: int = LM_TRAIN_MOD) -> str:
     """DuckDB oracle twin of :func:`dsir_weights`."""
     t = sql_tokens("lower(coalesce(text, ''))")
     return f"""
@@ -522,8 +672,16 @@ def sql_dsir_weights(train_mod: int = 5) -> str:
                    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS nr
             FROM tok),
     ratio AS (SELECT raw.b,
-                     (1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS}))
-                     // ((cr + 1) * (nt + {DSIR_BUCKETS})) AS ratio_e6
+                     CASE WHEN (nr + {DSIR_BUCKETS})
+                               <= (9223372036854775807 // 1000000)
+                                  // (coalesce(ct, 0) + 1)
+                           AND (nt + {DSIR_BUCKETS})
+                               <= 9223372036854775807 // (cr + 1)
+                          THEN (1000000 * (coalesce(ct, 0) + 1)
+                                * (nr + {DSIR_BUCKETS}))
+                               // ((cr + 1) * (nt + {DSIR_BUCKETS}))
+                          ELSE error('dsir ratio_e6 int64 overflow: rescale quantization')
+                     END AS ratio_e6
               FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
     scored AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
                       (sum(ratio_e6)::BIGINT // count(*))::BIGINT AS weight_e6
