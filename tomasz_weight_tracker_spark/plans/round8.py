@@ -252,3 +252,91 @@ def q_media_phash_near_dup(spark, sf_dir):
 
     media = d.mapInPandas(gen, "media_id long, content binary")
     return phash_near_dup_pairs(phash_media(media))
+
+
+# ===========================================================================
+# Incremental dedup against a persisted signature index (crawl refresh)
+# ===========================================================================
+
+_INC_BATCHES = 3
+
+
+def _inc_lsh_oracle() -> str:
+    # One-shot UNCAPPED near-dup on the full corpus: the equality the
+    # batching-invariance theorem guarantees (see
+    # operators/dedup.py:lsh_probe_pairs).  Banding via the same
+    # sql_lsh_banded split-order frame; a band match is agreement on
+    # the first rows-per-band positions.
+    from .llm_ops import _BANDED_SQL, _SIG_MATCHES
+
+    rpb = LSH_K // LSH_BANDS
+    return (
+        _SIG_CTES
+        + f"""
+    banded0 AS (
+{D.sql_lsh_banded(LSH_K, LSH_BANDS)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded0 a JOIN banded0 b
+        ON a.band_id = b.band_id
+       AND list_slice(a.skey, 1, {rpb}) = list_slice(b.skey, 1, {rpb})
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, ({_SIG_MATCHES})::BIGINT AS sig_matches
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+              JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE {_SIG_MATCHES} >= {LSH_THRESH}"""
+    )
+
+
+@register(
+    "incremental_lsh_dedup",
+    _inc_lsh_oracle(),
+    survey_ids=("S11", "ST1"),
+    doc="The crawl-refresh production shape of near-dup detection: "
+    f"documents arrive in {_INC_BATCHES} batches (doc_id residue "
+    "classes); each batch is MinHash-signed, PROBED against the "
+    "persisted signature store (parquet state, the incremental_topk "
+    "state mechanism) emitting only pairs with a new endpoint, then "
+    "appended to the store — history is never re-paired against "
+    "itself, so refresh cost is |batch| x store-bucket-width however "
+    "long the crawl has run.  The probe's share-a-band candidate "
+    "rule is a pure pairwise predicate, hence BATCHING-INVARIANT "
+    "(operators/dedup.py:lsh_probe_pairs): the union of the batch "
+    "emissions equals the one-shot uncapped run on the union corpus "
+    "— which is exactly what the oracle computes.  Each batch output "
+    "is materialized before its signatures join the store (the state "
+    "append must not feed back into the in-flight probe plan).",
+)
+def q_incremental_lsh_dedup(spark, sf_dir):
+    from ..session import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    state = f"{scratch_dir('inc_lsh')}/sig_state"
+    outs = []
+    for r in range(_INC_BATCHES):
+        batch = docs.filter(F.col("doc_id") % _INC_BATCHES == r)
+        new_sigs = (
+            D.minhash_signature(batch, "text", k=LSH_K)
+            .drop("text")
+            .withColumn("is_new", F.lit(True))
+            .localCheckpoint(eager=True)  # sign once: probe + append reuse
+        )
+        try:
+            store = spark.read.parquet(state).withColumn("is_new", F.lit(False))
+            all_sigs = store.unionByName(new_sigs)
+        except Exception:  # first batch: empty store
+            all_sigs = new_sigs
+        pairs = D.lsh_probe_pairs(
+            all_sigs, "is_new", "doc_id",
+            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+        )
+        # Materialize BEFORE the store append: the pair plan reads the
+        # store lazily, and parquet files appended below must not leak
+        # into this batch's probe.
+        outs.append(pairs.localCheckpoint(eager=True))
+        new_sigs.drop("is_new").write.mode("append").parquet(state)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
