@@ -407,3 +407,95 @@ class TestIvfTraining:
         c1 = sorted(map(tuple, S.ivf_train(e, 3, 2).collect()))
         c2 = sorted(map(tuple, S.ivf_train(e, 3, 2).collect()))
         assert c1 == c2
+
+
+class TestProductQuantization:
+    def test_codebook_shape_and_determinism(self, spark):
+        rows = _clustered_vectors(n_clusters=4, per_cluster=12, dim=8)
+        e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        c1 = sorted(map(tuple, S.pq_train(e, dim=8, m=2, k=4, iterations=2).collect()))
+        c2 = sorted(map(tuple, S.pq_train(e, dim=8, m=2, k=4, iterations=2).collect()))
+        assert c1 == c2
+        # m x k rows (empty clusters may drop; here 4 tight clusters keep all)
+        ms = {r[0] for r in c1}
+        assert ms == {0, 1}
+        assert all(len(r[2]) == 4 for r in c1)  # subdim components, integers
+        assert all(isinstance(x, int) for r in c1 for x in r[2])
+
+    def test_codes_pack_within_bits(self, spark):
+        rows = _clustered_vectors(n_clusters=4, per_cluster=12, dim=8)
+        e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        cents = S.pq_train(e, dim=8, m=2, k=4, iterations=1)
+        codes = S.pq_codes(e, cents, dim=8, m=2).collect()
+        assert len(codes) == len(rows)
+        # PQ_K=16 -> 4 bits/code; m=2 codes -> below 2^8
+        assert all(0 <= r.pq_code < 256 for r in codes)
+
+    def test_adc_ranking_tracks_exact_neighbors(self, spark):
+        # Same-cluster vectors must dominate each query's ADC top-k:
+        # the quantization is per-subspace, so a query's nearest code
+        # cells are its own cluster's.
+        rows = _clustered_vectors(n_clusters=8, per_cluster=40, dim=16)
+        e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        label = {r[0]: r[1] for r in rows}
+        cents = S.pq_train(e, dim=16, m=4, k=8, iterations=2)
+        codes = S.pq_codes(e, cents, dim=16, m=4)
+        # reuse the catalog query's ADC shape inline at small scale
+        from tomasz_weight_tracker_spark.operators.similarity import (
+            _isqdist,
+            _qvec,
+            _sub,
+        )
+
+        subdim = 4
+        qsubs = (
+            e.filter(F.col("vec_id") % 40 == 0)
+            .select(F.col("vec_id").alias("q_id"), _qvec(F.col("embedding")).alias("qv"))
+            .select(
+                "q_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(j).alias("m"), _sub(F.col("qv"), j, subdim).alias("sv"))
+                            for j in range(4)
+                        ]
+                    )
+                ).alias("s"),
+            )
+            .select("q_id", "s.m", "s.sv")
+        )
+        dtab = qsubs.join(F.broadcast(cents), "m").select(
+            "q_id", "m", "centroid_id", _isqdist(F.col("sv"), F.col("qc")).alias("d")
+        )
+        bits = 4  # PQ_K = 16 default governs packing width in pq_codes
+        cand = codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("m"),
+                            F.expr(f"cast((pq_code >> {j * bits}) & 15 as int)").alias(
+                                "centroid_id"
+                            ),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("c"),
+        ).select("neighbor_id", "c.m", "c.centroid_id")
+        from pyspark.sql import Window as W
+
+        adc = (
+            cand.join(F.broadcast(dtab), ["m", "centroid_id"])
+            .filter(F.col("neighbor_id") != F.col("q_id"))
+            .groupBy("q_id", "neighbor_id")
+            .agg(F.sum("d").alias("adc"))
+        )
+        w = W.partitionBy("q_id").orderBy("adc", "neighbor_id")
+        top = adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+        hits = tot = 0
+        for r in top.collect():
+            tot += 1
+            hits += label[r.q_id] == label[r.neighbor_id]
+        assert tot > 0 and hits / tot >= 0.9

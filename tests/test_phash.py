@@ -79,3 +79,27 @@ class TestPhashPairs:
         }
         assert (0, 1) in got and got[(0, 1)] <= 6
         assert all(2 not in pair for pair in got)
+
+    def test_duplicated_images_do_not_blow_the_band_cap(self, spark):
+        # The 10x-soak regression: mass-duplicated images (a crawl's
+        # dominant case) once pushed every member-level band bucket
+        # over the cap and the output collapsed to ZERO.  Collapse-
+        # first semantics: 40 copies of one image + 1 near-variant,
+        # cap 8 -> the 40-cluster collapses to one rep, the variant
+        # still pairs with it, and the within-cluster dup pairs all
+        # emit at hamming 0.
+        def pert(x, y):
+            v = _ramp(x, y)
+            return (v + 128) % 256 if x < 2 and y < 2 else v
+
+        rows = [(i, _gray_bmp(12, 10, _ramp)) for i in range(40)]
+        rows.append((100, _gray_bmp(12, 10, pert)))
+        media = spark.createDataFrame(rows, "media_id long, content binary")
+        out = phash_near_dup_pairs(phash_media(media), max_bucket=8).collect()
+        pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+        assert len([p for p in pairs if p[1] < 100]) == 40 * 39 // 2
+        assert all(h == 0 for (a, b), h in pairs.items() if b < 100)
+        # the near-variant pairs with every cluster member via the rep
+        assert {(a, b) for (a, b) in pairs if b == 100} == {
+            (i, 100) for i in range(40)
+        }

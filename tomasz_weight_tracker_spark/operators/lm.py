@@ -163,17 +163,22 @@ def lm_score(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
     return lm_apply(held, uni, big, vocab)
 
 
-def sql_lm_chain(train_mod: int = LM_TRAIN_MOD) -> str:
+def sql_lm_chain(
+    train_mod: int = LM_TRAIN_MOD, source: str = "documents", bare: bool = False
+) -> str:
     """The WITH-chain of :func:`sql_lm_score` up to the per-doc ``agg``
     relation — shared with the calibrated variant's oracle
-    (plans/round7.py:lm_score_calibrated).  Built from the same
-    constant :func:`sql_lm_score` appends its final SELECT to, so the
-    two can never drift (the earlier version rfind-sliced the rendered
-    query on a SELECT literal — string surgery a rewording would
-    silently corrupt)."""
+    (plans/round7.py:lm_score_calibrated) and, via ``source``/``bare``,
+    with the end-to-end curation composition (plans/round8.py), which
+    splices it mid-WITH over the dedup-survivor relation.  Built from
+    one generator that :func:`sql_lm_score` appends its final SELECT
+    to, so the variants can never drift (the earlier version
+    rfind-sliced the rendered query on a SELECT literal — string
+    surgery a rewording would silently corrupt)."""
     t = sql_tokens("lower(coalesce(text, ''))")
+    lead = "" if bare else "WITH "
     return f"""
-    WITH tok AS (SELECT doc_id, {t} AS t FROM documents),
+    {lead}tok AS (SELECT doc_id, {t} AS t FROM {source}),
     tr AS (SELECT t FROM tok WHERE doc_id % {train_mod} = 0),
     uni AS (SELECT w, count(*)::BIGINT AS cu
             FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),

@@ -115,26 +115,42 @@ def phash_near_dup_pairs(
 ) -> DataFrame:
     """Hamming-banded near-dup pairs over (id, phash) rows: distinct
     (id_a, id_b, hamming) with id_a < id_b and
-    bit_count(xor) <= max_hamming.  One band exchange, capped
-    buckets, native bit_count verify on the pair stream."""
-    banded = (
+    bit_count(xor) <= max_hamming.
+
+    COLLAPSE-FIRST, like the MinHash generator (lsh_candidate_pairs):
+    identical hashes collapse to a representative before banding, so
+    exact-duplicate images — the dominant mass in a crawl, and the
+    thing a Hamming-ball cap would otherwise see as one giant bucket —
+    never inflate a band bucket; the cap applies to DISTINCT hashes
+    per bucket, verified rep-pairs expand back through the
+    multi-member subset, and within-cluster pairs emit directly at
+    hamming 0 (true dups, output-bound).  The first version capped
+    member-level buckets and the 10x soak measured exactly the
+    round-7 LSH failure mode: every bucket over the cap, output 0.
+    One band exchange over distinct hashes + one hash-keyed collapse
+    window; bit_count verify before expansion, so false rep-pairs
+    never fan out."""
+    members = (
         hashes.filter(F.col("phash").isNotNull())
-        .select(
-            F.col(id_col),
-            "phash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band_id"), _band_expr(j).alias("band_key")
-                        )
-                        for j in range(PHASH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select(id_col, "phash", "band.band_id", "band.band_key")
+        .select(F.col(id_col), "phash")
+        .withColumn("__rep", F.min(id_col).over(Window.partitionBy("phash")))
+        .withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy("phash")))
     )
+    reps = members.filter(F.col(id_col) == F.col("__rep"))
+    banded = reps.select(
+        F.col(id_col).alias("rid"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), _band_expr(j).alias("band_key")
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("rid", "phash", "band.band_id", "band.band_key")
     w = Window.partitionBy("band_id", "band_key")
     banded = (
         banded.withColumn("__n", F.count(F.lit(1)).over(w))
@@ -142,21 +158,45 @@ def phash_near_dup_pairs(
         .drop("__n")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(
-        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
-    ).cast("long")
-    return (
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("long")
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.rid") < F.col("b.rid")),
         )
         .filter(ham <= max_hamming)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
             ham.alias("hamming"),
         )
         .distinct()
     )
+    multi = members.filter(F.col("__cnt") > 1)
+    ma = multi.select(F.col("__rep").alias("ra"), F.col(id_col).alias("__xa"))
+    mb = multi.select(F.col("__rep").alias("rb"), F.col(id_col).alias("__xb"))
+    exp = (
+        rep_pairs.join(ma, "ra", "left")
+        .join(mb, "rb", "left")
+        .withColumn("__ia", F.coalesce("__xa", "ra"))
+        .withColumn("__ib", F.coalesce("__xb", "rb"))
+    )
+    flip = F.col("__ia") > F.col("__ib")
+    cross = exp.select(
+        F.when(flip, F.col("__ib")).otherwise(F.col("__ia")).alias("id_a"),
+        F.when(flip, F.col("__ia")).otherwise(F.col("__ib")).alias("id_b"),
+        "hamming",
+    )
+    wa, wb = multi.alias("a"), multi.alias("b")
+    within = wa.join(
+        wb,
+        (F.col("a.__rep") == F.col("b.__rep"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return cross.unionByName(within)

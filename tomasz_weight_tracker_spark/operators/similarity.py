@@ -263,3 +263,242 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "score")
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+
+# The memory-compression scale path for ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", public paper):
+# split the D-dim vector into M subspaces, k-means each subspace to K
+# centroids, store each vector as M small codes (M*log2(K) bits — here
+# 4 codes x 4 bits = 2 bytes where the raw vector is 256 bytes), and
+# answer queries with an asymmetric distance computation (ADC): a
+# per-query M x K lookup table of exact query-to-centroid subdistances,
+# summed per candidate through its codes.  At 100 TB this is what
+# makes the candidate scan memory-resident: the corpus side never
+# touches floats after encoding.
+#
+# Everything runs in the e6-quantized INTEGER domain so training,
+# codes, and ADC distances are bit-identical across engines and
+# partitionings (the ivf_train discipline, taken further — even the
+# centroids are integers):
+#   qv_i   = floor(v_i * 1e6)                 (per component, once)
+#   dist   = sum (qv_i - qc_i)^2              (int64-safe: 16 * (2e6)^2
+#                                              = 6.4e13 per subspace)
+#   qc_i   = portable_floor_div(sum qv_i, n)  (exactly divisible
+#                                              adjusted numerator, so
+#                                              truncating and flooring
+#                                              engines agree)
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 2
+PQ_Q = 1_000_000  # component quantization
+
+
+def _qvec(vec_col: Column) -> Column:
+    return F.transform(vec_col.cast("array<double>"), lambda x: F.floor(x * PQ_Q).cast("long"))
+
+
+def _isqdist(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two array<long> columns (sequential
+    fold, order-matched with the oracle's list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub(qv: Column, m: int, subdim: int) -> Column:
+    return F.slice(qv, m * subdim + 1, subdim)
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the M*K PQ codebook: per-subspace Lloyd's k-means in the
+    integer domain.  Init is the K vectors with the smallest
+    md5_long(id) (one deterministic sample shared by all subspaces —
+    TakeOrderedAndProject, no full sort); each round assigns every
+    subvector to its nearest centroid (integer L2 argmin, centroid-id
+    tiebreak) and re-centroids with the portable floor-div mean.
+    Returns (m, centroid_id, qc: array<long>) — M*K rows, an
+    always-broadcastable model.
+
+    Shuffle budget per round: the M-subspace explode is per-row; the
+    re-centroid is ONE (m, centroid_id)-keyed aggregation with
+    map-side combine (at most M*K partial rows per task).  The corpus
+    never shuffles on volume; the classic broadcast-the-model /
+    aggregate-the-update loop (docs/SCALE.md §9)."""
+    subdim = dim // m
+    e = df.select(F.col(id_col).alias("__id"), _qvec(F.col(vec_col)).alias("__qv"))
+    subs = e.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("m"), _sub(F.col("__qv"), j, subdim).alias("sv"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("__id", "s.m", "s.sv")
+
+    hashed = e.withColumn("__h", md5_long(F.col("__id").cast("string")))
+    top = hashed.orderBy("__h", "__id").limit(k)
+    w = Window.orderBy("__h", "__id")
+    init = top.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"), F.col("__qv")
+    )
+    cents = init.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        F.col("centroid_id"),
+                        _sub(F.col("__qv"), j, subdim).alias("qc"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("c")
+    ).select("c.m", "c.centroid_id", "c.qc")
+
+    fd = "(s - ((s % n) + n) % n) div n"  # portable floor division
+    for _ in range(iterations):
+        a = subs.join(F.broadcast(cents), "m").withColumn(
+            "__d", _isqdist(F.col("sv"), F.col("qc"))
+        )
+        wa = Window.partitionBy("__id", "m").orderBy("__d", "centroid_id")
+        assigned = (
+            a.withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "m", "centroid_id", "sv")
+        )
+        comp = (
+            assigned.select("m", "centroid_id", F.posexplode("sv"))
+            .groupBy("m", "centroid_id", "pos")
+            .agg(
+                F.sum("col").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select("m", "centroid_id", "pos", F.expr(fd).cast("long").alias("c"))
+        )
+        cents = (
+            comp.groupBy("m", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("qc")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_codes(
+    df: DataFrame,
+    cents: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its M nearest-subcentroid codes, packed
+    little-endian into one BIGINT (code_j in bits [j*ceil(log2 K)..)).
+    Broadcast codebook, map-side argmin per subspace, one id-keyed
+    aggregation to pack — the corpus compresses to 8 bytes/vector of
+    shuffle payload from here on."""
+    subdim = dim // m
+    e = df.select(F.col(id_col).alias("__id"), _qvec(F.col(vec_col)).alias("__qv"))
+    subs = e.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("m"), _sub(F.col("__qv"), j, subdim).alias("sv"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("__id", "s.m", "s.sv")
+    a = subs.join(F.broadcast(cents), "m").withColumn(
+        "__d", _isqdist(F.col("sv"), F.col("qc"))
+    )
+    wa = Window.partitionBy("__id", "m").orderBy("__d", "centroid_id")
+    assigned = (
+        a.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "m", "centroid_id")
+    )
+    bits = max((PQ_K - 1).bit_length(), 1)
+    # SQL shiftleft (unlike the Python helper) takes a column shift
+    # amount, which the per-subspace pack needs.
+    return assigned.groupBy("__id").agg(
+        F.sum(
+            F.expr(f"cast(centroid_id as bigint) * shiftleft(1L, cast(m * {bits} as int))")
+        )
+        .cast("long")
+        .alias("pq_code")
+    ).select(F.col("__id").alias(id_col), "pq_code")
+
+
+def sql_pq_chain(
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = PQ_ITERS,
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
+    """DuckDB CTE chain replaying :func:`pq_train` exactly (same e6
+    quantization, same shared md5 init sample, same integer-L2 argmin,
+    same portable floor-div means).  The trained codebook ends in
+    ``cent`` as (m, centroid_id, qc); the quantized vectors in ``e``
+    as (vec_id, qv)."""
+    subdim = dim // m
+    sub_ms = ", ".join(str(j) for j in range(m))
+    isq = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (sv[i] - qc[i]) * (sv[i] - qc[i])))"
+    )
+    fd = "(s - ((s % n) + n) % n) // n"
+    parts = [
+        f"e AS (SELECT vec_id, list_transform(v, x -> floor(x * {PQ_Q})::BIGINT) AS qv"
+        f" FROM ({source}))",
+        f"subs AS (SELECT vec_id, t.m, list_slice(qv, t.m * {subdim} + 1,"
+        f" (t.m + 1) * {subdim}) AS sv FROM e, unnest([{sub_ms}]) t(m))",
+        "init AS (SELECT centroid_id, qv FROM ("
+        "SELECT row_number() OVER (ORDER BY "
+        "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1"
+        f" AS centroid_id, qv FROM e) WHERE centroid_id < {k})",
+        f"c0 AS (SELECT t.m, centroid_id, list_slice(qv, t.m * {subdim} + 1,"
+        f" (t.m + 1) * {subdim}) AS qc FROM init, unnest([{sub_ms}]) t(m))",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, m, centroid_id, sv FROM ("
+            "SELECT subs.vec_id, subs.m, c.centroid_id, subs.sv, "
+            "row_number() OVER (PARTITION BY subs.vec_id, subs.m "
+            f"ORDER BY {isq.replace('qc', 'c.qc')}, c.centroid_id) AS rn "
+            f"FROM subs JOIN c{r - 1} c USING (m)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"comp{r} AS (SELECT m, centroid_id, i AS pos, {fd} AS c"
+            f" FROM (SELECT m, centroid_id, i, sum(sv[i])::BIGINT AS s,"
+            f" count(*)::BIGINT AS n FROM a{r}, generate_series(1, {subdim}) t(i)"
+            " GROUP BY m, centroid_id, i))"
+        )
+        parts.append(
+            f"c{r} AS (SELECT m, centroid_id, list(c ORDER BY pos) AS qc"
+            f" FROM comp{r} GROUP BY m, centroid_id)"
+        )
+    parts.append(f"cent AS (SELECT m, centroid_id, qc FROM c{iterations})")
+    return ",\n    ".join(parts)

@@ -553,43 +553,55 @@ _MIX_BUDGET_PCT = 95  # global token budget as % of corpus tokens
 
 # Shared CTE chain: tokenize -> per-source avail -> integer water-fill
 # level.  token_budget_mix appends the allocation SELECT; the _apply
-# twin wraps that SELECT as one more CTE and realizes the sample.
-_MIX_CHAIN = f"""
-    WITH tok AS (SELECT doc_id, source,
+# twin wraps that SELECT as one more CTE and realizes the sample; the
+# round-8 curation composition splices the same chain over its
+# LM-survivor relation with a CTE-name prefix (one generator, so the
+# water-fill expressions can never fork — the bloom-constants lesson).
+
+
+def sql_mix_chain(doc_cte: str = "documents", p: str = "") -> str:
+    return f"""
+    {p}tok AS (SELECT doc_id, source,
                         len(CASE WHEN trim(lower(coalesce(text, ''))) = ''
                                  THEN []::VARCHAR[]
                                  ELSE string_split_regex(
                                           trim(lower(coalesce(text, ''))), '\\s+')
                             END)::BIGINT AS nt
-                 FROM documents),
-    src AS (SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS avail
-            FROM tok GROUP BY source),
-    tot AS (SELECT count(*)::BIGINT AS s,
+                 FROM {doc_cte}),
+    {p}src AS (SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS avail
+            FROM {p}tok GROUP BY source),
+    {p}tot AS (SELECT count(*)::BIGINT AS s,
                    (sum(avail) * {_MIX_BUDGET_PCT}) // 100 AS budget
-            FROM src),
-    ord AS (SELECT src.*, s, budget,
+            FROM {p}src),
+    {p}ord AS (SELECT {p}src.*, s, budget,
                    row_number() OVER (ORDER BY avail, source) AS i,
                    coalesce(sum(avail) OVER (ORDER BY avail, source
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0)::BIGINT AS p_prev
-            FROM src CROSS JOIN tot),
-    lvl AS (SELECT *, (budget - p_prev) // (s - i + 1) AS level,
+            FROM {p}src CROSS JOIN {p}tot),
+    {p}lvl AS (SELECT *, (budget - p_prev) // (s - i + 1) AS level,
                    avail > (budget - p_prev) // (s - i + 1) AS is_capped
-            FROM ord),
-    jj AS (SELECT coalesce(min(CASE WHEN is_capped THEN i END),
-                           (SELECT s FROM tot) + 1) AS j
-           FROM lvl),
-    lam AS (SELECT coalesce(min(CASE WHEN i = j THEN level END), 0) AS lambda
-            FROM lvl CROSS JOIN jj)"""
+            FROM {p}ord),
+    {p}jj AS (SELECT coalesce(min(CASE WHEN is_capped THEN i END),
+                           (SELECT s FROM {p}tot) + 1) AS j
+           FROM {p}lvl),
+    {p}lam AS (SELECT coalesce(min(CASE WHEN i = j THEN level END), 0) AS lambda
+            FROM {p}lvl CROSS JOIN {p}jj)"""
 
-_MIX_SELECT = """SELECT source, n_docs, avail AS tokens_avail,
+
+def sql_mix_select(p: str = "") -> str:
+    return f"""SELECT source, n_docs, avail AS tokens_avail,
            CASE WHEN i < j THEN avail ELSE lambda END AS tokens_alloc,
            i >= j AS capped,
            CASE WHEN avail > 0
                 THEN ((CASE WHEN i < j THEN avail ELSE lambda END) * 1000000)
                      // avail
                 ELSE 0 END AS accept_ppm
-    FROM lvl CROSS JOIN jj CROSS JOIN lam"""
+    FROM {p}lvl CROSS JOIN {p}jj CROSS JOIN {p}lam"""
+
+
+_MIX_CHAIN = "\n    WITH" + sql_mix_chain()
+_MIX_SELECT = sql_mix_select()
 
 
 @register(
@@ -612,11 +624,17 @@ _MIX_SELECT = """SELECT source, n_docs, avail AS tokens_avail,
     "documented group-reduced exception).",
 )
 def q_token_budget_mix(spark, sf_dir):
+    return mix_design(load(spark, sf_dir, "documents"))
+
+
+def mix_design(docs):
+    """The water-fill allocation over any (source, text) relation —
+    shared by token_budget_mix (full corpus) and the round-8
+    curation composition (LM-filter survivors)."""
     from pyspark.sql import Window
 
     from ..functions import tokens
 
-    docs = load(spark, sf_dir, "documents")
     src = (
         docs.select(
             "source",

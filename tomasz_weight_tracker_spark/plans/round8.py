@@ -188,16 +188,32 @@ def _ph_oracle() -> str:
                              THEN 1::BIGINT << b::INT ELSE 0::BIGINT END)),
                         0)::BIGINT AS phash
              FROM grid),
-    banded AS (SELECT media_id, phash, j AS band_id, {band_key} AS band_key
-               FROM hash, unnest([{bands}]) AS t(j)
+    members AS (SELECT media_id, phash,
+                       min(media_id) OVER (PARTITION BY phash) AS rep,
+                       count(*) OVER (PARTITION BY phash) AS cnt
+                FROM hash),
+    banded AS (SELECT media_id AS rid, phash, j AS band_id,
+                      {band_key} AS band_key
+               FROM members, unnest([{bands}]) AS t(j)
+               WHERE media_id = rep
                QUALIFY count(*) OVER (PARTITION BY j, {band_key})
-                       <= {PHASH_BAND_CAP})
-    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-    FROM banded a JOIN banded b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.media_id < b.media_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}"""
+                       <= {PHASH_BAND_CAP}),
+    rp AS (SELECT DISTINCT a.rid AS ra, b.rid AS rb,
+                  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+           FROM banded a JOIN banded b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.rid < b.rid
+           WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}),
+    multi AS (SELECT rep, media_id FROM members WHERE cnt > 1)
+    SELECT least(coalesce(ma.media_id, ra), coalesce(mb.media_id, rb)) AS id_a,
+           greatest(coalesce(ma.media_id, ra), coalesce(mb.media_id, rb)) AS id_b,
+           hamming
+    FROM rp LEFT JOIN multi ma ON ma.rep = rp.ra
+            LEFT JOIN multi mb ON mb.rep = rp.rb
+    UNION ALL
+    SELECT a.media_id, b.media_id, 0::BIGINT
+    FROM multi a JOIN multi b
+      ON a.rep = b.rep AND a.media_id < b.media_id"""
 
 
 @register(
@@ -340,3 +356,299 @@ def q_incremental_lsh_dedup(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ===========================================================================
+# Product quantization: codebook training + ADC search (ANN memory path)
+# ===========================================================================
+
+
+def _pq_train_oracle() -> str:
+    from ..operators.similarity import sql_pq_chain
+
+    return (
+        "WITH " + sql_pq_chain() + "\n    SELECT m, centroid_id, qc FROM cent"
+    )
+
+
+@register(
+    "embed_pq_train",
+    _pq_train_oracle(),
+    survey_ids=("A1",),
+    doc="Product-quantization codebook training (Jegou et al. 2011, "
+    "public paper) — the ANN memory-compression path: the 64-dim "
+    "embedding splits into 4 subspaces, each k-means'd to 16 "
+    "centroids (2 Lloyd rounds), so a vector stores as 4x4-bit codes "
+    "(2 bytes vs 256 raw — what keeps a 100 TB candidate scan "
+    "memory-resident).  Training runs ENTIRELY in the e6-quantized "
+    "integer domain (operators/similarity.py:pq_train): integer-L2 "
+    "argmin assignment, portable floor-div means, shared md5-min "
+    "init sample — so the codebook is bit-identical across engines, "
+    "runs, and partitionings, and the oracle replays the identical "
+    "rounds as a CTE chain.  Per round: broadcast codebook (M*K "
+    "rows), one map-side argmin pass, one (m, centroid)-keyed "
+    "aggregation with map-side combine — the corpus never shuffles "
+    "on volume (docs/SCALE.md §9).",
+)
+def q_embed_pq_train(spark, sf_dir):
+    from ..operators.similarity import pq_train
+
+    return pq_train(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_topk_oracle() -> str:
+    from ..operators.similarity import PQ_K, sql_pq_chain
+
+    subdim = 16
+    isq = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (sv[i] - qc[i]) * (sv[i] - qc[i])))"
+    )
+    return (
+        "WITH "
+        + sql_pq_chain()
+        + f""",
+    codes AS (SELECT vec_id, m, centroid_id FROM (
+        SELECT subs.vec_id, subs.m, c.centroid_id,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.m
+                   ORDER BY {isq.replace('qc', 'c.qc')}, c.centroid_id) AS rn
+        FROM subs JOIN cent c USING (m)) WHERE rn = 1),
+    dtab AS (SELECT subs.vec_id AS q_id, c.m, c.centroid_id,
+                    {isq.replace('qc', 'c.qc')}::BIGINT AS d
+             FROM subs JOIN cent c USING (m) WHERE subs.vec_id < 5),
+    adc AS (SELECT dtab.q_id, codes.vec_id AS neighbor_id,
+                   sum(dtab.d)::BIGINT AS adc_dist
+            FROM codes JOIN dtab USING (m, centroid_id)
+            WHERE codes.vec_id <> dtab.q_id
+            GROUP BY 1, 2)
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
+           adc_dist
+    FROM adc
+    QUALIFY rank <= 5"""
+    )
+
+
+@register(
+    "embed_pq_topk",
+    _pq_topk_oracle(),
+    survey_ids=("O5",),
+    doc="PQ asymmetric-distance (ADC) top-k search over the trained "
+    "codebook: each query builds an exact M x K integer table of "
+    "query-to-subcentroid distances (320 rows for 5 queries — always "
+    "broadcast), every candidate's approximate distance is the sum "
+    "of 4 table lookups through its packed 2-byte code, then a "
+    "per-query ascending top-5.  The candidate side touches ONLY "
+    "codes after encoding — 8 bytes of shuffle payload per vector "
+    "however wide the embedding — which is the entire point of PQ "
+    "at 100 TB.  All-integer distances keep the ranking bit-exact; "
+    "unit-norm embeddings make integer-L2 order equal cosine order, "
+    "so the ADC ranking is comparable to embed_knn's exact ranking "
+    "(the recall trade is PQ's documented quantization loss, not an "
+    "engine artifact).",
+)
+def q_embed_pq_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _isqdist,
+        _qvec,
+        _sub,
+        pq_codes,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = pq_train(e)
+    codes = pq_codes(e, cents)
+
+    subdim = 64 // PQ_M
+    bits = max((PQ_K - 1).bit_length(), 1)
+    qsubs = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), _qvec(F.col("embedding")).alias("qv"))
+        .select(
+            "q_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("m"), _sub(F.col("qv"), j, subdim).alias("sv")
+                        )
+                        for j in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "s.m", "s.sv")
+    )
+    dtab = qsubs.join(F.broadcast(cents), "m").select(
+        "q_id", "m", "centroid_id", _isqdist(F.col("sv"), F.col("qc")).alias("d")
+    )
+    cand = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        F.shiftright(F.col("pq_code"), j * bits)
+                        .bitwiseAND(F.lit(PQ_K - 1))
+                        .cast("int")
+                        .alias("centroid_id"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("c"),
+    ).select("neighbor_id", "c.m", "c.centroid_id")
+    adc = (
+        cand.join(F.broadcast(dtab), ["m", "centroid_id"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+# ===========================================================================
+# End-to-end curation: dedup -> LM filter -> token-budget mix, one plan
+# ===========================================================================
+
+
+def _curation_oracle() -> str:
+    from ..operators.lm import LM_KEEP_E9, sql_lm_chain
+    from .round7 import sql_mix_chain, sql_mix_select
+
+    return (
+        _SIG_CTES
+        + D.sql_lsh_star_edges(LSH_K, LSH_BANDS, LSH_CAP, LSH_THRESH)
+        + f""",
+    survivors AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                  WHERE d.doc_id NOT IN (SELECT dst_id FROM edges)),
+    {sql_lm_chain(source="survivors", bare=True).strip()},
+    ksc AS (SELECT agg.doc_id, (s // n_bigrams) >= {LM_KEEP_E9} AS kept FROM agg),
+    kept_docs AS (SELECT sv.doc_id, sv.source, sv.text
+                  FROM survivors sv JOIN ksc USING (doc_id) WHERE ksc.kept),
+    {sql_mix_chain("kept_docs", "m").strip()},
+    mix AS ({sql_mix_select("m")}),
+    sel AS (SELECT t.source, t.nt FROM mtok t JOIN mix USING (source)
+            WHERE ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < mix.accept_ppm),
+    araw AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents GROUP BY source),
+    adedup AS (SELECT source, count(*)::BIGINT AS n_dedup FROM survivors GROUP BY source),
+    ascored AS (SELECT sv.source, count(*)::BIGINT AS n_scored,
+                       sum(CASE WHEN ksc.kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+                FROM ksc JOIN survivors sv USING (doc_id) GROUP BY sv.source),
+    asel AS (SELECT source, count(*)::BIGINT AS n_selected,
+                    sum(nt)::BIGINT AS tokens_selected
+             FROM sel GROUP BY source)
+    SELECT araw.source, n_raw,
+           coalesce(n_dedup, 0)::BIGINT AS n_dedup,
+           coalesce(n_scored, 0)::BIGINT AS n_scored,
+           coalesce(n_kept, 0)::BIGINT AS n_kept,
+           coalesce(n_selected, 0)::BIGINT AS n_selected,
+           coalesce(tokens_selected, 0)::BIGINT AS tokens_selected
+    FROM araw LEFT JOIN adedup USING (source)
+              LEFT JOIN ascored USING (source)
+              LEFT JOIN asel USING (source)"""
+    )
+
+
+@register(
+    "curation_end_to_end",
+    _curation_oracle(),
+    survey_ids=("A1", "J4"),
+    doc="The full curation pipeline COMPOSED: collapse-first LSH "
+    "dedup (lsh_dedup_edges — drop every star/near dst_id, keep "
+    "reps) -> bigram-LM quality filter on the survivors (train split "
+    "doc_id%5==0 is the reference data and is excluded from yield; "
+    "held docs keep at the e9 threshold) -> token-budget water-fill "
+    "mixture over the kept docs, REALIZED through the deterministic "
+    "md5 acceptance sampler — reported as a per-source audit table "
+    "(raw -> deduped -> scored -> kept -> selected, with realized "
+    "token yield).  Each stage is an operator the catalog verifies "
+    "in isolation (lsh_dup_star_edges, ngram_lm_score, "
+    "token_budget_mix_apply); the composition shares their exact "
+    "generators on BOTH sides (sql_lsh_star_edges / sql_lm_chain "
+    "with source=survivors / sql_mix_chain with a CTE prefix), so "
+    "pipeline semantics and stage semantics cannot drift apart.  "
+    "The survivor set is materialized once (localCheckpoint — at "
+    "production scale, a parquet handoff) because three stages read "
+    "it; everything else stays one lazy Catalyst plan per stage "
+    "with S-row broadcast joins between stages.",
+)
+def q_curation_end_to_end(spark, sf_dir):
+    from ..functions import md5_long, tokens
+    from ..operators.lm import lm_score
+    from .round7 import mix_design
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sig = D.minhash_signature(docs.select("doc_id", "text"), "text", k=LSH_K).drop(
+        "text"
+    )
+    edges = D.lsh_dedup_edges(
+        sig, "doc_id", k=LSH_K, bands=LSH_BANDS,
+        max_bucket=LSH_CAP, verify_min=LSH_THRESH,
+    )
+    dst = edges.select(F.col("dst_id").alias("doc_id")).distinct()
+    # Materialize survivors once: the LM trainer, the scorer, the kept
+    # join and two audits all read it, and re-deriving the minhash md5
+    # trees per reference both recomputes the dedup and blows up plan
+    # construction (the lsh_recall_audit TreeNode lesson).
+    survivors = docs.join(dst, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    scored = lm_score(survivors)
+    kept_docs = survivors.join(
+        scored.filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    mix = mix_design(kept_docs).select("source", "accept_ppm")
+    ntok = F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast("long")
+    sel = (
+        kept_docs.withColumn("nt", ntok)
+        .join(F.broadcast(mix), "source")
+        .filter(
+            md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 1000000
+            < F.col("accept_ppm")
+        )
+    )
+
+    araw = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    adedup = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dedup")
+    )
+    ascored = (
+        scored.join(survivors.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+    asel = sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("nt").cast("long").alias("tokens_selected"),
+    )
+    out = (
+        araw.join(adedup, "source", "left")
+        .join(ascored, "source", "left")
+        .join(asel, "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_raw",
+        F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_dedup"),
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
+    )
