@@ -32,6 +32,23 @@
   three batch outputs equals the one-shot run on the full corpus
   (the incremental_topk batching-invariance pattern), which is
   exactly what the oracle checks.
+- ``embed_pq_train``: product-quantization codebook training (Jegou
+  et al. 2011) in the e6-quantized integer domain — 4 subspaces x 16
+  centroids x 2 Lloyd rounds, bit-identical across engines; per round
+  one broadcast codebook + one map-side argmin pass + one keyed
+  aggregation, the corpus never shuffles on volume.
+- ``embed_pq_topk``: asymmetric-distance (ADC) top-k over the trained
+  codebook — the query-to-subcentroid distance table is broadcast and
+  candidates are ranked through their packed 2-byte codes, so the
+  candidate scan touches 8 bytes per vector however wide the raw
+  embedding.
+- ``curation_end_to_end``: the full curation pipeline composed from
+  catalog-verified stages — collapse-first LSH dedup -> bigram-LM
+  quality filter -> token-budget mixture, realized through the
+  deterministic md5 acceptance sampler and reported as a per-source
+  raw -> deduped -> scored -> kept -> selected audit; both engines
+  share each stage's SQL generator so pipeline and stage semantics
+  cannot drift.
 """
 
 from __future__ import annotations
