@@ -142,6 +142,89 @@ class TestMinHashLsh:
         ).collect()
         assert out == []
 
+    def test_probe_assign_min_fold_equals_oneshot(self, spark):
+        # Fold assignment updates through 3 batches where SMALLER ids
+        # arrive LATER (residue batches in descending order), min-merge
+        # per doc, and compare with GROUP BY id_b MIN(id_a) over the
+        # one-shot uncapped probe-pair run — the exactness claim of
+        # lsh_probe_assign's docstring.
+        rows = [(i, "shared near duplicate text body") for i in range(6)]
+        rows += [(10 + i, f"unique document {i} {i*13}") for i in range(6)]
+        rows += [(20, "shared near duplicate text body extra")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+
+        oneshot_pairs = D.lsh_probe_pairs(
+            sig.withColumn("is_new", F.lit(True)),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        expect: dict[int, int] = {}
+        for r in oneshot_pairs:
+            expect[r.id_b] = min(expect.get(r.id_b, r.id_a), r.id_a)
+
+        folded: dict[int, int] = {}
+        arrived: list[int] = []
+        for batch in (2, 1, 0):  # descending: small ids arrive last
+            ids = [i for i, _ in rows if i % 3 == batch]
+            arrived += ids
+            seen = sig.filter(F.col("doc_id").isin(arrived)).withColumn(
+                "is_new", F.col("doc_id").isin(ids)
+            )
+            out = D.lsh_probe_assign(
+                seen, "is_new", "doc_id", k=16, bands=4, verify_min=12
+            ).collect()
+            for r in out:
+                folded[r.doc_id] = min(folded.get(r.doc_id, r.dup_of), r.dup_of)
+        assert folded == expect
+        assert expect  # dups actually found
+
+    def test_probe_assign_output_linear_in_cluster(self, spark):
+        # 80 identical docs in one refresh: the pair relation is 3160
+        # rows; the assignment relation is 79 (every non-min member ->
+        # cluster min).  This is the bounded-output property.
+        rows = [(i, "same text for everyone") for i in range(80)]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+        out = D.lsh_probe_assign(
+            sig.withColumn("is_new", F.lit(True)),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        assert len(out) == 79
+        assert all(r.dup_of == 0 and r.doc_id > 0 for r in out)
+
+    def test_probe_assign_late_smaller_arrival_updates_old_doc(self, spark):
+        # Refresh 1: doc 50 alone.  Refresh 2: identical doc 10
+        # arrives.  The OLD doc 50 must receive the update (50 -> 10);
+        # doc 10 has no smaller neighbor and must not appear.
+        docs = spark.createDataFrame(
+            [(50, "identical payload text"), (10, "identical payload text")],
+            "doc_id int, text string",
+        )
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+        first = D.lsh_probe_assign(
+            sig.filter(F.col("doc_id") == 50).withColumn("is_new", F.lit(True)),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        assert first == []
+        second = D.lsh_probe_assign(
+            sig.withColumn("is_new", F.col("doc_id") == 10),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        assert [(r.doc_id, r.dup_of) for r in second] == [(50, 10)]
+
+    def test_probe_assign_no_new_emits_nothing(self, spark):
+        # A refresh whose batch touches no near-dup cluster must not
+        # re-derive assignments for history.
+        rows = [(i, "same text cluster") for i in range(4)]
+        rows += [(10, "completely different words entirely")]
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sig = D.minhash_signature(docs, "text", k=16).drop("text")
+        out = D.lsh_probe_assign(
+            sig.withColumn("is_new", F.col("doc_id") == 10),
+            "is_new", "doc_id", k=16, bands=4, verify_min=12,
+        ).collect()
+        assert out == []
+
     def test_dedup_edges_star_collapse(self, spark):
         # The cluster-level consumer shape: 80 identical docs emit 79
         # rep->member star edges (linear), NOT 3160 all-pairs; the

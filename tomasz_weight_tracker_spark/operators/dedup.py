@@ -627,6 +627,175 @@ def lsh_probe_pairs(
     return out
 
 
+def lsh_probe_assign(
+    all_sigs: DataFrame,
+    is_new_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    verify_min: int = 0,
+) -> DataFrame:
+    """Bounded-output refresh probe: per-document DUP-OF ASSIGNMENT
+    updates instead of pair enumeration.  Returns (doc_id, dup_of)
+    rows where ``dup_of`` is the smallest verified neighbor of
+    ``doc_id`` VISIBLE IN THIS REFRESH (store + batch); folding every
+    refresh's updates with a keyed MIN-merge yields, for every doc,
+    the minimum over ALL its verified smaller-id neighbors — i.e. the
+    GROUP BY id_b MIN(id_a) aggregate of the one-shot uncapped pair
+    run, without any refresh ever materializing the pair relation.
+
+    Why this exists: :func:`lsh_probe_pairs` is exact but its OUTPUT
+    is the pair relation — quadratic in duplication factor (the 10x
+    verbatim-duplication soak emits ~100x the pairs).  A dedup
+    consumer acts on "which canonical doc does each dup collapse to",
+    which is one row per duplicated doc; this probe emits exactly
+    that, so refresh output is O(|touched members|), never O(pairs).
+
+    Exactness (min-fold == one-shot): every emitted candidate is a
+    true verified smaller neighbor (same-signature cluster members
+    share all k positions; a rep-pair's agreement equals any
+    cross-member pair's agreement; band sharing is a static property
+    of the two signatures) — so the fold never under-shoots.  And the
+    true minimum neighbor y* of x is emitted in the refresh where the
+    LATER of (x, y*) arrives: if x arrives later, x is new and
+    receives the cluster-min of y*'s cluster (<= y*, itself a valid
+    neighbor, hence == y* by minimality); if y* arrives later, x
+    (old or new) receives that cluster's min NEW member (<= y*, valid,
+    hence == y*).  Both candidate kinds below exist for exactly these
+    two cases.  The emission rules are population-independent (no
+    caps), so the invariance holds in any batch order.
+
+    Cost per refresh: the rep-level band self-join of
+    :func:`lsh_probe_pairs` (distinct signatures only, gated on
+    touching a has-new cluster before verification) plus one
+    members-x-rep-pair-direction join — linear in cluster sizes times
+    rep-degree, with no member-x-member term anywhere.
+    """
+    rows_per_band = k // bands
+    fsig = F.array(*[F.col(f"mh{i}") for i in range(k)])
+    wsig = Window.partitionBy("__fsig")
+    # __rep is the cluster MIN id (the collapse representative), which
+    # is exactly the "cluster min" the assignment rules need; __minnew
+    # is the min NEW member (NULL <=> cluster has no new member, so it
+    # doubles as the has_new flag).
+    members = (
+        all_sigs.select(
+            F.col(id_col), F.col(is_new_col).alias("__new"), fsig.alias("__fsig")
+        )
+        .withColumn("__rep", F.min(id_col).over(wsig))
+        .withColumn(
+            "__minnew",
+            F.min(F.when(F.col("__new"), F.col(id_col))).over(wsig),
+        )
+    )
+    reps = members.filter(F.col(id_col) == F.col("__rep"))
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.array(
+                *[F.element_at("__fsig", i + 1) for i in lsh_band_order(k, bands, b)]
+            ).alias("skey"),
+        )
+        for b in range(bands)
+    ]
+    banded = reps.select(
+        F.col(id_col).alias("rid"),
+        "__minnew",
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(
+        "rid",
+        "__minnew",
+        "band.band_id",
+        F.slice("band.skey", 1, rows_per_band).alias("__eff"),
+        F.col("band.skey").alias("__sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    zip_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.__eff") == F.col("b.__eff"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            # no-new-touching rep-pairs cannot produce an update:
+            # drop before the verify work (history never re-probed).
+            & (F.col("a.__minnew").isNotNull() | F.col("b.__minnew").isNotNull()),
+        )
+        .select(
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
+            F.col("a.__minnew").alias("__na"),
+            F.col("b.__minnew").alias("__nb"),
+            zip_matches.cast("long").alias("sig_matches"),
+        )
+        .distinct()
+        .filter(F.col("sig_matches") >= verify_min)
+    )
+    # Two direction rows per verified rep-pair: members of the cluster
+    # keyed by ``rep`` see the OTHER cluster's min (valid for NEW
+    # members: the later-arriving-x case) and the other cluster's min
+    # NEW member (valid for every member: the later-arriving-y* case).
+    directions = rep_pairs.select(
+        F.col("rb").alias("__orep"),
+        F.col("ra").alias("__other_min"),
+        F.col("__na").alias("__other_minnew"),
+    ).unionByName(
+        rep_pairs.select(
+            F.col("ra").alias("__orep"),
+            F.col("rb").alias("__other_min"),
+            F.col("__nb").alias("__other_minnew"),
+        )
+    )
+    cross = (
+        members.join(
+            directions, members["__rep"] == directions["__orep"], "inner"
+        )
+        .select(
+            F.col(id_col),
+            # least() skips NULLs: each candidate is gated to NULL
+            # unless it is a strictly smaller valid neighbor.
+            F.least(
+                F.when(
+                    F.col("__new") & (F.col("__other_min") < F.col(id_col)),
+                    F.col("__other_min"),
+                ),
+                F.when(
+                    F.col("__other_minnew") < F.col(id_col),
+                    F.col("__other_minnew"),
+                ),
+            ).alias("__cand"),
+        )
+        .filter(F.col("__cand").isNotNull())
+    )
+    within = (
+        members.filter(F.col("__minnew").isNotNull())
+        .select(
+            F.col(id_col),
+            F.least(
+                F.when(
+                    F.col("__new") & (F.col("__rep") < F.col(id_col)),
+                    F.col("__rep"),
+                ),
+                F.when(
+                    F.col("__minnew") < F.col(id_col), F.col("__minnew")
+                ),
+            ).alias("__cand"),
+        )
+        .filter(F.col("__cand").isNotNull())
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(F.min("__cand").alias("dup_of"))
+    )
+
+
 def sql_lsh_banded(k: int, bands: int, sig_cte: str = "sig") -> str:
     """DuckDB twin of the banded frame: one row per (doc, band) with
     ``skey`` = the full signature as a list in :func:`lsh_band_order`

@@ -375,6 +375,79 @@ def q_incremental_lsh_dedup(spark, sf_dir):
     return out
 
 
+def _inc_assign_oracle() -> str:
+    # The one-shot semantics of the min-fold: for every doc, the
+    # smallest verified neighbor — GROUP BY over the uncapped pair
+    # relation the incremental_lsh_dedup oracle already defines.
+    return (
+        "WITH verified AS (\n"
+        + _inc_lsh_oracle()
+        + "\n    )\n"
+        "    SELECT id_b AS doc_id, MIN(id_a) AS dup_of\n"
+        "    FROM verified GROUP BY id_b"
+    )
+
+
+@register(
+    "incremental_lsh_assign",
+    _inc_assign_oracle(),
+    survey_ids=("S11", "ST1"),
+    doc="The BOUNDED-OUTPUT crawl-refresh dedup shape — what the "
+    "round-8 soak showed incremental_lsh_dedup's pair relation is "
+    "not (10x verbatim duplication -> ~100x pairs, 768M rows): each "
+    f"refresh ({_INC_BATCHES} doc_id-residue batches) probes the "
+    "persisted signature store and emits per-document ASSIGNMENT "
+    "updates (doc_id, dup_of = smallest verified neighbor visible "
+    "this refresh) instead of pairs "
+    "(operators/dedup.py:lsh_probe_assign), so refresh output is "
+    "O(touched members) however duplicated the corpus.  Updates fold "
+    "through the state table with a keyed MIN-merge (the S11 upsert "
+    "mechanism; here an append log + final min-aggregate — "
+    "associative + commutative, so batch order is irrelevant), and "
+    "the folded table equals GROUP BY doc MIN(neighbor) over the "
+    "one-shot uncapped pair run — which is what the oracle computes. "
+    "A dedup consumer drops every doc_id present in the table and "
+    "keeps the rest: the keep-one-representative decision at 100 TB "
+    "in one linear relation.",
+)
+def q_incremental_lsh_assign(spark, sf_dir):
+    from ..session import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("inc_assign")
+    sig_state = f"{root}/sig_state"
+    upd_state = f"{root}/assign_updates"
+    for r in range(_INC_BATCHES):
+        batch = docs.filter(F.col("doc_id") % _INC_BATCHES == r)
+        new_sigs = (
+            D.minhash_signature(batch, "text", k=LSH_K)
+            .drop("text")
+            .withColumn("is_new", F.lit(True))
+            .localCheckpoint(eager=True)  # sign once: probe + append reuse
+        )
+        try:
+            store = spark.read.parquet(sig_state).withColumn(
+                "is_new", F.lit(False)
+            )
+            all_sigs = store.unionByName(new_sigs)
+        except Exception:  # first batch: empty store
+            all_sigs = new_sigs
+        updates = D.lsh_probe_assign(
+            all_sigs, "is_new", "doc_id",
+            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+        )
+        # Materialize the batch's updates BEFORE the store append (the
+        # update plan reads the store lazily), then min-merge them into
+        # the assignment state via the append log.
+        updates.write.mode("append").parquet(upd_state)
+        new_sigs.drop("is_new").write.mode("append").parquet(sig_state)
+    return (
+        spark.read.parquet(upd_state)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
 # ===========================================================================
 # Product quantization: codebook training + ADC search (ANN memory path)
 # ===========================================================================
