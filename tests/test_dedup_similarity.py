@@ -582,3 +582,67 @@ class TestProductQuantization:
             tot += 1
             hits += label[r.q_id] == label[r.neighbor_id]
         assert tot > 0 and hits / tot >= 0.9
+
+
+class TestSemanticDedup:
+    """The within-cluster prune logic of plans/round8.py:q_semantic_dedup
+    on a hand-built fixture (the catalog query itself is parity-gated
+    against the Lloyd-replay oracle)."""
+
+    def _run(self, spark, rows, eps_q=300_000_000):
+        from tomasz_weight_tracker_spark.plans import round8 as R8
+
+        mem = spark.createDataFrame(
+            rows, "centroid_id int, vec_id long, v array<double>, simcent_q long"
+        )
+        x, y = mem.alias("x"), mem.alias("y")
+        pair_cos_q = F.floor(
+            S.cosine(F.col("x.v"), F.col("y.v")) * F.lit(1e9)
+        ).cast("long")
+        dropped = (
+            x.join(
+                y,
+                (F.col("x.centroid_id") == F.col("y.centroid_id"))
+                & (F.col("x.vec_id") != F.col("y.vec_id"))
+                & (
+                    (F.col("y.simcent_q") < F.col("x.simcent_q"))
+                    | (
+                        (F.col("y.simcent_q") == F.col("x.simcent_q"))
+                        & (F.col("y.vec_id") < F.col("x.vec_id"))
+                    )
+                ),
+            )
+            .filter(pair_cos_q >= eps_q)
+            .select(F.col("x.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        assert R8.SEM_EPS_Q == 300_000_000  # fixture thresholds assume this
+        return {r.vec_id for r in dropped.collect()}
+
+    def test_keeps_lowest_centroid_similarity(self, spark):
+        # Three near-identical vectors in one cluster with distinct
+        # simcent: only the LOWEST-simcent member (id 3) survives.
+        v = [1.0, 0.0, 0.0]
+        rows = [
+            (0, 1, v, 900_000_000),
+            (0, 2, v, 800_000_000),
+            (0, 3, v, 700_000_000),
+        ]
+        assert self._run(spark, rows) == {1, 2}
+
+    def test_tie_keeps_smaller_id(self, spark):
+        v = [0.0, 1.0, 0.0]
+        rows = [(0, 7, v, 5), (0, 9, v, 5)]
+        assert self._run(spark, rows) == {9}
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        # Identical vectors in DIFFERENT clusters are not duplicates:
+        # the k-means partition is the candidate generator.
+        v = [0.5, 0.5, 0.0]
+        rows = [(0, 1, v, 10), (1, 2, v, 20)]
+        assert self._run(spark, rows) == set()
+
+    def test_below_eps_kept(self, spark):
+        # Orthogonal vectors share a cluster but cosine 0 < eps.
+        rows = [(0, 1, [1.0, 0.0], 10), (0, 2, [0.0, 1.0], 20)]
+        assert self._run(spark, rows) == set()

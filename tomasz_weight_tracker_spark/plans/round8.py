@@ -742,3 +742,142 @@ def q_curation_end_to_end(spark, sf_dir):
         F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
         F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
     )
+
+
+# ===========================================================================
+# Semantic dedup: k-means partition, then prune within clusters
+# ===========================================================================
+
+# SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): instead of comparing every pair of embeddings
+# (O(N^2), impossible at corpus scale), partition the space with
+# k-means and compare ONLY within clusters — cost drops to
+# sum |cluster|^2 ~= N^2/k, and k grows with the corpus (the paper
+# uses ~sqrt(N) clusters) so cluster size, and therefore per-cluster
+# work, stays bounded.  Among semantic duplicates (pair cosine >= eps)
+# the member with the LOWEST similarity to its cluster centroid is
+# kept (the paper's keep-outliers rule), deterministic tiebreak on id.
+SEM_K = 8
+SEM_ITERS = 2
+# floor(1e9 * cosine) threshold: 0.30 is ~p99 of the all-pairs cosine
+# distribution of this embedding table — "semantic duplicate" is the
+# top percentile of similarity, not the bulk.
+SEM_EPS_Q = 300_000_000
+
+_SEM_COS = (
+    "floor(1e9 * list_dot_product({a}.v, {b}.v)"
+    " / (sqrt(list_dot_product({a}.v, {a}.v))"
+    " * sqrt(list_dot_product({b}.v, {b}.v))))::BIGINT"
+)
+
+
+def _sem_oracle() -> str:
+    from ..operators import similarity as S
+
+    cent_cos = (
+        "floor(1e9 * list_dot_product(a.v, c.cv)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv))))::BIGINT"
+    )
+    return f"""
+    WITH {S.sql_ivf_train(n_centroids=SEM_K, iterations=SEM_ITERS, dim=64)},
+    amap AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+    ),
+    mem AS (
+      SELECT a.centroid_id, a.vec_id, a.v, {cent_cos} AS simcent_q
+      FROM amap a JOIN cent c USING (centroid_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM mem x JOIN mem y
+        ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+       AND (y.simcent_q < x.simcent_q
+            OR (y.simcent_q = x.simcent_q AND y.vec_id < x.vec_id))
+      WHERE {_SEM_COS.format(a="x", b="y")} >= {SEM_EPS_Q}
+    )
+    SELECT m.vec_id, m.centroid_id, m.simcent_q,
+           (d.vec_id IS NOT NULL) AS is_dropped
+    FROM mem m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _sem_oracle(),
+    survey_ids=(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): Lloyd "
+    f"k-means over the embedding table ({SEM_K} centroids x "
+    f"{SEM_ITERS} rounds, the catalog-verified ivf_train — even the "
+    "learned centroids are cross-engine bit-identical), broadcast "
+    "map-side assignment, then cosine pairs are enumerated ONLY "
+    "within clusters: cost is sum |cluster|^2 ~= N^2/k instead of "
+    "N^2, and k scales with the corpus (~sqrt(N)) so per-cluster "
+    "work stays bounded at 100 TB; a hot cluster re-clusters "
+    "recursively exactly like the LSH hot-bucket split.  Among "
+    "duplicates (pair cosine >= 0.30 ~= p99, compared in the "
+    "floor-1e9-quantized integer domain) the member with the LOWEST "
+    "centroid similarity is kept (the paper's keep-outliers rule, "
+    "id tiebreak), so the decision is deterministic and "
+    "order-independent.  Returns every member with its cluster, "
+    "quantized centroid similarity, and the drop verdict.",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from ..operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.ivf_train(e, n_centroids=SEM_K, iterations=SEM_ITERS)
+    assigned = S.ivf_assign(e, cents).select(
+        "vec_id", "centroid_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cv = cents.select("centroid_id", F.col("embedding").alias("__cv"))
+    # Materialize members once (eager): three consumers below (both
+    # sides of the pair join + the final probe) — without this the
+    # 2-round training lineage is replayed per consumer.
+    mem = (
+        assigned.join(F.broadcast(cv), "centroid_id")
+        .select(
+            "centroid_id",
+            "vec_id",
+            "v",
+            F.floor(S.cosine(F.col("v"), F.col("__cv")) * F.lit(1e9))
+            .cast("long")
+            .alias("simcent_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x, y = mem.alias("x"), mem.alias("y")
+    pair_cos_q = F.floor(
+        S.cosine(F.col("x.v"), F.col("y.v")) * F.lit(1e9)
+    ).cast("long")
+    # y is "kept-preferred" over x: strictly lower centroid
+    # similarity, or equal with the smaller id.  x is dropped when a
+    # kept-preferred in-cluster neighbor is within eps.
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id"))
+            & (
+                (F.col("y.simcent_q") < F.col("x.simcent_q"))
+                | (
+                    (F.col("y.simcent_q") == F.col("x.simcent_q"))
+                    & (F.col("y.vec_id") < F.col("x.vec_id"))
+                )
+            ),
+        )
+        .filter(pair_cos_q >= SEM_EPS_Q)
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return mem.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        "simcent_q",
+        F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
+    )
