@@ -432,3 +432,35 @@ class TestRound7PlanShapes:
         # every other exchange is the S-row single-partition window feed
         assert "hashpartitioning(source" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestCorpusShuffleShards:
+    def test_manifest_conserves_corpus_and_fills_shards(self, spark):
+        from tomasz_weight_tracker_spark.plans.round8 import SHARD_TOKENS
+
+        rows = REGISTRY["corpus_shuffle_shards"].build(spark, SF).collect()
+        import duckdb
+
+        n_docs, n_tokens = duckdb.sql(
+            f"SELECT count(*), sum(length(text)-length(replace(text,' ',''))+1) "
+            f"FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert sum(r.shard_tokens for r in rows) == n_tokens
+        # Contiguous shard ids 0..max (the layout is end-to-end).
+        ids = sorted(r.shard_id for r in rows)
+        assert ids == list(range(len(rows)))
+        # Every shard except the last is filled to within one document
+        # of the budget: a shard closes only when the next doc STARTS
+        # past its boundary, so underfill < that doc's length, and
+        # overflow is carried — shard_tokens >= the tokens whose start
+        # offset lands inside it.  Cheap sanity: mean fill near budget.
+        if len(rows) > 2:
+            body = [r.shard_tokens for r in rows if r.shard_id < len(rows) - 1]
+            assert abs(sum(body) / len(body) - SHARD_TOKENS) < SHARD_TOKENS * 0.5
+
+    def test_no_corpus_wide_single_partition_window(self, spark):
+        # The only unpartitioned window may be the 128-row h-bucket
+        # offsets frame: check the full-table window is hshard-keyed.
+        txt = formatted(spark, "corpus_shuffle_shards")
+        assert "hshard" in txt

@@ -881,3 +881,115 @@ def q_semantic_dedup(spark, sf_dir):
         "simcent_q",
         F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
     )
+
+
+# ===========================================================================
+# Seeded corpus shuffle + token-balanced training-shard manifest
+# ===========================================================================
+
+# The pretraining writer path the packing/mixing stages feed: the
+# corpus is re-ordered by a SEEDED deterministic hash (a reproducible
+# global shuffle — same seed, same order, any cluster size), laid
+# end-to-end in that order, and cut into fixed token-budget shards.
+# The manifest (one row per shard) is what a training job consumes to
+# schedule readers.  Changing SHUF_SEED re-shuffles; everything stays
+# bit-reproducible.
+SHUF_SEED = "shuf1"
+SHARD_TOKENS = 2048
+# h is 60-bit; div 2^53 coarsens it into 128 contiguous h-ranges that
+# act as the distributed-prefix-sum partitions.
+_HSHARD_DIV = 1 << 53
+
+
+def _shuffle_shard_oracle() -> str:
+    from ..functions import md5_long_sql
+
+    h = md5_long_sql(f"'{SHUF_SEED}:' || doc_id::VARCHAR")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+                   AS n_tokens,
+               {h} AS h
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens, h,
+               sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_tokens AS gs
+        FROM toks
+    )
+    SELECT (gs // {SHARD_TOKENS})::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS shard_tokens,
+           min_by(doc_id, gs) AS first_doc,
+           min(h) AS h_lo, max(h) AS h_hi
+    FROM cum GROUP BY 1
+    """
+
+
+@register(
+    "corpus_shuffle_shards",
+    _shuffle_shard_oracle(),
+    survey_ids=("A1", "W1"),
+    doc="Seeded deterministic corpus shuffle + token-balanced shard "
+    f"manifest: docs are re-ordered by md5('{SHUF_SEED}:'||doc_id) — "
+    "a reproducible global shuffle, the step between mixing and the "
+    "training writer — laid end-to-end and cut into "
+    f"{SHARD_TOKENS}-token shards; one manifest row per shard "
+    "(doc count, token count, first doc, hash range) is what "
+    "schedules training readers.  The running offset is the same "
+    "DISTRIBUTED PREFIX SUM as sequence_packing — per-h-range "
+    "subtotals (128 contiguous 2^53-wide h buckets) cumulate on a "
+    "128-row frame and broadcast back, so there is no global sort "
+    "and no single-partition window over the corpus; the oracle's "
+    "ORDER-BY-everything window is exactly the plan that does not "
+    "scale.  At 100 TB the h-bucket count rises with the corpus "
+    "(h div 2^k) keeping per-bucket windows bounded.",
+)
+def q_corpus_shuffle_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..caching import track_cache
+    from ..functions import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    # toks feeds the within-bucket window AND the bucket totals.
+    toks = track_cache(
+        docs.select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            md5_long(
+                F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        ).withColumn("hshard", F.expr(f"h div {_HSHARD_DIV}"))
+    )
+    w_in = (
+        Window.partitionBy("hshard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("in_cum", F.sum("n_tokens").over(w_in))
+    totals = toks.groupBy("hshard").agg(F.sum("n_tokens").alias("st"))
+    w_sh = Window.orderBy("hshard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "hshard", F.coalesce(F.sum("st").over(w_sh), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "hshard")
+        .withColumn("gs", F.col("off") + F.col("in_cum") - F.col("n_tokens"))
+        .withColumn("shard_id", F.expr(f"gs div {SHARD_TOKENS}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min_by("doc_id", "gs").alias("first_doc"),
+            F.min("h").alias("h_lo"),
+            F.max("h").alias("h_hi"),
+        )
+    )
