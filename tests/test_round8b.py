@@ -1,0 +1,108 @@
+"""Round-8b operators: unaligned duplicated-passage extraction, the
+PQ/ADC recall audit, and corpus-wide BPE token accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.plans import REGISTRY
+from tomasz_weight_tracker_spark.plans.round8b import (
+    PQA_N,
+    PQA_TOPK,
+    PSPAN_K,
+    PSPAN_MIN,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def synth_docs_dir(spark, tmp_path_factory):
+    """Three documents: A and B share one exact 31-token passage at
+    DIFFERENT offsets (the unaligned case a chunk-aligned deduper
+    structurally misses); C is unrelated."""
+    root = str(tmp_path_factory.mktemp("pspan"))
+    shared = [f"s{i}" for i in range(31)]
+    a = [f"a{i}" for i in range(9)] + shared + [f"a{i}" for i in range(9, 14)]
+    b = [f"b{i}" for i in range(3)] + shared + [f"b{i}" for i in range(3, 20)]
+    c = [f"c{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(a), "en", "synthA", len(" ".join(a))),
+        (1, " ".join(b), "en", "synthB", len(" ".join(b))),
+        (2, " ".join(c), "en", "synthC", len(" ".join(c))),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+    return root
+
+
+class TestDupPassageSpans:
+    def test_synthetic_unaligned_passage(self, spark, synth_docs_dir):
+        # Exactly one span: the shared block, at 1-based token offsets
+        # 10 (doc A) and 4 (doc B), 31 tokens long — maximal on both
+        # sides because the flanking tokens differ.
+        rows = REGISTRY["dup_passage_spans"].build(spark, synth_docs_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.id_a, r.id_b) == (0, 1)
+        assert (r.a_start, r.b_start, r.span_toks) == (10, 4, 31)
+
+    def test_spans_are_verbatim_and_maximal(self, spark):
+        # Every reported span on the real corpus must be (1) verbatim —
+        # the token windows match exactly — and (2) maximal — extending
+        # one token left or right breaks the match or a boundary.
+        spans = REGISTRY["dup_passage_spans"].build(spark, SF_SMALL).collect()
+        assert spans, "sf0.001 corpus is known to contain shared passages"
+        docs = {
+            r["doc_id"]: r["toks"]
+            for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select(
+                "doc_id",
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+            )
+            .collect()
+        }
+        for s in spans:
+            ta, tb = docs[s.id_a], docs[s.id_b]
+            ia, ib, n = s.a_start - 1, s.b_start - 1, s.span_toks
+            assert n >= PSPAN_MIN
+            assert ta[ia : ia + n] == tb[ib : ib + n]
+            if ia > 0 and ib > 0:
+                assert ta[ia - 1] != tb[ib - 1], "span extendable left"
+            if ia + n < len(ta) and ib + n < len(tb):
+                assert ta[ia + n] != tb[ib + n], "span extendable right"
+
+    def test_no_self_pairs_and_ordered(self, spark):
+        spans = REGISTRY["dup_passage_spans"].build(spark, SF_SMALL).collect()
+        assert all(s.id_a < s.id_b for s in spans)
+
+
+class TestPqRecallAudit:
+    def test_audit_invariants(self, spark):
+        r = REGISTRY["pq_recall_audit"].build(spark, SF_SMALL).collect()
+        assert len(r) == 1
+        r = r[0]
+        assert r.n_queries == PQA_N and r.k == PQA_TOPK
+        assert r.n_true == PQA_N * PQA_TOPK
+        assert 0 <= r.n_hit <= r.n_true
+        assert 0 <= r.n_top1_hit <= r.n_queries
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
+        # PQ with a 4x16 codebook is lossy but not useless: top-1
+        # neighbors survive at well above the ~2% random-overlap floor.
+        assert r.n_hit > 0
+
+
+class TestBpeCorpusTokens:
+    def test_accounting_invariants(self, spark):
+        rows = REGISTRY["bpe_corpus_tokens"].build(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            # Each qualifying word is >= 2 chars, and BPE tokens can
+            # never exceed character count nor undercut 1 per word.
+            assert r.n_words <= r.bpe_tokens <= r.n_chars
+            assert r.n_docs > 0 and r.n_words > 0
+            assert r.chars_per_token_ppm == r.n_chars * 1_000_000 // r.bpe_tokens
+            # 8 merge rounds compress, so strictly under raw chars.
+            assert r.bpe_tokens < r.n_chars

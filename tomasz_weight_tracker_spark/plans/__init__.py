@@ -15,3 +15,4 @@ from . import advanced  # noqa: F401  (SCD2, PageRank, sorted-neighborhood, bitm
 from . import round6  # noqa: F401  (span dedup, bucketed join, partition-pruned scan)
 from . import round7  # noqa: F401  (paged source gate, BPE vocab training)
 from . import round8  # noqa: F401  (star-edge dedup, sparse perceptron, media phash)
+from . import round8b  # noqa: F401  (passage spans, PQ recall audit, BPE corpus tokens)

@@ -1,0 +1,462 @@
+"""Round-8b catalog additions.
+
+- ``dup_passage_spans``: UNALIGNED cross-document duplicated-passage
+  extraction (the exact-substring dedup of Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better",
+  re-expressed relationally): rolling k-gram fingerprints per token
+  position, postings self-matched under a document-frequency cap,
+  then consecutive matches merged into MAXIMAL shared spans with a
+  gaps-and-islands pass per (pair, diagonal).  Complements the
+  round-6 ``span_dedup_rebuild`` (ALIGNED chunks — misses passages
+  that straddle a chunk boundary or sit at different offsets in the
+  two documents) and the MinHash family (whole-document similarity —
+  blind to a long verbatim quote inside otherwise-different docs).
+- ``pq_recall_audit``: measure-don't-guess applied to the PQ/ADC
+  search path, the lsh_recall_audit counterpart: exact integer-L2
+  top-k on a fixed md5-chosen query sample vs the production ADC
+  top-k through the trained codebook, reported as recall@k ppm.
+- ``bpe_corpus_tokens``: the learned BPE tokenizer applied
+  CORPUS-WIDE for per-source token accounting — the number a token
+  budget is actually denominated in.  Segmentation cost is bounded
+  by the DISTINCT vocabulary (segment each word once, broadcast the
+  per-word token count back onto word instances), so corpus volume
+  never enters the BPE state machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_long, md5_long_sql
+from .catalog import load, register
+
+# ===========================================================================
+# Unaligned duplicated-passage extraction (exact-substring dedup)
+# ===========================================================================
+
+# k-gram width: long enough that chance 8-token collisions are
+# negligible, short enough that a 16-token passage yields >= 9
+# consecutive matches to merge.
+PSPAN_K = 8
+# Minimum reported span, in tokens.
+PSPAN_MIN = 16
+# Document-frequency cap per k-gram hash: a gram occurring at more
+# than this many positions corpus-wide is boilerplate / an exact-dup
+# clique — territory owned by span_dedup_rebuild and exact_dedup —
+# and enumerating its postings pairwise would be quadratic in the
+# clique size.  Measured at sf0.01: the cap is not binding (24 spans
+# at caps 16/32/64 alike); it exists to bound the worst case.
+PSPAN_DF_MAX = 16
+
+
+def _pspan_oracle() -> str:
+    k, mn, cap = PSPAN_K, PSPAN_MIN, PSPAN_DF_MAX
+    h = md5_long_sql(f"array_to_string(toks[p : p + {k - 1}], ' ')")
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, u.p::BIGINT AS p, {h} AS h
+        FROM t, unnest(range(1, len(toks) - {k} + 2)) AS u(p)
+        WHERE len(toks) >= {k}
+    ), df AS (
+        SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND {cap}
+    ), m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+        FROM g a JOIN g b USING (h) JOIN df USING (h)
+        WHERE a.doc_id < b.doc_id
+    ), i AS (
+        SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS isl
+        FROM m
+    )
+    SELECT id_a, id_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+           (count(*) + {k} - 1)::BIGINT AS span_toks
+    FROM i GROUP BY id_a, id_b, diag, isl
+    HAVING count(*) + {k} - 1 >= {mn}
+    """
+
+
+@register(
+    "dup_passage_spans",
+    _pspan_oracle(),
+    survey_ids=("A7", "G2", "W1"),
+    doc="Unaligned cross-document duplicated-passage extraction (the "
+    "exact-substring dedup of Lee et al. 2022, relationally): every "
+    f"token position emits a rolling {PSPAN_K}-gram fingerprint; "
+    "per-gram postings are collapsed to ONE sorted list (the "
+    "lexical_cosine posting pattern — a single corpus explode + one "
+    f"keyed aggregation), df-capped at {PSPAN_DF_MAX} (an over-cap "
+    "gram is boilerplate/exact-dup-clique territory owned by "
+    "span_dedup_rebuild and exact_dedup, and pairwise enumeration of "
+    "its postings would be quadratic in the clique); cross-document "
+    "match pairs come from an in-row combination expansion bounded "
+    "by cap^2/2 per gram; and consecutive matches merge into MAXIMAL "
+    "shared spans via gaps-and-islands per (pair, diagonal = pa-pb) "
+    "— a window whose partition is one pair's one diagonal, bounded "
+    "by the shorter document, never the corpus.  Reports (id_a, "
+    f"id_b, a_start, b_start, span_toks >= {PSPAN_MIN}) — exact "
+    "positions, so a rebuild pass can excise the duplicated passage "
+    "from one side.  Catches what the aligned chunker structurally "
+    "misses: offset-shifted quotes (a diagonal with pa != pb) and "
+    "boundary-straddling passages.",
+)
+def q_dup_passage_spans(spark, sf_dir):
+    k = PSPAN_K
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda p: F.struct(
+                    p.cast("long").alias("p"),
+                    md5_long(F.array_join(F.slice("toks", p, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.h")
+    posts = (
+        g.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("ps"))
+        .filter((F.size("ps") >= 2) & (F.size("ps") <= PSPAN_DF_MAX))
+    )
+    # (x, i) -> pairs (ps[i], ps[j]) for i < j over the (doc_id, p)-
+    # sorted list: id_a <= id_b by construction, same-doc repeats
+    # filtered below (a within-doc repeat is doc_repetition's signal,
+    # not a cross-doc passage).
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    x["p"].alias("pa"),
+                    y["doc_id"].alias("id_b"),
+                    y["p"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    m = (
+        posts.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.id_a", "pr.pa", "pr.id_b", "pr.pb")
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = m.select(
+        "id_a",
+        "id_b",
+        "pa",
+        "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_toks"),
+        )
+        .filter(F.col("span_toks") >= PSPAN_MIN)
+        .select("id_a", "id_b", "a_start", "b_start", "span_toks")
+    )
+
+
+# ===========================================================================
+# PQ/ADC recall audit (the lsh_recall_audit counterpart for ANN search)
+# ===========================================================================
+
+PQA_N = 32  # fixed query-sample size: audit cost is Q*N however big N
+PQA_TOPK = 10
+
+
+def _pq_audit_oracle() -> str:
+    from ..operators.similarity import sql_pq_chain
+
+    subdim = 16
+    isq_sub = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (sv[i] - qc[i]) * (sv[i] - qc[i])))"
+    )
+    isq_full = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (s.qv[i] - c2.qv[i]) * (s.qv[i] - c2.qv[i])))"
+    )
+    pri = md5_long_sql("'pqa:' || CAST(vec_id AS VARCHAR)")
+    return (
+        "WITH "
+        + sql_pq_chain()
+        + f""",
+    samp AS (SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY {pri}, vec_id) AS rn
+        FROM e) WHERE rn <= {PQA_N}),
+    exact AS (SELECT q_id, neighbor_id, rnk FROM (
+        SELECT s.vec_id AS q_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY {isq_full}, c2.vec_id) AS rnk
+        FROM e s JOIN samp USING (vec_id), e c2
+        WHERE c2.vec_id <> s.vec_id) WHERE rnk <= {PQA_TOPK}),
+    codes AS (SELECT vec_id, m, centroid_id FROM (
+        SELECT subs.vec_id, subs.m, c.centroid_id,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.m
+                   ORDER BY {isq_sub.replace('qc', 'c.qc')}, c.centroid_id) AS rn
+        FROM subs JOIN cent c USING (m)) WHERE rn = 1),
+    dtab AS (SELECT subs.vec_id AS q_id, c.m, c.centroid_id,
+                    {isq_sub.replace('qc', 'c.qc')}::BIGINT AS d
+             FROM subs JOIN samp USING (vec_id) JOIN cent c USING (m)),
+    adc AS (SELECT q_id, neighbor_id, rnk FROM (
+        SELECT dtab.q_id, codes.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY dtab.q_id
+                   ORDER BY sum(dtab.d), codes.vec_id) AS rnk
+        FROM codes JOIN dtab USING (m, centroid_id)
+        WHERE codes.vec_id <> dtab.q_id
+        GROUP BY dtab.q_id, codes.vec_id) WHERE rnk <= {PQA_TOPK}),
+    hit AS (SELECT count(*)::BIGINT AS n_hit
+            FROM exact JOIN adc USING (q_id, neighbor_id)),
+    hit1 AS (SELECT count(*)::BIGINT AS n_top1_hit
+             FROM exact JOIN adc USING (q_id, neighbor_id)
+             WHERE exact.rnk = 1),
+    tr AS (SELECT count(*)::BIGINT AS n_true FROM exact),
+    nq AS (SELECT count(*)::BIGINT AS n_queries FROM samp)
+    SELECT n_queries, {PQA_TOPK}::BIGINT AS k, n_true, n_hit,
+           (n_hit * 1000000 // n_true)::BIGINT AS recall_ppm,
+           n_top1_hit
+    FROM nq CROSS JOIN tr CROSS JOIN hit CROSS JOIN hit1"""
+    )
+
+
+@register(
+    "pq_recall_audit",
+    _pq_audit_oracle(),
+    survey_ids=("A1", "O5"),
+    doc="Measure-don't-guess for the ANN memory path, the "
+    "lsh_recall_audit counterpart: EXACT recall@k of the production "
+    "PQ/ADC search (same codebook training, same packed-code ADC "
+    "ranking as embed_pq_topk) against exact integer-L2 top-k ground "
+    f"truth, on a deterministic {PQA_N}-query md5 sample.  Audit "
+    "cost is Q*N (one embarrassingly-parallel distance scan per "
+    "fixed-size query set) — the shape that stays affordable at "
+    "100 TB, where the quantization loss this audit measures is "
+    "exactly the number that decides nprobe/re-rank settings.  Both "
+    "sides rank all-integer with id tiebreaks, so the overlap count "
+    "is bit-portable; recall lands as a ppm integer, with the "
+    "exact-top-1-retrieved count as the sharper headline.",
+)
+def q_pq_recall_audit(spark, sf_dir):
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _isqdist,
+        _qvec,
+        _sub,
+        pq_codes,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _qvec(F.col("embedding")).alias("qv")
+    )
+    samp = (
+        e.withColumn(
+            "__pri",
+            md5_long(F.concat(F.lit("pqa:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("__pri", "vec_id")
+        .limit(PQA_N)
+        .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("qa"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Exact side: one broadcast-sample distance scan over the corpus,
+    # per-query top-k via a sample-bounded window.
+    exact = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .join(F.broadcast(samp), F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _isqdist(F.col("qv"), F.col("qa")).alias("d"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rnk") <= PQA_TOPK)
+        .localCheckpoint(eager=True)
+    )
+
+    # ADC side: the production path — trained codebook, packed codes,
+    # broadcast query-to-subcentroid distance table.
+    cents = pq_train(e.select("vec_id", "embedding"))
+    codes = pq_codes(e.select("vec_id", "embedding"), cents)
+    subdim = 64 // PQ_M
+    bits = max((PQ_K - 1).bit_length(), 1)
+    qsubs = samp.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        _sub(F.col("qa"), j, subdim).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "s.m", "s.sv")
+    dtab = qsubs.join(F.broadcast(cents), "m").select(
+        "q_id", "m", "centroid_id", _isqdist(F.col("sv"), F.col("qc")).alias("d")
+    )
+    cand = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        F.shiftright(F.col("pq_code"), j * bits)
+                        .bitwiseAND(F.lit(PQ_K - 1))
+                        .cast("int")
+                        .alias("centroid_id"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("c"),
+    ).select("neighbor_id", "c.m", "c.centroid_id")
+    adc = (
+        cand.join(F.broadcast(dtab), ["m", "centroid_id"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rnk") <= PQA_TOPK)
+        .localCheckpoint(eager=True)
+    )
+
+    hit = exact.join(adc, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    hit1 = (
+        exact.filter(F.col("rnk") == 1)
+        .join(adc, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_top1_hit"))
+    )
+    tr = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nq = samp.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        nq.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(hit1))
+        .select(
+            "n_queries",
+            F.lit(PQA_TOPK).cast("long").alias("k"),
+            "n_true",
+            "n_hit",
+            F.expr("(n_hit * 1000000) div n_true").cast("long").alias("recall_ppm"),
+            "n_top1_hit",
+        )
+    )
+
+
+# ===========================================================================
+# Corpus-wide BPE token accounting (per-source, vocabulary-bounded)
+# ===========================================================================
+
+
+def _bpe_tokens_oracle() -> str:
+    from ..operators.bpe import sql_bpe_segments_cte
+    from .round7 import _BPE_ROUNDS, _BPE_WORDS_CTE
+
+    return (
+        sql_bpe_segments_cte(_BPE_WORDS_CTE, _BPE_ROUNDS, name="seg")
+        + """, inst AS (
+        SELECT d.source, lower(u.w) AS word
+        FROM documents d, unnest(string_split_regex(d.text, '\\s+')) AS u(w)
+        WHERE regexp_full_match(u.w, '[A-Za-z]+') AND len(u.w) BETWEEN 2 AND 20
+    ), nd AS (
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+    )
+    SELECT nd.source, nd.n_docs,
+           count(*)::BIGINT AS n_words,
+           sum(len(inst.word))::BIGINT AS n_chars,
+           sum(seg.n_tokens)::BIGINT AS bpe_tokens,
+           (sum(len(inst.word)) * 1000000 // sum(seg.n_tokens))::BIGINT
+               AS chars_per_token_ppm
+    FROM inst JOIN seg USING (word) JOIN nd USING (source)
+    GROUP BY nd.source, nd.n_docs"""
+    )
+
+
+@register(
+    "bpe_corpus_tokens",
+    _bpe_tokens_oracle(),
+    survey_ids=("A1", "G2"),
+    doc="The learned BPE tokenizer applied CORPUS-WIDE: after the same "
+    "training as bpe_vocab_train, per-source documents are accounted "
+    "in LEARNED tokens — the denominator a token budget "
+    "(token_budget_mix) actually runs in, where whitespace counts "
+    "are only a proxy.  Scale shape: the corpus explodes to word "
+    "instances ONCE, but the BPE state machine only ever sees the "
+    "DISTINCT vocabulary (segment each word once — "
+    "operators/bpe.py:segment_words, vocabulary-bounded) and the "
+    "per-word token count broadcasts back onto instances, so corpus "
+    "volume never enters the iterative merge rounds.  Reports docs, "
+    "qualifying word instances, characters, BPE tokens, and the "
+    "compression ratio as a ppm integer per source.  Word qualifier "
+    "([A-Za-z]{2,20}) matches the training filter, so accounting "
+    "and vocabulary cannot drift.",
+)
+def q_bpe_corpus_tokens(spark, sf_dir):
+    from ..operators.bpe import bpe_train_full, segment_words
+    from .round7 import _BPE_ROUNDS
+
+    docs = load(spark, sf_dir, "documents")
+    inst = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[A-Za-z]+$") & F.length("w").between(2, 20))
+    words = inst.groupBy(F.lower("w").alias("word")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    _, state = bpe_train_full(spark, words, _BPE_ROUNDS)
+    seg = segment_words(state).select("word", "n_tokens")
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        inst.select("source", F.lower("w").alias("word"))
+        .join(F.broadcast(seg), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "bpe_tokens",
+            F.expr("(n_chars * 1000000) div bpe_tokens")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+    )
