@@ -79,6 +79,52 @@ class TestDupPassageSpans:
         assert all(s.id_a < s.id_b for s in spans)
 
 
+class TestDupPassageRebuild:
+    def test_later_doc_loses_the_passage(self, spark, synth_docs_dir):
+        # Keep-first: doc 0 (id_a) is untouched; doc 1 loses exactly
+        # the 31 shared tokens and keeps its own 20 in order.
+        rows = REGISTRY["dup_passage_rebuild"].build(spark, synth_docs_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.doc_id == 1
+        assert (r.n_toks, r.n_dropped) == (51, 31)
+        assert r.kept_text == " ".join(
+            [f"b{i}" for i in range(3)] + [f"b{i}" for i in range(3, 20)]
+        )
+
+    def test_rebuild_consistent_with_spans(self, spark):
+        # Every affected doc's drop count equals the size of the union
+        # of its id_b-side span ranges (overlap-safe), and the kept
+        # text is the complement of those positions in order.
+        spans = REGISTRY["dup_passage_spans"].build(spark, SF_SMALL).collect()
+        rebuilt = {
+            r.doc_id: r
+            for r in REGISTRY["dup_passage_rebuild"].build(spark, SF_SMALL).collect()
+        }
+        drop: dict[int, set[int]] = {}
+        for s in spans:
+            drop.setdefault(s.id_b, set()).update(
+                range(s.b_start, s.b_start + s.span_toks)
+            )
+        assert set(rebuilt) == set(drop)
+        docs = {
+            r["doc_id"]: r["toks"]
+            for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select(
+                "doc_id",
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+            )
+            .collect()
+        }
+        for d, positions in drop.items():
+            r = rebuilt[d]
+            assert r.n_dropped == len(positions)
+            expect = " ".join(
+                t for i, t in enumerate(docs[d], start=1) if i not in positions
+            )
+            assert r.kept_text == expect
+
+
 class TestPqRecallAudit:
     def test_audit_invariants(self, spark):
         r = REGISTRY["pq_recall_audit"].build(spark, SF_SMALL).collect()

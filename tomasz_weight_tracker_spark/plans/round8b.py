@@ -50,7 +50,10 @@ PSPAN_MIN = 16
 PSPAN_DF_MAX = 16
 
 
-def _pspan_oracle() -> str:
+def _pspan_ctes() -> str:
+    """Open CTE chain ending in ``spans`` (id_a, id_b, a_start,
+    b_start, span_toks) — shared by the measuring query and the
+    rebuild so the two cannot drift (the sql_lm_chain lesson)."""
     k, mn, cap = PSPAN_K, PSPAN_MIN, PSPAN_DF_MAX
     h = md5_long_sql(f"array_to_string(toks[p : p + {k - 1}], ' ')")
     return f"""
@@ -74,12 +77,21 @@ def _pspan_oracle() -> str:
                pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
                                        ORDER BY pa) AS isl
         FROM m
-    )
-    SELECT id_a, id_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
-           (count(*) + {k} - 1)::BIGINT AS span_toks
-    FROM i GROUP BY id_a, id_b, diag, isl
-    HAVING count(*) + {k} - 1 >= {mn}
+    ), spans AS (
+        SELECT id_a, id_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+               (count(*) + {k} - 1)::BIGINT AS span_toks
+        FROM i GROUP BY id_a, id_b, diag, isl
+        HAVING count(*) + {k} - 1 >= {mn}
+    )"""
+
+
+def _pspan_oracle() -> str:
+    return (
+        _pspan_ctes()
+        + """
+    SELECT id_a, id_b, a_start, b_start, span_toks FROM spans
     """
+    )
 
 
 @register(
@@ -107,6 +119,10 @@ def _pspan_oracle() -> str:
     "boundary-straddling passages.",
 )
 def q_dup_passage_spans(spark, sf_dir):
+    return _passage_spans(spark, sf_dir)
+
+
+def _passage_spans(spark, sf_dir):
     k = PSPAN_K
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
@@ -169,6 +185,106 @@ def q_dup_passage_spans(spark, sf_dir):
         )
         .filter(F.col("span_toks") >= PSPAN_MIN)
         .select("id_a", "id_b", "a_start", "b_start", "span_toks")
+    )
+
+
+def _pspan_rebuild_oracle() -> str:
+    return (
+        _pspan_ctes()
+        + """, dropped AS (
+        SELECT DISTINCT spans.id_b AS doc_id, u.pos::BIGINT AS pos
+        FROM spans, unnest(range(b_start, b_start + span_toks)) AS u(pos)
+    ), affected AS (
+        SELECT DISTINCT doc_id FROM dropped
+    ), tok AS (
+        SELECT t.doc_id, len(t.toks)::BIGINT AS n_toks,
+               u.pos::BIGINT AS pos, t.toks[u.pos] AS tk
+        FROM t JOIN affected USING (doc_id),
+             unnest(range(1, len(t.toks) + 1)) AS u(pos)
+    )
+    SELECT tok.doc_id, max(tok.n_toks) AS n_toks,
+           sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropped,
+           coalesce(string_agg(tok.tk, ' ' ORDER BY tok.pos)
+                        FILTER (WHERE d.pos IS NULL), '') AS kept_text
+    FROM tok LEFT JOIN dropped d ON tok.doc_id = d.doc_id AND tok.pos = d.pos
+    GROUP BY tok.doc_id
+    """
+    )
+
+
+@register(
+    "dup_passage_rebuild",
+    _pspan_rebuild_oracle(),
+    survey_ids=("A7", "G2"),
+    doc="Passage-level dedup APPLIED, not just measured (the "
+    "span_dedup_rebuild discipline, on the unaligned detector): for "
+    "every duplicated passage dup_passage_spans reports, the LATER "
+    "document (id_b — keep-first-occurrence, deterministic since "
+    "id_a < id_b) has the covered token positions excised and its "
+    "text rebuilt from the survivors in order.  Output is bounded by "
+    "AFFECTED documents (docs that lose at least one token), not the "
+    "corpus: (doc_id, n_toks, n_dropped, kept_text).  Overlapping "
+    "spans union through a DISTINCT position set, so double-counting "
+    "is impossible.  Plan shape: the span relation is the verified "
+    "dup_passage_spans plan (shared builder, shared oracle CTE chain "
+    "— measure and rebuild cannot drift); position excision is one "
+    "explode of the affected docs (semi-join pruned before the "
+    "explode, so the corpus is never re-tokenized), a left anti "
+    "lookup on (doc, pos), and one per-doc sorted-collect rebuild "
+    "bounded by the doc's own token count.",
+)
+def q_dup_passage_rebuild(spark, sf_dir):
+    spans = _passage_spans(spark, sf_dir)
+    dropped = (
+        spans.select(
+            F.col("id_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("b_start"), F.col("b_start") + F.col("span_toks") - 1
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        # Tiny (affected positions only) and read three times below;
+        # materializing also stops the full span plan re-running per
+        # consumer.
+        .localCheckpoint(eager=True)
+    )
+    affected = dropped.select("doc_id").distinct()
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (
+        docs.join(affected, "doc_id", "left_semi")
+        .select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.posexplode("toks").alias("pos0", "tk"),
+        )
+        .withColumn("pos", (F.col("pos0") + 1).cast("long"))
+    )
+    flagged = tok.join(
+        dropped.withColumn("__d", F.lit(True)), ["doc_id", "pos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("__d").isNull(), F.struct("pos", "tk")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_toks").alias("n_toks"),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        # collect_list skips the NULL structs the when() emits for
+        # dropped positions; all-dropped docs land as '' via the empty
+        # array, matching the oracle's coalesce.
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["tk"],
+            ),
+            " ",
+        ).alias("kept_text"),
     )
 
 
