@@ -203,7 +203,11 @@ def main() -> None:
     from tomasz_weight_tracker_spark.plans.round6 import LAYOUT_WRITE_S
 
     layout = {}
-    for name in ("bucketed_join_orders", "partition_pruned_scan"):
+    for name in (
+        "bucketed_join_orders",
+        "partition_pruned_scan",
+        "training_shard_write",
+    ):
         try:
             LAYOUT_WRITE_S.pop(name, None)
             t0 = time.time()

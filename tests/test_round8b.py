@@ -140,6 +140,35 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestTrainingShardWrite:
+    def test_roundtrip_manifest_and_contiguous_files(self, spark):
+        from pyspark.sql import functions as SF
+
+        from tomasz_weight_tracker_spark.session import fixed_scratch_dir
+
+        manifest = sorted(
+            map(tuple, REGISTRY["training_shard_write"].build(spark, SF_SMALL).collect())
+        )
+        direct = sorted(
+            map(tuple, REGISTRY["corpus_shuffle_shards"].build(spark, SF_SMALL).collect())
+        )
+        assert manifest == direct
+        # Each physical file must hold a CONTIGUOUS, non-overlapping
+        # run of (shard_id, gs) — the range-partitioned training order.
+        back = spark.read.parquet(f"{fixed_scratch_dir('shards')}/shards")
+        ranges = (
+            back.groupBy(SF.input_file_name().alias("f"))
+            .agg(
+                SF.min(SF.struct("shard_id", "gs")).alias("lo"),
+                SF.max(SF.struct("shard_id", "gs")).alias("hi"),
+            )
+            .collect()
+        )
+        spans = sorted((tuple(r.lo), tuple(r.hi)) for r in ranges)
+        for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+            assert hi <= lo2, "file shard ranges overlap"
+
+
 class TestBpeCorpusTokens:
     def test_accounting_invariants(self, spark):
         rows = REGISTRY["bpe_corpus_tokens"].build(spark, SF_SMALL).collect()

@@ -947,6 +947,14 @@ def _shuffle_shard_oracle() -> str:
     "(h div 2^k) keeping per-bucket windows bounded.",
 )
 def q_corpus_shuffle_shards(spark, sf_dir):
+    return _shard_manifest(_shuffled_docs(spark, sf_dir))
+
+
+def _shuffled_docs(spark, sf_dir):
+    """Per-document shard assignment (doc_id, text, n_tokens, h, gs,
+    shard_id) — the distributed-prefix-sum shuffle order, shared by
+    the manifest query and the shard WRITER so the written layout and
+    the manifest cannot drift."""
     from pyspark.sql import Window
 
     from ..caching import track_cache
@@ -984,12 +992,17 @@ def q_corpus_shuffle_shards(spark, sf_dir):
         within.join(F.broadcast(offsets), "hshard")
         .withColumn("gs", F.col("off") + F.col("in_cum") - F.col("n_tokens"))
         .withColumn("shard_id", F.expr(f"gs div {SHARD_TOKENS}"))
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("shard_tokens"),
-            F.min_by("doc_id", "gs").alias("first_doc"),
-            F.min("h").alias("h_lo"),
-            F.max("h").alias("h_hi"),
-        )
+        .select("doc_id", "n_tokens", "h", "gs", "shard_id")
+    )
+
+
+def _shard_manifest(assigned):
+    """Collapse a per-doc shard assignment into the one-row-per-shard
+    reader manifest."""
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min_by("doc_id", "gs").alias("first_doc"),
+        F.min("h").alias("h_lo"),
+        F.max("h").alias("h_hi"),
     )

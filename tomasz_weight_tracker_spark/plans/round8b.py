@@ -494,6 +494,69 @@ def q_pq_recall_audit(spark, sf_dir):
 
 
 # ===========================================================================
+# Training-shard writer: the shuffle+manifest executed as a LAYOUT op
+# ===========================================================================
+
+SHARD_FILES = 32  # range-partitioned output files (sized, contiguous)
+
+
+def _shard_write_oracle() -> str:
+    from .round8 import _shuffle_shard_oracle
+
+    # The written layout must reproduce the manifest EXACTLY — same
+    # oracle as corpus_shuffle_shards, now checked through a parquet
+    # round trip of the physical shard files.
+    return _shuffle_shard_oracle()
+
+
+@register(
+    "training_shard_write",
+    _shard_write_oracle(),
+    survey_ids=("S10", "S9"),
+    doc="The training-shard WRITER executed in the gate (the "
+    "bucketed_join_orders/partition_pruned_scan layout discipline): "
+    "the seeded-shuffle shard assignment (shared builder with "
+    "corpus_shuffle_shards — layout and manifest cannot drift) is "
+    f"written as {SHARD_FILES} range-partitioned parquet files, each "
+    "a CONTIGUOUS run of shards in training order "
+    "(repartitionByRange on (shard_id, gs) + sortWithinPartitions — "
+    "exactly how a production writer packs small logical shards into "
+    "sized physical files; at 100 TB SHARD_TOKENS is ~1e8 so the "
+    "shard:file ratio tightens, same plan).  The gate then re-reads "
+    "the FILES and rebuilds the manifest from them, value-checking "
+    "that the physical layout carries doc membership, token counts, "
+    "training order (first_doc via min_by on the persisted gs) and "
+    "hash ranges through the round trip.  Write seconds land in "
+    "LAYOUT_WRITE_S so bench reports the investment apart from the "
+    "query (round-6 item-3 discipline).  Payload includes the text "
+    "column — these files are what a training reader consumes.",
+)
+def q_training_shard_write(spark, sf_dir):
+    import time as _time
+
+    from ..session import fixed_scratch_dir
+    from .round8 import _shard_manifest, _shuffled_docs
+    from .round6 import LAYOUT_WRITE_S
+
+    d = fixed_scratch_dir("shards")
+    assigned = _shuffled_docs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = assigned.join(docs, "doc_id").select(
+        "shard_id", "gs", "doc_id", "n_tokens", "h", "text"
+    )
+    t0 = _time.time()
+    (
+        payload.repartitionByRange(SHARD_FILES, "shard_id", "gs")
+        .sortWithinPartitions("shard_id", "gs")
+        .write.mode("overwrite")
+        .parquet(f"{d}/shards")
+    )
+    LAYOUT_WRITE_S["training_shard_write"] = round(_time.time() - t0, 3)
+    back = spark.read.parquet(f"{d}/shards")
+    return _shard_manifest(back)
+
+
+# ===========================================================================
 # Corpus-wide BPE token accounting (per-source, vocabulary-bounded)
 # ===========================================================================
 
