@@ -140,6 +140,58 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestIvfadcTopk:
+    def test_ranking_shape_and_cell_pruning(self, spark):
+        from tomasz_weight_tracker_spark.operators.similarity import (
+            dot,
+            ivf_assign,
+            ivf_train,
+        )
+        from tomasz_weight_tracker_spark.plans.catalog import load
+        from tomasz_weight_tracker_spark.plans.round8b import (
+            IVFADC_COARSE,
+            IVFADC_NPROBE,
+            IVFADC_NQ,
+            IVFADC_TOPK,
+        )
+
+        rows = REGISTRY["embed_ivfadc_topk"].build(spark, SF_SMALL).collect()
+        byq: dict[int, list] = {}
+        for r in rows:
+            byq.setdefault(r.q_id, []).append(r)
+        assert set(byq) == set(range(IVFADC_NQ))
+        for q, rs in byq.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, IVFADC_TOPK + 1))
+            dists = [r.adc_dist for r in rs]
+            assert dists == sorted(dists) and all(d >= 0 for d in dists)
+            assert all(r.neighbor_id != q for r in rs)
+
+        # The pruning claim: every returned neighbor lives in one of
+        # the query's nprobe probed coarse cells.
+        e = load(spark, SF_SMALL, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        coarse = ivf_train(e, n_centroids=IVFADC_COARSE)
+        cells = {
+            r.vec_id: r.centroid_id for r in ivf_assign(e, coarse).collect()
+        }
+        cents = {r.centroid_id: r.embedding for r in coarse.collect()}
+        qvecs = {
+            r.vec_id: r.embedding
+            for r in e.filter(F.col("vec_id") < IVFADC_NQ).collect()
+        }
+        for q, rs in byq.items():
+            scores = sorted(
+                (
+                    (-sum(a * b for a, b in zip(qvecs[q], cv)), cid)
+                    for cid, cv in cents.items()
+                ),
+            )[:IVFADC_NPROBE]
+            probed = {cid for _, cid in scores}
+            assert all(cells[r.neighbor_id] in probed for r in rs)
+
+
 class TestTrainingShardWrite:
     def test_roundtrip_manifest_and_contiguous_files(self, spark):
         from pyspark.sql import functions as SF

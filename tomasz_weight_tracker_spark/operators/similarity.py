@@ -457,12 +457,15 @@ def sql_pq_chain(
     k: int = PQ_K,
     iterations: int = PQ_ITERS,
     source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE chain replaying :func:`pq_train` exactly (same e6
     quantization, same shared md5 init sample, same integer-L2 argmin,
     same portable floor-div means).  The trained codebook ends in
-    ``cent`` as (m, centroid_id, qc); the quantized vectors in ``e``
-    as (vec_id, qv)."""
+    ``{prefix}cent`` as (m, centroid_id, qc); the quantized vectors in
+    ``{prefix}e`` as (vec_id, qv).  ``prefix`` namespaces every CTE so
+    the chain can compose with others that use the same conventional
+    names (the IVFADC oracle stacks it on the sql_ivf_train chain)."""
     subdim = dim // m
     sub_ms = ", ".join(str(j) for j in range(m))
     isq = (
@@ -470,35 +473,36 @@ def sql_pq_chain(
         "i -> (sv[i] - qc[i]) * (sv[i] - qc[i])))"
     )
     fd = "(s - ((s % n) + n) % n) // n"
+    p = prefix
     parts = [
-        f"e AS (SELECT vec_id, list_transform(v, x -> floor(x * {PQ_Q})::BIGINT) AS qv"
+        f"{p}e AS (SELECT vec_id, list_transform(v, x -> floor(x * {PQ_Q})::BIGINT) AS qv"
         f" FROM ({source}))",
-        f"subs AS (SELECT vec_id, t.m, list_slice(qv, t.m * {subdim} + 1,"
-        f" (t.m + 1) * {subdim}) AS sv FROM e, unnest([{sub_ms}]) t(m))",
-        "init AS (SELECT centroid_id, qv FROM ("
+        f"{p}subs AS (SELECT vec_id, t.m, list_slice(qv, t.m * {subdim} + 1,"
+        f" (t.m + 1) * {subdim}) AS sv FROM {p}e, unnest([{sub_ms}]) t(m))",
+        f"{p}init AS (SELECT centroid_id, qv FROM ("
         "SELECT row_number() OVER (ORDER BY "
         "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id) - 1"
-        f" AS centroid_id, qv FROM e) WHERE centroid_id < {k})",
-        f"c0 AS (SELECT t.m, centroid_id, list_slice(qv, t.m * {subdim} + 1,"
-        f" (t.m + 1) * {subdim}) AS qc FROM init, unnest([{sub_ms}]) t(m))",
+        f" AS centroid_id, qv FROM {p}e) WHERE centroid_id < {k})",
+        f"{p}c0 AS (SELECT t.m, centroid_id, list_slice(qv, t.m * {subdim} + 1,"
+        f" (t.m + 1) * {subdim}) AS qc FROM {p}init, unnest([{sub_ms}]) t(m))",
     ]
     for r in range(1, iterations + 1):
         parts.append(
-            f"a{r} AS (SELECT vec_id, m, centroid_id, sv FROM ("
-            "SELECT subs.vec_id, subs.m, c.centroid_id, subs.sv, "
-            "row_number() OVER (PARTITION BY subs.vec_id, subs.m "
-            f"ORDER BY {isq.replace('qc', 'c.qc')}, c.centroid_id) AS rn "
-            f"FROM subs JOIN c{r - 1} c USING (m)) WHERE rn = 1)"
+            f"{p}a{r} AS (SELECT vec_id, m, centroid_id, sv FROM ("
+            f"SELECT {p}subs.vec_id, {p}subs.m, c.centroid_id, {p}subs.sv, "
+            f"row_number() OVER (PARTITION BY {p}subs.vec_id, {p}subs.m "
+            f"ORDER BY {isq.replace('sv[', f'{p}subs.sv[').replace('qc', 'c.qc')}, c.centroid_id) AS rn "
+            f"FROM {p}subs JOIN {p}c{r - 1} c USING (m)) WHERE rn = 1)"
         )
         parts.append(
-            f"comp{r} AS (SELECT m, centroid_id, i AS pos, {fd} AS c"
+            f"{p}comp{r} AS (SELECT m, centroid_id, i AS pos, {fd} AS c"
             f" FROM (SELECT m, centroid_id, i, sum(sv[i])::BIGINT AS s,"
-            f" count(*)::BIGINT AS n FROM a{r}, generate_series(1, {subdim}) t(i)"
+            f" count(*)::BIGINT AS n FROM {p}a{r}, generate_series(1, {subdim}) t(i)"
             " GROUP BY m, centroid_id, i))"
         )
         parts.append(
-            f"c{r} AS (SELECT m, centroid_id, list(c ORDER BY pos) AS qc"
-            f" FROM comp{r} GROUP BY m, centroid_id)"
+            f"{p}c{r} AS (SELECT m, centroid_id, list(c ORDER BY pos) AS qc"
+            f" FROM {p}comp{r} GROUP BY m, centroid_id)"
         )
-    parts.append(f"cent AS (SELECT m, centroid_id, qc FROM c{iterations})")
+    parts.append(f"{p}cent AS (SELECT m, centroid_id, qc FROM {p}c{iterations})")
     return ",\n    ".join(parts)

@@ -494,6 +494,223 @@ def q_pq_recall_audit(spark, sf_dir):
 
 
 # ===========================================================================
+# IVFADC: coarse quantizer + residual PQ — the production ANN layout
+# ===========================================================================
+
+IVFADC_COARSE = 8
+IVFADC_NPROBE = 2
+IVFADC_TOPK = 5
+IVFADC_NQ = 5
+
+
+def _ivfadc_oracle() -> str:
+    from ..operators.similarity import PQ_Q, sql_ivf_train, sql_pq_chain
+
+    subdim = 16
+    isq = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (s.sv[i] - c.qc[i]) * (s.sv[i] - c.qc[i])))"
+    )
+    isq_q = isq.replace("s.sv", "qsub.sv").replace("c.qc", "pc.qc")
+    return (
+        "WITH "
+        + sql_ivf_train(n_centroids=IVFADC_COARSE)
+        + f""",
+    af AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    resid AS (SELECT af.vec_id,
+                     list_transform(range(1, 65), i -> af.v[i] - c.cv[i]) AS v
+              FROM af JOIN cent c USING (centroid_id)),
+    {sql_pq_chain(source="SELECT vec_id, v FROM resid", prefix="pq_")},
+    codes AS (SELECT vec_id, m, centroid_id FROM (
+        SELECT s.vec_id, s.m, c.centroid_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY {isq}, c.centroid_id) AS rn
+        FROM pq_subs s JOIN pq_cent c USING (m)) WHERE rn = 1),
+    probes AS (SELECT q_id, centroid_id FROM (
+        SELECT e.vec_id AS q_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN cent c WHERE e.vec_id < {IVFADC_NQ})
+        WHERE rn <= {IVFADC_NPROBE}),
+    qq AS (SELECT p.q_id, p.centroid_id,
+                  list_transform(range(1, 65),
+                                 i -> floor((e.v[i] - c.cv[i]) * {PQ_Q})::BIGINT)
+                      AS qv
+           FROM probes p JOIN e ON e.vec_id = p.q_id
+                JOIN cent c USING (centroid_id)),
+    qsub AS (SELECT q_id, centroid_id AS coarse_id, t.m,
+                    list_slice(qv, t.m * {subdim} + 1, (t.m + 1) * {subdim}) AS sv
+             FROM qq, unnest([0, 1, 2, 3]) t(m)),
+    dtab AS (SELECT qsub.q_id, qsub.coarse_id, pc.m,
+                    pc.centroid_id AS pq_id, {isq_q}::BIGINT AS d
+             FROM qsub JOIN pq_cent pc USING (m)),
+    cand AS (SELECT af.vec_id AS neighbor_id, af.centroid_id AS coarse_id,
+                    codes.m, codes.centroid_id AS pq_id
+             FROM af JOIN codes USING (vec_id)),
+    adc AS (SELECT d.q_id, cand.neighbor_id, sum(d.d)::BIGINT AS adc_dist
+            FROM cand JOIN dtab d
+              ON d.coarse_id = cand.coarse_id AND d.m = cand.m
+             AND d.pq_id = cand.pq_id
+            WHERE cand.neighbor_id <> d.q_id
+            GROUP BY 1, 2)
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
+           adc_dist
+    FROM adc
+    QUALIFY rank <= {IVFADC_TOPK}"""
+    )
+
+
+@register(
+    "embed_ivfadc_topk",
+    _ivfadc_oracle(),
+    survey_ids=("O5", "A1"),
+    doc="IVFADC — the production trillion-scale ANN layout (Jegou et "
+    "al. 2011 §IV): a coarse IVF quantizer routes each query to its "
+    f"{IVFADC_NPROBE} nearest of {IVFADC_COARSE} cells, and within "
+    "the probed cells candidates are ranked by asymmetric distance "
+    "through a PQ codebook trained on RESIDUALS (vector minus its "
+    "coarse centroid — residual energy is what PQ quantizes well, "
+    "the paper's key refinement over flat PQ).  Composes the two "
+    "catalog-verified trainers: ivf_train's coarse centroids and "
+    "pq_train on the residual table; the oracle stacks both replay "
+    "chains (sql_ivf_train + sql_pq_chain(prefix='pq_')) plus the "
+    "probe/ADC ranking.  Scale shape: candidates are touched ONLY in "
+    "probed cells (the IVF equi-join prunes ~(1 - nprobe/C) of the "
+    "corpus), each through its packed 2-byte code (8 bytes of "
+    "payload per vector), with the per-(query, cell) distance table "
+    "broadcast — no shuffle of the corpus side at any point after "
+    "encoding.  All-integer ADC distances with id tiebreaks keep the "
+    "ranking bit-portable.",
+)
+def q_embed_ivfadc_topk(spark, sf_dir):
+    from ..operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_Q,
+        _isqdist,
+        _sub,
+        dot,
+        ivf_assign,
+        ivf_train,
+        pq_codes,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    coarse = ivf_train(e, n_centroids=IVFADC_COARSE).localCheckpoint(eager=True)
+    cv = coarse.select("centroid_id", F.col("embedding").alias("__cv"))
+    af = ivf_assign(e, coarse)
+    # Materialize the residual table once (eager): it feeds PQ
+    # training (itself iterative), encoding, and the candidate cell
+    # map — without this the coarse-assignment window re-runs per
+    # consumer.  At production scale this is the persisted encoded
+    # table a real IVFADC index stores anyway.
+    resid = (
+        af.join(F.broadcast(cv), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with("embedding", "__cv", lambda a, b: a - b).alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rvecs = resid.select("vec_id", F.col("rv").alias("embedding"))
+    pqc = pq_train(rvecs).localCheckpoint(eager=True)
+    codes = pq_codes(rvecs, pqc)
+
+    subdim = 64 // PQ_M
+    bits = max((PQ_K - 1).bit_length(), 1)
+    q = e.filter(F.col("vec_id") < IVFADC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv_raw")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cv), how="cross")
+        .withColumn("__score", dot(F.col("qv_raw"), F.col("__cv")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= IVFADC_NPROBE)
+        .select(
+            "q_id",
+            F.col("centroid_id").alias("coarse_id"),
+            F.zip_with(
+                "qv_raw",
+                "__cv",
+                lambda a, b: F.floor((a - b) * F.lit(PQ_Q)).cast("long"),
+            ).alias("qres"),
+        )
+    )
+    qsub = probes.select(
+        "q_id",
+        "coarse_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("m"),
+                        _sub(F.col("qres"), j, subdim).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "coarse_id", "s.m", "s.sv")
+    dtab = qsub.join(F.broadcast(pqc), "m").select(
+        "q_id",
+        "coarse_id",
+        "m",
+        F.col("centroid_id").alias("pq_id"),
+        _isqdist(F.col("sv"), F.col("qc")).alias("d"),
+    )
+    cand = (
+        codes.join(
+            resid.select("vec_id", F.col("centroid_id").alias("coarse_id")),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "coarse_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("m"),
+                            F.shiftright(F.col("pq_code"), j * bits)
+                            .bitwiseAND(F.lit(PQ_K - 1))
+                            .cast("int")
+                            .alias("pq_id"),
+                        )
+                        for j in range(PQ_M)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("neighbor_id", "coarse_id", "c.m", "c.pq_id")
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["coarse_id", "m", "pq_id"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVFADC_TOPK)
+        .select("q_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+# ===========================================================================
 # Training-shard writer: the shuffle+manifest executed as a LAYOUT op
 # ===========================================================================
 
