@@ -112,6 +112,11 @@ HEADLINE = [
     # linear-output consumer shape of the collapse-first LSH rework.
     "ngram_lm_score",
     "lsh_dup_star_edges",
+    # Round-8b: the unaligned exact-substring passage detector — the
+    # corpus-explode representative of the new dedup family (the
+    # rebuild, audits and IVFADC are training/fixed-cost-dominated and
+    # tracked in queries_full).
+    "dup_passage_spans",
 ]
 
 SIDEBAR = ["user_zscore_arrow"]

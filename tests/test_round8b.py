@@ -140,6 +140,31 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestTermProximitySearch:
+    def test_hits_verified_against_raw_positions(self, spark):
+        from tomasz_weight_tracker_spark.plans.round8b import PROX_WINDOW
+
+        rows = REGISTRY["term_proximity_search"].build(spark, SF_SMALL).collect()
+        assert rows
+        terms = {(r.term_a, r.term_b) for r in rows}
+        assert len(terms) == 1  # one probe pair, corpus-derived
+        ta, tb = terms.pop()
+        assert all(1 <= r.min_gap <= PROX_WINDOW and r.n_pairs >= 1 for r in rows)
+        # Recompute one document's pair count from raw token positions.
+        r0 = min(rows, key=lambda r: r.doc_id)
+        toks = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .filter(F.col("doc_id") == r0.doc_id)
+            .select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+            .collect()[0]["t"]
+        )
+        pa = [i for i, w in enumerate(toks, 1) if w == ta]
+        pb = [i for i, w in enumerate(toks, 1) if w == tb]
+        pairs = [(x, y) for x in pa for y in pb if abs(x - y) <= PROX_WINDOW]
+        assert r0.n_pairs == len(pairs)
+        assert r0.min_gap == min(abs(x - y) for x, y in pairs)
+
+
 class TestIvfadcTopk:
     def test_ranking_shape_and_cell_pruning(self, spark):
         from tomasz_weight_tracker_spark.operators.similarity import (

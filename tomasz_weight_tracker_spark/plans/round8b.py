@@ -494,6 +494,107 @@ def q_pq_recall_audit(spark, sf_dir):
 
 
 # ===========================================================================
+# Positional-index proximity search (terms within a window)
+# ===========================================================================
+
+PROX_WINDOW = 10
+
+
+def _proximity_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, u.p::BIGINT AS pos, toks[u.p] AS w
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(lower(text)), '\\s+') END
+                       AS toks
+            FROM documents
+        ), unnest(range(1, len(toks) + 1)) AS u(p)
+    ), top2 AS (
+        SELECT w, rnk FROM (
+            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+            FROM tok GROUP BY w) WHERE rnk <= 2
+    ), p1 AS (
+        SELECT tok.doc_id, tok.pos, tok.w FROM tok
+        JOIN top2 ON tok.w = top2.w AND top2.rnk = 1
+    ), p2 AS (
+        SELECT tok.doc_id, tok.pos, tok.w FROM tok
+        JOIN top2 ON tok.w = top2.w AND top2.rnk = 2
+    )
+    SELECT p1.doc_id,
+           any_value(p1.w) AS term_a, any_value(p2.w) AS term_b,
+           count(*)::BIGINT AS n_pairs,
+           min(abs(p1.pos - p2.pos))::BIGINT AS min_gap
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+    WHERE abs(p1.pos - p2.pos) <= {PROX_WINDOW}
+    GROUP BY p1.doc_id
+    """
+
+
+@register(
+    "term_proximity_search",
+    _proximity_oracle(),
+    survey_ids=("W1", "J1"),
+    doc="Positional-index proximity search — the IR operator BM25 "
+    "lacks: find documents where two terms co-occur within "
+    f"{PROX_WINDOW} token positions, with pair count and closest "
+    "gap per document.  The probe terms are data-derived "
+    "deterministically (the corpus' two most frequent tokens, "
+    "count-desc/lexicographic tiebreak) so the query is "
+    "self-contained and oracle-replayable.  Plan shape: ONE corpus "
+    "tokenize/explode builds the positional postings; the 2-row term "
+    "table broadcasts onto it, so only the two probed terms' "
+    "postings survive to the shuffle (the filter lands before the "
+    "exchange — at 100 TB the join input is the postings of two "
+    "terms, not the corpus); the proximity pair join is keyed on "
+    "doc_id, so per-doc work is bounded by the doc's own term "
+    "counts.  A hyper-frequent term pair inside one enormous doc "
+    "would escalate to the interval_bucket_join band pattern "
+    "(bucket positions by the window, join adjacent buckets) — same "
+    "relational shape, noted here for the record.",
+)
+def q_term_proximity_search(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos0", "w"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), "w")
+    top2 = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 2)
+        .select("w", "rnk")
+        # 2 rows; materialize so the corpus-wide count runs once, not
+        # once per postings branch.
+        .localCheckpoint(eager=True)
+    )
+    p1 = tok.join(
+        F.broadcast(top2.filter(F.col("rnk") == 1).select("w")), "w"
+    ).select("doc_id", F.col("pos").alias("pos_a"), F.col("w").alias("term_a"))
+    p2 = tok.join(
+        F.broadcast(top2.filter(F.col("rnk") == 2).select("w")), "w"
+    ).select("doc_id", F.col("pos").alias("pos_b"), F.col("w").alias("term_b"))
+    return (
+        p1.join(p2, "doc_id")
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= PROX_WINDOW)
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("term_a").alias("term_a"),
+            F.any_value("term_b").alias("term_b"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+            .cast("long")
+            .alias("min_gap"),
+        )
+    )
+
+
+# ===========================================================================
 # IVFADC: coarse quantizer + residual PQ — the production ANN layout
 # ===========================================================================
 
