@@ -140,6 +140,30 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestEvalDecontamSpans:
+    def test_roles_and_verbatim_evidence(self, spark):
+        from tomasz_weight_tracker_spark.plans.round8b import DECON_EVAL_MOD
+
+        rows = REGISTRY["eval_decontam_spans"].build(spark, SF_SMALL).collect()
+        assert rows
+        docs = {
+            r["doc_id"]: r["toks"]
+            for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select(
+                "doc_id",
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+            )
+            .collect()
+        }
+        for s in rows:
+            assert s.eval_id % DECON_EVAL_MOD == 0
+            assert s.train_id % DECON_EVAL_MOD != 0
+            te, tt = docs[s.eval_id], docs[s.train_id]
+            ie, it, n = s.eval_start - 1, s.train_start - 1, s.span_toks
+            assert n >= PSPAN_MIN
+            assert te[ie : ie + n] == tt[it : it + n]
+
+
 class TestTermProximitySearch:
     def test_hits_verified_against_raw_positions(self, spark):
         from tomasz_weight_tracker_spark.plans.round8b import PROX_WINDOW

@@ -50,11 +50,10 @@ PSPAN_MIN = 16
 PSPAN_DF_MAX = 16
 
 
-def _pspan_ctes() -> str:
-    """Open CTE chain ending in ``spans`` (id_a, id_b, a_start,
-    b_start, span_toks) — shared by the measuring query and the
-    rebuild so the two cannot drift (the sql_lm_chain lesson)."""
-    k, mn, cap = PSPAN_K, PSPAN_MIN, PSPAN_DF_MAX
+def _pspan_base_ctes() -> str:
+    """Tokenize -> rolling-gram -> df-cap fragment (CTEs t, g, df) —
+    shared by every passage-span consumer."""
+    k, cap = PSPAN_K, PSPAN_DF_MAX
     h = md5_long_sql(f"array_to_string(toks[p : p + {k - 1}], ' ')")
     return f"""
     WITH t AS (
@@ -68,7 +67,15 @@ def _pspan_ctes() -> str:
         WHERE len(toks) >= {k}
     ), df AS (
         SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND {cap}
-    ), m AS (
+    )"""
+
+
+def _pspan_ctes() -> str:
+    """Open CTE chain ending in ``spans`` (id_a, id_b, a_start,
+    b_start, span_toks) — shared by the measuring query and the
+    rebuild so the two cannot drift (the sql_lm_chain lesson)."""
+    k, mn = PSPAN_K, PSPAN_MIN
+    return _pspan_base_ctes() + f""", m AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
         FROM g a JOIN g b USING (h) JOIN df USING (h)
         WHERE a.doc_id < b.doc_id
@@ -490,6 +497,136 @@ def q_pq_recall_audit(spark, sf_dir):
             F.expr("(n_hit * 1000000) div n_true").cast("long").alias("recall_ppm"),
             "n_top1_hit",
         )
+    )
+
+
+# ===========================================================================
+# Passage-level eval-set decontamination (span evidence, both directions)
+# ===========================================================================
+
+DECON_EVAL_MOD = 7  # doc_id % MOD == 0 plays the held-out eval set
+# (mod 7 keeps the gate non-trivial at every test SF: 7-8 leakage
+# spans at sf0.001/sf0.01 where mod 97's sparser eval set finds 0
+# at sf0.01 — an empty result would hash-match vacuously)
+
+
+def _decontam_oracle() -> str:
+    k, mn, mod = PSPAN_K, PSPAN_MIN, DECON_EVAL_MOD
+    return (
+        _pspan_base_ctes()
+        + f""", m AS (
+        SELECT e.doc_id AS eval_id, t2.doc_id AS train_id,
+               e.p AS pe, t2.p AS pt
+        FROM g e JOIN g t2 USING (h) JOIN df USING (h)
+        WHERE e.doc_id % {mod} = 0 AND t2.doc_id % {mod} <> 0
+    ), i AS (
+        SELECT eval_id, train_id, pe, pt, pe - pt AS diag,
+               pe - row_number() OVER (PARTITION BY eval_id, train_id, pe - pt
+                                       ORDER BY pe) AS isl
+        FROM m
+    )
+    SELECT eval_id, train_id,
+           min(pe)::BIGINT AS eval_start, min(pt)::BIGINT AS train_start,
+           (count(*) + {k} - 1)::BIGINT AS span_toks
+    FROM i GROUP BY eval_id, train_id, diag, isl
+    HAVING count(*) + {k} - 1 >= {mn}
+    """
+    )
+
+
+@register(
+    "eval_decontam_spans",
+    _decontam_oracle(),
+    survey_ids=("A7", "J4"),
+    doc="Passage-level eval-set decontamination with SPAN EVIDENCE — "
+    "the leakage check run before any benchmark claim: documents "
+    f"with doc_id % {DECON_EVAL_MOD} == 0 play the held-out eval "
+    "set, and every train document sharing a verbatim passage of >= "
+    f"{PSPAN_MIN} tokens with an eval document is reported with the "
+    "exact positions on BOTH sides (eval_start for audit, "
+    "train_start for excision via the dup_passage_rebuild "
+    "machinery).  Strictly stronger evidence than "
+    "contamination_overlap's shingle fraction: a 0.1% overlap "
+    "fraction can still be one fatal verbatim answer string, which "
+    "this query pins to a position.  Same rolling-gram + df-cap + "
+    "gaps-and-islands machinery as dup_passage_spans (shared "
+    "_pspan_base CTEs and builder fragments), with the pairing rule "
+    "swapped from id-ordered to eval-x-train — both directions of "
+    "leakage in one pass.  At 100 TB the eval side is tiny and its "
+    "gram postings broadcast; the train side is touched once.",
+)
+def q_eval_decontam_spans(spark, sf_dir):
+    k, mod = PSPAN_K, DECON_EVAL_MOD
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda p: F.struct(
+                    p.cast("long").alias("p"),
+                    md5_long(F.array_join(F.slice("toks", p, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.h")
+    is_eval = F.col("doc_id") % mod == 0
+    posts = (
+        g.groupBy("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(is_eval, F.struct("doc_id", "p")))
+            ).alias("es"),
+            F.sort_array(
+                F.collect_list(F.when(~is_eval, F.struct("doc_id", "p")))
+            ).alias("ts"),
+        )
+        .filter(
+            (F.size("es") + F.size("ts") >= 2)
+            & (F.size("es") + F.size("ts") <= PSPAN_DF_MAX)
+            & (F.size("es") >= 1)
+            & (F.size("ts") >= 1)
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("es"),
+            lambda x: F.transform(
+                F.col("ts"),
+                lambda y: F.struct(
+                    x["doc_id"].alias("eval_id"),
+                    x["p"].alias("pe"),
+                    y["doc_id"].alias("train_id"),
+                    y["p"].alias("pt"),
+                ),
+            ),
+        )
+    )
+    m = posts.select(F.explode(pair_structs).alias("pr")).select(
+        "pr.eval_id", "pr.pe", "pr.train_id", "pr.pt"
+    )
+    w = Window.partitionBy(
+        "eval_id", "train_id", F.col("pe") - F.col("pt")
+    ).orderBy("pe")
+    isl = m.select(
+        "eval_id",
+        "train_id",
+        "pe",
+        "pt",
+        (F.col("pe") - F.col("pt")).alias("diag"),
+        (F.col("pe") - F.row_number().over(w)).alias("isl"),
+    )
+    return (
+        isl.groupBy("eval_id", "train_id", "diag", "isl")
+        .agg(
+            F.min("pe").alias("eval_start"),
+            F.min("pt").alias("train_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_toks"),
+        )
+        .filter(F.col("span_toks") >= PSPAN_MIN)
+        .select("eval_id", "train_id", "eval_start", "train_start", "span_toks")
     )
 
 
