@@ -21,6 +21,22 @@
   by the DISTINCT vocabulary (segment each word once, broadcast the
   per-word token count back onto word instances), so corpus volume
   never enters the BPE state machine.
+- ``dup_passage_rebuild``: the span detector APPLIED — duplicated
+  passages are excised from the LATER document (keep-first) and the
+  text rebuilt, output bounded by affected docs.
+- ``eval_decontam_spans``: the same machinery with the pairing rule
+  swapped to eval-x-train — passage-level benchmark decontamination
+  with exact position evidence on both sides.
+- ``term_proximity_search``: positional-index proximity search (two
+  corpus-derived probe terms within a 10-token window) — the IR
+  operator BM25 lacks; only the probed terms' postings reach the
+  shuffle.
+- ``embed_ivfadc_topk``: IVFADC — coarse IVF routing + PQ retrained
+  on residuals, all-integer asymmetric-distance ranking; candidates
+  touched only in probed cells, 2-byte codes after encoding.
+- ``training_shard_write``: the seeded-shuffle shard layout WRITTEN
+  as range-packed parquet files and value-checked through a
+  manifest round trip (the layout-lever discipline).
 """
 
 from __future__ import annotations
