@@ -140,6 +140,32 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestDecileCutValues:
+    def test_cuts_are_order_statistics(self, spark):
+        import math
+
+        rows = REGISTRY["decile_cut_values"].build(spark, SF_SMALL).collect()
+        by_type: dict[str, dict[int, float]] = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, {})[r.decile] = r.cut_value
+        vals = (
+            spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", "value")
+            .collect()
+        )
+        groups: dict[str, list[float]] = {}
+        for r in vals:
+            groups.setdefault(r.event_type, []).append(r.value)
+        assert set(by_type) == set(groups)
+        for et, vs in groups.items():
+            vs.sort()
+            n = len(vs)
+            for d in range(1, 10):
+                k = math.ceil(d * n / 10)
+                assert by_type[et][d] == vs[k - 1], (et, d)
+
+
 class TestEvalDecontamSpans:
     def test_roles_and_verbatim_evidence(self, spark):
         from tomasz_weight_tracker_spark.plans.round8b import DECON_EVAL_MOD

@@ -517,6 +517,81 @@ def q_pq_recall_audit(spark, sf_dir):
 
 
 # ===========================================================================
+# Exact decile cuts at scale (the documented ntile ceiling, fixed)
+# ===========================================================================
+
+
+@register(
+    "decile_cut_values",
+    """
+    WITH vc AS (
+        SELECT event_type, value, count(*)::BIGINT AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, value
+    ), cum AS (
+        SELECT event_type, value, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cc
+        FROM vc
+    ), n AS (
+        SELECT event_type, sum(c)::BIGINT AS n FROM vc GROUP BY event_type
+    ), tgt AS (
+        SELECT n.event_type, u.d::BIGINT AS decile,
+               ((u.d * n.n + 9) // 10)::BIGINT AS k
+        FROM n, unnest(range(1, 10)) AS u(d)
+    )
+    SELECT t.event_type, t.decile, min(c2.value) AS cut_value
+    FROM tgt t JOIN cum c2
+      ON c2.event_type = t.event_type AND c2.cc >= t.k
+    GROUP BY t.event_type, t.decile
+    """,
+    survey_ids=("A1", "W3"),
+    doc="EXACT decile cut values without a per-group global sort — "
+    "the scale fix for value_deciles' documented ntile ceiling (one "
+    "task per group, window depth = group rows): collapse to "
+    "per-(group, value) COUNTS first (map-side combinable — the "
+    "shuffle carries distinct values, not rows), cumulate counts "
+    "over the distinct-value frame, and read the 9 order statistics "
+    "k = ceil(d*n/10) off the cumulative relation (cut = min value "
+    "with cum count >= k, the lower-median discipline of "
+    "lm_score_calibrated — rank arithmetic stays in BIGINT, no "
+    "float percentile).  The window partition is bounded by a "
+    "group's DISTINCT value count, so a 10^9-row group with 10^5 "
+    "distinct measurement values costs what the distinct values "
+    "cost; the 9-row-per-group target join is a broadcast.  Same "
+    "cuts ntile would imply, at distinct-values cost instead of "
+    "rows-log-rows.",
+)
+def q_decile_cut_values(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vc = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.withColumn("cc", F.sum("c").over(wc))
+    n = vc.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    tgt = n.select(
+        F.col("event_type").alias("__et"),
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+        "n",
+    ).select(
+        "__et",
+        F.col("decile").cast("long").alias("decile"),
+        F.expr("(decile * n + 9) div 10").cast("long").alias("k"),
+    )
+    return (
+        cum.join(
+            F.broadcast(tgt),
+            (F.col("event_type") == F.col("__et")) & (F.col("cc") >= F.col("k")),
+        )
+        .groupBy("event_type", "decile")
+        .agg(F.min("value").alias("cut_value"))
+    )
+
+
+# ===========================================================================
 # Passage-level eval-set decontamination (span evidence, both directions)
 # ===========================================================================
 
