@@ -296,6 +296,22 @@ class TestTrainingShardWrite:
             assert hi <= lo2, "file shard ranges overlap"
 
 
+class TestIncrementalShardManifest:
+    def test_append_only_growth_with_carry_shards(self, spark):
+        rows = REGISTRY["incremental_shard_manifest"].build(spark, SF_SMALL).collect()
+        assert rows
+        rows.sort(key=lambda r: r.shard_id)
+        # Contiguous shard ids from 0; batches are non-decreasing along
+        # the shard sequence (later refreshes only ever append).
+        assert [r.shard_id for r in rows] == list(range(len(rows)))
+        assert all(r.first_batch <= r.last_batch for r in rows)
+        fb = [r.first_batch for r in rows]
+        assert fb == sorted(fb)
+        # The refresh boundaries are not shard-aligned, so at least one
+        # carry shard spans two refreshes.
+        assert any(r.first_batch < r.last_batch for r in rows)
+
+
 class TestBpeCorpusTokens:
     def test_accounting_invariants(self, spark):
         rows = REGISTRY["bpe_corpus_tokens"].build(spark, SF_SMALL).collect()

@@ -1103,6 +1103,122 @@ def q_training_shard_write(spark, sf_dir):
 
 
 # ===========================================================================
+# Incremental shard manifest: append-only growth across refreshes
+# ===========================================================================
+
+INC_SHARD_BATCHES = 3
+
+
+def _inc_shard_oracle() -> str:
+    from ..functions import md5_long_sql
+    from .round8 import SHARD_TOKENS, SHUF_SEED
+
+    h = md5_long_sql(f"'{SHUF_SEED}:' || doc_id::VARCHAR")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+                   AS n_tokens,
+               {h} AS h,
+               (doc_id % {INC_SHARD_BATCHES})::BIGINT AS batch_id
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens, h, batch_id,
+               sum(n_tokens) OVER (ORDER BY batch_id, h, doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                 - n_tokens AS gs
+        FROM toks
+    )
+    SELECT (gs // {SHARD_TOKENS})::BIGINT AS shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS shard_tokens,
+           min_by(doc_id, gs) AS first_doc,
+           min(batch_id)::BIGINT AS first_batch,
+           max(batch_id)::BIGINT AS last_batch
+    FROM cum GROUP BY 1
+    """
+
+
+@register(
+    "incremental_shard_manifest",
+    _inc_shard_oracle(),
+    survey_ids=("S11", "ST1", "A1"),
+    doc="Append-only shard-manifest growth — the crawl-refresh writer "
+    f"shape: documents arrive in {INC_SHARD_BATCHES} refreshes "
+    "(doc_id residue batches); each refresh shuffles ITS OWN docs by "
+    "the seeded hash, lays them end-to-end starting at the persisted "
+    "global token offset (read from the parquet assignment state — "
+    "one tiny aggregate, the S11 state mechanism), and APPENDS its "
+    "assignment rows; earlier shards are never rewritten, exactly "
+    "like a production corpus store where refresh N must not "
+    "invalidate the shards training already consumed.  The folded "
+    "state equals a one-shot manifest over the (batch, h, doc_id) "
+    "global order — which is what the oracle computes — so append "
+    "semantics are value-checked, not asserted.  A shard written "
+    "across a refresh boundary (the carry shard) reports "
+    "first_batch < last_batch; per refresh the work is one "
+    "within-batch prefix sum (the distributed-prefix-sum machinery "
+    "at refresh scale) plus an O(1) offset read.",
+)
+def q_incremental_shard_manifest(spark, sf_dir):
+    from ..functions import md5_long
+    from ..session import scratch_dir
+    from .round8 import SHARD_TOKENS, SHUF_SEED
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        md5_long(
+            F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    root = scratch_dir("inc_shards")
+    state = f"{root}/assign"
+    offset = 0
+    for b in range(INC_SHARD_BATCHES):
+        batch = docs.filter(F.col("doc_id") % INC_SHARD_BATCHES == b)
+        w = Window.orderBy("h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        # Refresh-scale prefix sum: the window frame is ONE refresh's
+        # docs (at production scale, the h-bucketed prefix-sum split
+        # of corpus_shuffle_shards applies within the refresh too).
+        assigned = batch.select(
+            "doc_id",
+            "n_tokens",
+            "h",
+            F.lit(b).cast("long").alias("batch_id"),
+            (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.lit(offset)).alias(
+                "gs"
+            ),
+        )
+        assigned.write.mode("append").parquet(state)
+        # O(1) state read: the next refresh starts where this one
+        # ended.  (A driver-side integer, not data volume.)
+        offset = (
+            spark.read.parquet(state)
+            .agg(F.sum("n_tokens").cast("long").alias("t"))
+            .first()["t"]
+        )
+    back = spark.read.parquet(state).withColumn(
+        "shard_id", F.expr(f"gs div {SHARD_TOKENS}")
+    )
+    return back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min_by("doc_id", "gs").alias("first_doc"),
+        F.min("batch_id").cast("long").alias("first_batch"),
+        F.max("batch_id").cast("long").alias("last_batch"),
+    )
+
+
+# ===========================================================================
 # Corpus-wide BPE token accounting (per-source, vocabulary-bounded)
 # ===========================================================================
 
