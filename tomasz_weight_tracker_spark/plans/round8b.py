@@ -790,12 +790,17 @@ def q_term_proximity_search(spark, sf_dir):
         .select("doc_id", F.posexplode("toks").alias("pos0", "w"))
         .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
     )
+    # TakeOrderedAndProject picks the top-2 terms (per-partition top-n
+    # + merge — no global sort, no vocabulary-wide single-partition
+    # window); the rank window then runs on the 2-row frame only (the
+    # dsir_importance_weights posture).
     wr = Window.orderBy(F.col("cnt").desc(), "w")
     top2 = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(2)
         .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 2)
         .select("w", "rnk")
         # 2 rows; materialize so the corpus-wide count runs once, not
         # once per postings branch.
