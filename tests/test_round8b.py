@@ -140,6 +140,45 @@ class TestPqRecallAudit:
         assert r.n_hit > 0
 
 
+class TestPassageSpanProperties:
+    def test_planted_spans_recovered(self, spark, tmp_path):
+        # Deterministic planted-span corpus: unique filler tokens per
+        # doc (no accidental grams), one shared block per pair at
+        # arbitrary offsets — the detector must recover each planted
+        # span exactly, regardless of offset alignment.
+        import itertools
+
+        plants = [  # (len_a_prefix, len_b_prefix, span_len)
+            (0, 5, 16),   # span at the very start of doc a
+            (7, 0, 23),   # and at the very start of doc b
+            (11, 3, 40),  # interior both sides
+        ]
+        rows = []
+        uid = itertools.count()
+        expected = []
+        for j, (pa, pb, n) in enumerate(plants):
+            shared = [f"s{j}x{i}" for i in range(n)]
+            a = [f"u{next(uid)}" for _ in range(pa)] + shared + [
+                f"u{next(uid)}" for _ in range(4)
+            ]
+            b = [f"u{next(uid)}" for _ in range(pb)] + shared + [
+                f"u{next(uid)}" for _ in range(4)
+            ]
+            ia, ib = 2 * j, 2 * j + 1
+            rows.append((ia, " ".join(a), "en", "p", len(" ".join(a))))
+            rows.append((ib, " ".join(b), "en", "p", len(" ".join(b))))
+            expected.append((ia, ib, pa + 1, pb + 1, n))
+        root = str(tmp_path)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+        got = sorted(
+            map(tuple, REGISTRY["dup_passage_spans"].build(spark, root).collect())
+        )
+        assert got == sorted(expected)
+
+
 class TestDecileCutValues:
     def test_cuts_are_order_statistics(self, spark):
         import math
