@@ -411,16 +411,29 @@ def pq_codes(
     m: int = PQ_M,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its M nearest-subcentroid codes, packed
     little-endian into one BIGINT (code_j in bits [j*ceil(log2 K)..)).
     Broadcast codebook, map-side argmin per subspace, one id-keyed
     aggregation to pack — the corpus compresses to 8 bytes/vector of
-    shuffle payload from here on."""
+    shuffle payload from here on.  ``carry`` columns (functionally
+    dependent on the id, e.g. the IVF cell) ride through the pack so
+    consumers need no join back to the source (min-folded: one value
+    per id, deterministically)."""
     subdim = dim // m
-    e = df.select(F.col(id_col).alias("__id"), _qvec(F.col(vec_col)).alias("__qv"))
+    # Namespace the carried columns: a carry named like a codebook
+    # column (centroid_id, the common case) must not collide in the
+    # argmin join below.
+    cmap = {c: f"__carry_{i}" for i, c in enumerate(carry)}
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        _qvec(F.col(vec_col)).alias("__qv"),
+        *[F.col(c).alias(a) for c, a in cmap.items()],
+    )
     subs = e.select(
         "__id",
+        *cmap.values(),
         F.explode(
             F.array(
                 *[
@@ -429,7 +442,7 @@ def pq_codes(
                 ]
             )
         ).alias("s"),
-    ).select("__id", "s.m", "s.sv")
+    ).select("__id", *cmap.values(), "s.m", "s.sv")
     a = subs.join(F.broadcast(cents), "m").withColumn(
         "__d", _isqdist(F.col("sv"), F.col("qc"))
     )
@@ -437,7 +450,7 @@ def pq_codes(
     assigned = (
         a.withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
-        .select("__id", "m", "centroid_id")
+        .select("__id", "m", "centroid_id", *cmap.values())
     )
     bits = max((PQ_K - 1).bit_length(), 1)
     # SQL shiftleft (unlike the Python helper) takes a column shift
@@ -447,8 +460,9 @@ def pq_codes(
             F.expr(f"cast(centroid_id as bigint) * shiftleft(1L, cast(m * {bits} as int))")
         )
         .cast("long")
-        .alias("pq_code")
-    ).select(F.col("__id").alias(id_col), "pq_code")
+        .alias("pq_code"),
+        *[F.min(a).alias(c) for c, a in cmap.items()],
+    ).select(F.col("__id").alias(id_col), "pq_code", *carry)
 
 
 def sql_pq_chain(

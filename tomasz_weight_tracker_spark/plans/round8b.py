@@ -958,7 +958,14 @@ def q_embed_ivfadc_topk(spark, sf_dir):
     )
     rvecs = resid.select("vec_id", F.col("rv").alias("embedding"))
     pqc = pq_train(rvecs).localCheckpoint(eager=True)
-    codes = pq_codes(rvecs, pqc)
+    # The IVF cell rides THROUGH the encoder (carry) — the stored
+    # index row is (vec_id, cell, 2-byte code) and no consumer ever
+    # joins back to the residual table for it.
+    codes = pq_codes(
+        resid.select("vec_id", F.col("rv").alias("embedding"), "centroid_id"),
+        pqc,
+        carry=("centroid_id",),
+    )
 
     subdim = 64 // PQ_M
     bits = max((PQ_K - 1).bit_length(), 1)
@@ -1006,10 +1013,7 @@ def q_embed_ivfadc_topk(spark, sf_dir):
         _isqdist(F.col("sv"), F.col("qc")).alias("d"),
     )
     cand = (
-        codes.join(
-            resid.select("vec_id", F.col("centroid_id").alias("coarse_id")),
-            "vec_id",
-        )
+        codes.withColumnRenamed("centroid_id", "coarse_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "coarse_id",
