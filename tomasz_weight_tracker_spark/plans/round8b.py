@@ -255,7 +255,11 @@ def _pspan_rebuild_oracle() -> str:
     "explode of the affected docs (semi-join pruned before the "
     "explode, so the corpus is never re-tokenized), a left anti "
     "lookup on (doc, pos), and one per-doc sorted-collect rebuild "
-    "bounded by the doc's own token count.",
+    "bounded by the doc's own token count.  Soak cost model: wall "
+    "tracks AFFECTED-doc volume, not corpus volume — on 10x verbatim "
+    "replicas (SOAK_r8) output grows 173x (every replica is "
+    "affected) and wall 3.8x; a corpus with constant dup density "
+    "scales linearly.",
 )
 def q_dup_passage_rebuild(spark, sf_dir):
     spans = _passage_spans(spark, sf_dir)
