@@ -327,14 +327,17 @@ def main() -> None:
         else full_sf,
     }
     print(json.dumps(full_payload), flush=True)
-    try:
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        )
-        with open(sidecar, "w") as fh:
-            json.dump(full_payload, fh, indent=1)
-    except OSError:
-        pass  # the stdout line above is the record of note
+    # A headline-only run (SPARK_GRAFT_QUERIES_FULL=0) must not clobber
+    # the committed full sidecar with an empty payload.
+    if queries_full:
+        try:
+            sidecar = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            )
+            with open(sidecar, "w") as fh:
+                json.dump(full_payload, fh, indent=1)
+        except OSError:
+            pass  # the stdout line above is the record of note
     headline = {
         "metric": "headline_queries_wall_sec",
         "value": total,
