@@ -306,6 +306,22 @@ class TestIvfadcTopk:
             assert all(cells[r.neighbor_id] in probed for r in rs)
 
 
+class TestIvfadcRecallAudit:
+    def test_audit_invariants_and_comparability(self, spark):
+        r = REGISTRY["ivfadc_recall_audit"].build(spark, SF_SMALL).collect()
+        assert len(r) == 1
+        r = r[0]
+        assert r.n_queries == PQA_N and r.k == PQA_TOPK
+        assert r.n_true == PQA_N * PQA_TOPK
+        assert 0 <= r.n_hit <= r.n_true
+        assert 0 <= r.n_top1_hit <= r.n_queries
+        assert r.recall_ppm == r.n_hit * 1_000_000 // r.n_true
+        # Same sample and same exact ground truth as pq_recall_audit,
+        # so the two rows decompose the recall budget comparably.
+        p = REGISTRY["pq_recall_audit"].build(spark, SF_SMALL).collect()[0]
+        assert (p.n_queries, p.n_true) == (r.n_queries, r.n_true)
+
+
 class TestTrainingShardWrite:
     def test_roundtrip_manifest_and_contiguous_files(self, spark):
         from pyspark.sql import functions as SF

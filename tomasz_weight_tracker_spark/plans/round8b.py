@@ -841,7 +841,11 @@ IVFADC_TOPK = 5
 IVFADC_NQ = 5
 
 
-def _ivfadc_oracle() -> str:
+def _ivfadc_chain(q_pred: str, topk: int, final: str = "ranked") -> str:
+    """IVFADC replay chain, parameterized on the query-set predicate
+    (over ``e``) and k — shared by the search query and the recall
+    audit so layout and instrument cannot drift.  Ends in ``{final}``
+    = (q_id, neighbor_id, rank, adc_dist), rank <= topk."""
     from ..operators.similarity import PQ_Q, sql_ivf_train, sql_pq_chain
 
     subdim = 16
@@ -851,8 +855,7 @@ def _ivfadc_oracle() -> str:
     )
     isq_q = isq.replace("s.sv", "qsub.sv").replace("c.qc", "pc.qc")
     return (
-        "WITH "
-        + sql_ivf_train(n_centroids=IVFADC_COARSE)
+        sql_ivf_train(n_centroids=IVFADC_COARSE)
         + f""",
     af AS (SELECT vec_id, v, centroid_id FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
@@ -872,7 +875,7 @@ def _ivfadc_oracle() -> str:
         SELECT e.vec_id AS q_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
-        FROM e CROSS JOIN cent c WHERE e.vec_id < {IVFADC_NQ})
+        FROM e CROSS JOIN cent c WHERE {q_pred})
         WHERE rn <= {IVFADC_NPROBE}),
     qq AS (SELECT p.q_id, p.centroid_id,
                   list_transform(range(1, 65),
@@ -894,13 +897,22 @@ def _ivfadc_oracle() -> str:
               ON d.coarse_id = cand.coarse_id AND d.m = cand.m
              AND d.pq_id = cand.pq_id
             WHERE cand.neighbor_id <> d.q_id
-            GROUP BY 1, 2)
-    SELECT q_id, neighbor_id,
-           row_number() OVER (PARTITION BY q_id
-                              ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
-           adc_dist
-    FROM adc
-    QUALIFY rank <= {IVFADC_TOPK}"""
+            GROUP BY 1, 2),
+    {final} AS (SELECT q_id, neighbor_id, rank, adc_dist FROM (
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist, neighbor_id)::BIGINT AS rank,
+               adc_dist
+        FROM adc) WHERE rank <= {topk})"""
+    )
+
+
+def _ivfadc_oracle() -> str:
+    return (
+        "WITH "
+        + _ivfadc_chain(f"e.vec_id < {IVFADC_NQ}", IVFADC_TOPK)
+        + """
+    SELECT q_id, neighbor_id, rank, adc_dist FROM ranked"""
     )
 
 
@@ -927,6 +939,18 @@ def _ivfadc_oracle() -> str:
     "ranking bit-portable.",
 )
 def q_embed_ivfadc_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < IVFADC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv_raw")
+    )
+    return _ivfadc_rank(spark, sf_dir, q, IVFADC_TOPK)
+
+
+def _ivfadc_rank(spark, sf_dir, q, topk):
+    """Train the IVFADC index and rank ``q`` = (q_id, qv_raw) against
+    it — shared by the search query and the recall audit."""
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -973,9 +997,6 @@ def q_embed_ivfadc_topk(spark, sf_dir):
 
     subdim = 64 // PQ_M
     bits = max((PQ_K - 1).bit_length(), 1)
-    q = e.filter(F.col("vec_id") < IVFADC_NQ).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv_raw")
-    )
     wq = Window.partitionBy("q_id").orderBy(
         F.col("__score").desc(), F.col("centroid_id")
     )
@@ -1047,8 +1068,130 @@ def q_embed_ivfadc_topk(spark, sf_dir):
     w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= IVFADC_TOPK)
+        .filter(F.col("rank") <= topk)
         .select("q_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _ivfadc_audit_oracle() -> str:
+    pri = md5_long_sql("'pqa:' || CAST(vec_id AS VARCHAR)")
+    isq_full = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (s.qv[i] - c2.qv[i]) * (s.qv[i] - c2.qv[i])))"
+    )
+    qsel = (
+        f"e.vec_id IN (SELECT vec_id FROM (SELECT vec_id, "
+        f"row_number() OVER (ORDER BY {pri}, vec_id) AS rn FROM e) "
+        f"WHERE rn <= {PQA_N})"
+    )
+    return (
+        "WITH "
+        + _ivfadc_chain(qsel, PQA_TOPK)
+        + f""",
+    exq AS (SELECT vec_id,
+                   list_transform(v, x -> floor(x * 1000000)::BIGINT) AS qv
+            FROM e),
+    samp AS (SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY {pri}, vec_id) AS rn
+        FROM e) WHERE rn <= {PQA_N}),
+    exact AS (SELECT q_id, neighbor_id, rnk FROM (
+        SELECT s.vec_id AS q_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY {isq_full}, c2.vec_id) AS rnk
+        FROM exq s JOIN samp USING (vec_id), exq c2
+        WHERE c2.vec_id <> s.vec_id) WHERE rnk <= {PQA_TOPK}),
+    hit AS (SELECT count(*)::BIGINT AS n_hit
+            FROM exact JOIN ranked USING (q_id, neighbor_id)),
+    hit1 AS (SELECT count(*)::BIGINT AS n_top1_hit
+             FROM exact JOIN ranked USING (q_id, neighbor_id)
+             WHERE exact.rnk = 1),
+    tr AS (SELECT count(*)::BIGINT AS n_true FROM exact),
+    nq AS (SELECT count(*)::BIGINT AS n_queries FROM samp)
+    SELECT n_queries, {PQA_TOPK}::BIGINT AS k, n_true, n_hit,
+           (n_hit * 1000000 // n_true)::BIGINT AS recall_ppm,
+           n_top1_hit
+    FROM nq CROSS JOIN tr CROSS JOIN hit CROSS JOIN hit1"""
+    )
+
+
+@register(
+    "ivfadc_recall_audit",
+    _ivfadc_audit_oracle(),
+    survey_ids=("A1", "O5"),
+    doc="The measure-don't-guess trilogy completed (LSH -> flat PQ -> "
+    "IVFADC): exact recall@k of the full IVFADC layout — coarse "
+    f"routing loss ({IVFADC_NPROBE}-of-{IVFADC_COARSE} cells probed) "
+    "COMPOUNDED with residual-PQ quantization loss — against the "
+    "same exact integer-L2 ground truth, on the SAME md5 query "
+    "sample as pq_recall_audit, so the two rows decompose the "
+    "recall budget: flat-PQ recall isolates quantization, this row "
+    "adds cell pruning, and the gap prices nprobe.  Shares the "
+    "IVFADC replay chain with embed_ivfadc_topk (builder and oracle "
+    "both — instrument and layout cannot drift).  Audit cost is "
+    "Q*N for the truth plus the production search path itself.",
+)
+def q_ivfadc_recall_audit(spark, sf_dir):
+    from ..operators.similarity import _qvec, _isqdist
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        _qvec(F.col("embedding")).alias("qv"),
+    )
+    samp = (
+        e.withColumn(
+            "__pri",
+            md5_long(F.concat(F.lit("pqa:"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("__pri", "vec_id")
+        .limit(PQA_N)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv_raw"),
+            F.col("qv").alias("qa"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .join(F.broadcast(samp), F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id", "neighbor_id", _isqdist(F.col("qv"), F.col("qa")).alias("d")
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("d", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rnk") <= PQA_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    ranked = _ivfadc_rank(
+        spark, sf_dir, samp.select("q_id", "qv_raw"), PQA_TOPK
+    ).localCheckpoint(eager=True)
+    hit = exact.join(ranked, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    hit1 = (
+        exact.filter(F.col("rnk") == 1)
+        .join(ranked, ["q_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_top1_hit"))
+    )
+    tr = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nq = samp.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        nq.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(hit1))
+        .select(
+            "n_queries",
+            F.lit(PQA_TOPK).cast("long").alias("k"),
+            "n_true",
+            "n_hit",
+            F.expr("(n_hit * 1000000) div n_true").cast("long").alias("recall_ppm"),
+            "n_top1_hit",
+        )
     )
 
 
