@@ -514,6 +514,27 @@ class TestProductQuantization:
         # PQ_K=16 -> 4 bits/code; m=2 codes -> below 2^8
         assert all(0 <= r.pq_code < 256 for r in codes)
 
+    def test_carry_rides_through_without_changing_codes(self, spark):
+        # The carry column must (1) survive to the output with its
+        # per-id value and (2) NOT perturb the code assignment — a
+        # carry named like a codebook column (centroid_id) previously
+        # leaked into the argmin tiebreak; this pins the namespacing.
+        from pyspark.sql import functions as F
+
+        rows = _clustered_vectors(n_clusters=4, per_cluster=12, dim=8)
+        e = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        ).withColumn("centroid_id", (F.col("vec_id") % 3).cast("int"))
+        cents = S.pq_train(e, dim=8, m=2, k=4, iterations=1)
+        plain = {r.vec_id: r.pq_code for r in S.pq_codes(e, cents, dim=8, m=2).collect()}
+        carried = S.pq_codes(
+            e, cents, dim=8, m=2, carry=("centroid_id", "label")
+        ).collect()
+        assert {r.vec_id: r.pq_code for r in carried} == plain
+        assert all(r.centroid_id == r.vec_id % 3 for r in carried)
+        labels = {r[0]: r[1] for r in rows}
+        assert all(r.label == labels[r.vec_id] for r in carried)
+
     def test_adc_ranking_tracks_exact_neighbors(self, spark):
         # Same-cluster vectors must dominate each query's ADC top-k:
         # the quantization is per-subspace, so a query's nearest code
