@@ -37,6 +37,15 @@
 - ``training_shard_write``: the seeded-shuffle shard layout WRITTEN
   as range-packed parquet files and value-checked through a
   manifest round trip (the layout-lever discipline).
+- ``incremental_shard_manifest``: the same store grown APPEND-ONLY
+  across corpus refreshes (O(1) offset read per refresh, carry
+  shards across boundaries, one-shot equivalence as the oracle).
+- ``decile_cut_values``: exact per-group decile cut values at
+  distinct-values cost — the documented escape hatch for
+  value_deciles' ntile ceiling.
+- ``ivfadc_recall_audit``: the measure-don't-guess trilogy closed —
+  IVFADC recall@k vs exact ground truth on pq_recall_audit's exact
+  sample, decomposing quantization loss from cell-pruning loss.
 """
 
 from __future__ import annotations
