@@ -58,7 +58,12 @@ from .round8b import _pspan_ctes, _passage_spans
     "oracle CTE chain with dup_passage_spans; the rollup adds two "
     "id-keyed joins to the (bounded) span relation — the corpus is "
     "touched only by the shared gram pass — and one S^2-bounded "
-    "aggregation.",
+    "aggregation.  Soak note: under the harness's 10x VERBATIM "
+    "replication the matrix concentrates onto the same-source "
+    "diagonal (178 -> 20 rows at SOAK_r8 while dup_tokens grows) — "
+    "replica pairs share their base doc's source and cross-base "
+    "gram postings exceed the df cap; a row-count drop here is the "
+    "rollup key-space shrinking, not data loss.",
 )
 def q_source_leakage_matrix(spark, sf_dir):
     spans = _passage_spans(spark, sf_dir)
