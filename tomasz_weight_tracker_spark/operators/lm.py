@@ -251,9 +251,9 @@ def perceptron_features(docs: DataFrame) -> DataFrame:
             "bks"
         ),
     )
-    # Closure factory, not `lambda x, b=...`: a defaulted second param
-    # makes the lambda 2-ary and F.filter binds the ELEMENT INDEX to it
-    # (see .claude/skills/verify — the documented arity gotcha).
+    # Closure factory, not `lambda x, b=...`: F.filter inspects the
+    # lambda's arity, and a defaulted second parameter makes it 2-ary,
+    # so Spark would bind the ELEMENT INDEX (not the default) to `b`.
     def _bucket_count(b: int):
         return F.size(F.filter("bks", lambda x: x == F.lit(b))).cast("long")
 

@@ -38,8 +38,9 @@
   as range-packed parquet files and value-checked through a
   manifest round trip (the layout-lever discipline).
 - ``incremental_shard_manifest``: the same store grown APPEND-ONLY
-  across corpus refreshes (O(1) offset read per refresh, carry
-  shards across boundaries, one-shot equivalence as the oracle).
+  across corpus refreshes (running offset folded forward per
+  refresh, carry shards across boundaries, one-shot equivalence as
+  the oracle).
 - ``decile_cut_values``: exact per-group decile cut values at
   distinct-values cost — the documented escape hatch for
   value_deciles' ntile ceiling.
@@ -796,8 +797,13 @@ def _proximity_oracle() -> str:
     "relational shape, noted here for the record.",
 )
 def q_term_proximity_search(spark, sf_dir):
+    from ..functions import tokens
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # tokens() guards the empty/whitespace-only document (-> empty
+    # array, matching the oracle's CASE ... THEN [] branch); a bare
+    # split would emit a [''] token and inflate '' term frequencies.
+    toks = tokens(F.lower(F.col("text")))
     tok = (
         docs.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.posexplode("toks").alias("pos0", "w"))
@@ -1311,9 +1317,10 @@ def _inc_shard_oracle() -> str:
     doc="Append-only shard-manifest growth — the crawl-refresh writer "
     f"shape: documents arrive in {INC_SHARD_BATCHES} refreshes "
     "(doc_id residue batches); each refresh shuffles ITS OWN docs by "
-    "the seeded hash, lays them end-to-end starting at the persisted "
-    "global token offset (read from the parquet assignment state — "
-    "one tiny aggregate, the S11 state mechanism), and APPENDS its "
+    "the seeded hash, lays them end-to-end starting at the running "
+    "global token offset (folded forward from each refresh's own "
+    "total — a driver-side integer; the accumulated state is never "
+    "re-scanned per refresh), and APPENDS its "
     "assignment rows; earlier shards are never rewritten, exactly "
     "like a production corpus store where refresh N must not "
     "invalidate the shards training already consumed.  The folded "
@@ -1323,7 +1330,8 @@ def _inc_shard_oracle() -> str:
     "across a refresh boundary (the carry shard) reports "
     "first_batch < last_batch; per refresh the work is one "
     "within-batch prefix sum (the distributed-prefix-sum machinery "
-    "at refresh scale) plus an O(1) offset read.",
+    "at refresh scale) plus one refresh-sized total aggregate — "
+    "never a scan of the accumulated state.",
 )
 def q_incremental_shard_manifest(spark, sf_dir):
     from ..functions import md5_long
@@ -1364,12 +1372,12 @@ def q_incremental_shard_manifest(spark, sf_dir):
             ),
         )
         assigned.write.mode("append").parquet(state)
-        # O(1) state read: the next refresh starts where this one
-        # ended.  (A driver-side integer, not data volume.)
-        offset = (
-            spark.read.parquet(state)
-            .agg(F.sum("n_tokens").cast("long").alias("t"))
-            .first()["t"]
+        # Running offset folds forward from THIS refresh's own total
+        # (one refresh-sized aggregate, a driver-side integer) — the
+        # accumulated state parquet is never re-read per refresh, so
+        # per-refresh cost stays O(refresh), not O(total state).
+        offset += (
+            batch.agg(F.sum("n_tokens").cast("long").alias("t")).first()["t"] or 0
         )
     back = spark.read.parquet(state).withColumn(
         "shard_id", F.expr(f"gs div {SHARD_TOKENS}")

@@ -186,8 +186,9 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
                list_sum(list_transform(tk, x -> len(x)))::BIGINT AS n_chars,
                len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
                    AS n_alpha,
-               len(list_distinct(list_filter(tk,
-                   x -> list_contains([{_SW}], lower(x)))))::BIGINT AS n_stop
+               len(list_distinct(list_transform(list_filter(tk,
+                   x -> list_contains([{_SW}], lower(x))),
+                   x -> lower(x))))::BIGINT AS n_stop
         FROM t
     )
     SELECT doc_id, n_words,
@@ -234,9 +235,14 @@ def q_gopher_quality_rules(spark, sf_dir):
     )
     alpha = F.size(F.filter("tk", lambda x: x.rlike("[A-Za-z]"))).cast("long")
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    # Distinct stopword TYPES are counted case-folded ('The' and 'the'
+    # are one type) — lowercase BEFORE array_distinct on both engines.
     stop = F.size(
         F.array_distinct(
-            F.filter("tk", lambda x: F.array_contains(sw, F.lower(x)))
+            F.transform(
+                F.filter("tk", lambda x: F.array_contains(sw, F.lower(x))),
+                F.lower,
+            )
         )
     ).cast("long")
     m = d.select(
