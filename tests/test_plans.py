@@ -464,3 +464,32 @@ class TestCorpusShuffleShards:
         # offsets frame: check the full-table window is hshard-keyed.
         txt = formatted(spark, "corpus_shuffle_shards")
         assert "hshard" in txt
+
+
+class TestOrderQuartiles:
+    def test_ntile_semantics_without_global_sort(self, spark):
+        # Exact ntile(4) bucket sizes and non-overlapping value
+        # ranges, recomputed from the raw table — the distributed
+        # prefix-count must reproduce the single-window semantics.
+        rows = sorted(
+            REGISTRY["order_quartiles"].build(spark, SF).collect(),
+            key=lambda r: r.quartile,
+        )
+        n = sum(r.n for r in rows)
+        base, rem = divmod(n, 4)
+        assert [r.quartile for r in rows] == [1, 2, 3, 4]
+        assert [r.n for r in rows] == [
+            base + 1 if q <= rem else base for q in (1, 2, 3, 4)
+        ]
+        for lo_r, hi_r in zip(rows, rows[1:]):
+            assert lo_r.hi <= hi_r.lo  # ranges ordered (ties may touch)
+
+    def test_rank_window_is_shard_partitioned(self, spark):
+        # The row_number over the orders-sized frame must carry the
+        # __shard partition key; the only unpartitioned window is the
+        # per-shard counts frame (one row per price bucket).
+        txt = formatted(spark, "order_quartiles")
+        import re
+
+        rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", txt)
+        assert rn_specs and all("__shard" in s for s in rn_specs)

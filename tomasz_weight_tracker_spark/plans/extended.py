@@ -1061,17 +1061,63 @@ def q_cube_returnflag_status(spark, sf_dir):
     doc="ntile bucketing: equal-frequency quartiles over a total order "
     "(unique tiebreak makes the assignment deterministic), then "
     "per-bucket range stats — the binning step before stratified "
-    "sampling or histogram equalization.",
+    "sampling or histogram equalization.  The Spark plan does NOT "
+    "run the oracle's global single-partition ntile window: the "
+    "global rank is a DISTRIBUTED PREFIX COUNT (the sequence_packing "
+    "machinery on the SORT key) — rows shard by a coarse price "
+    "bucket that follows the sort order, row_number runs per shard "
+    "(bounded partitions), shard row-counts cumulate on the tiny "
+    "shard frame and broadcast back, and ntile(4)'s bucket-size "
+    "arithmetic (r = n%4 leading buckets get one extra row) is then "
+    "a pure expression over rank — no task ever sees the whole "
+    "table.  Shard width is a constant; at extreme scale it narrows "
+    "(more shards), never a single partition.",
 )
 def q_order_quartiles(spark, sf_dir):
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select(
-        "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
+    width = 512  # price-bucket shard width: ~1.1k shards over TPC-H's
+    # o_totalprice range — each window partition is a price slice,
+    # never the table.
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = o.withColumn(
+        "__shard", F.floor(F.col("o_totalprice") / width).cast("long")
     )
-    return t.groupBy("quartile").agg(
+    # Within-shard rank over the (price, key) total order: the shard
+    # key is a prefix of the sort order, so shard offsets + local
+    # row_number compose to the exact global rank.
+    w_in = Window.partitionBy("__shard").orderBy("o_totalprice", "o_orderkey")
+    within = t.withColumn("__lrk", F.row_number().over(w_in))
+    counts = t.groupBy("__shard").agg(F.count(F.lit(1)).alias("__c"))
+    # One row per shard: cumulating THEM globally is O(n_shards).
+    w_off = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__shard",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    # ntile(4) semantics in exact integer arithmetic: the first n%4
+    # buckets hold (n div 4)+1 rows, the rest (n div 4).  (base=0,
+    # n<4 is safe: every rank lands in the first branch.)
+    quartile = F.expr(
+        """CASE WHEN __rk <= (__n div 4 + 1) * (__n % 4)
+                THEN (__rk - 1) div (__n div 4 + 1) + 1
+                ELSE (__n % 4)
+                     + (__rk - (__n div 4 + 1) * (__n % 4) - 1)
+                       div (__n div 4) + 1
+           END"""
+    ).cast("long")
+    ranked = (
+        within.join(F.broadcast(offs), "__shard")
+        .withColumn("__rk", (F.col("__off") + F.col("__lrk")).cast("long"))
+        .select("o_totalprice", quartile.alias("quartile"))
+    )
+    return ranked.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
