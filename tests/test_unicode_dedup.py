@@ -1,0 +1,87 @@
+"""Unicode-correct edit-distance parity: snm_near_dup and
+doc_edit_distance_pairs must agree with their DuckDB oracles on a
+corpus containing CJK and diacritic text, with distances counted in
+CODEPOINTS (Spark semantics), not bytes (DuckDB levenshtein's native
+unit) — the oracle's codepoint-relabel CTE closes the gap."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tomasz_weight_tracker_spark.plans import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def cjk_docs_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cjkdocs"))
+    rows = [
+        # CJK near-dup pair: one codepoint differs ('語' vs '誤' — a
+        # 1-codepoint, 1-byte-tail substitution that byte-counting
+        # would still get right; '処理' vs '管理' adds a clean
+        # 1-codepoint/3-byte case) — same normalized prefix block.
+        (0, "日本語 テスト 文書 サンプル データ 処理 エンジン 検証", "ja", "cjk", 0),
+        (1, "日本誤 テスト 文書 サンプル データ 管理 エンジン 検証", "ja", "cjk", 0),
+        # Diacritics pair: é/e, ü/u, ß survive vs strip — codepoint
+        # distance is 3, the old ASCII-strip path saw distance 0.
+        (2, "café résumé münchen straße gemeinsamer anhang text", "de", "eu", 0),
+        (3, "cafe resume munchen strasse gemeinsamer anhang text", "de", "eu", 0),
+        # Plain ASCII near-dup pair (the regression guard).
+        (4, "plain ascii document body with shared prefix tail one", "en", "eu", 0),
+        (5, "plain ascii document body with shared prefix tail two", "en", "eu", 0),
+        # Empty + whitespace-only docs (tokenizer/edge guard).
+        (6, "", "en", "eu", 0),
+        (7, "   ", "en", "eu", 0),
+        # Mixed-script doc, no partner (must not pair with anything).
+        (8, "混合 mixed スクリプト content 999", "ja", "cjk", 0),
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+    return root
+
+
+def _duck(root: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{root}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ["snm_near_dup", "doc_edit_distance_pairs"])
+def test_unicode_parity(spark, cjk_docs_dir, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, cjk_docs_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _duck(cjk_docs_dir)
+    cur = con.execute(q.oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert _canon(srows, sdf.columns) == _canon(orows, ocols)
+    assert srows, f"{name} found no pairs on the fixture corpus"
+
+
+def test_distances_are_codepoint_counted(spark, cjk_docs_dir):
+    rows = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in REGISTRY["doc_edit_distance_pairs"].build(spark, cjk_docs_dir).collect()
+    }
+    # CJK pair: two single-codepoint substitutions within the 40-char
+    # head -> distance 2 (byte counting would report 1+3=4... or more).
+    assert rows[(0, 1)] == 2
+    # Diacritics vs ASCII-folded: é->e, é->e, ü->u, ß->ss plus the
+    # window shift the extra 's' causes at the 40-codepoint cut = 7
+    # (recomputed with a reference codepoint DP).
+    assert rows[(2, 3)] == 7
+    # ASCII near-dup pair: 'one' vs 'two' -> 3 edits... but the heads
+    # are 40-codepoint prefixes; the differing tail falls at the cut.
+    assert (4, 5) in rows

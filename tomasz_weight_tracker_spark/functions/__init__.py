@@ -136,3 +136,50 @@ def sanitize_filename(name: str) -> str:
     for ch in name:
         out.append("_" if ch in '/\\:*?"<>|' else ch)
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Codepoint-consistent edit distance across engines.
+#
+# Spark's levenshtein counts CODEPOINTS; DuckDB 1.0's counts BYTES —
+# identical only on single-byte text.  Edit distance is invariant
+# under alphabet relabeling, so the oracle relabels every non-ASCII
+# codepoint to a distinct free single-byte char before levenshtein:
+# byte distance on the relabeled text == codepoint distance on the
+# original.  The free alphabet below never collides with the output
+# of the head normalizers (lowercased unicode letters/digits + space,
+# whose ASCII subset is [a-z0-9 ]).  Bound: up to len(LEV_FREE_BYTES)
+# distinct non-ASCII codepoints corpus-wide in the compared column —
+# far above any fixture; the engine (Spark) side is exact regardless.
+
+LEV_FREE_BYTES = "ABCDEFGHIJKLMNOPQRSTUVWXYZ!#$%&()*+,-./:;<=>?@[]^_{|}~"
+
+
+def sql_codepoint_relabel(src: str, out: str, carry: tuple[str, ...] = ()) -> str:
+    """CTE fragment: relabel ``{src}(doc_id, head, *carry)``'s head
+    into ``{out}`` so DuckDB byte-levenshtein matches Spark codepoint
+    semantics.  ASCII chars map to themselves (the dictionary is empty
+    on an all-ASCII corpus — zero distortion); non-ASCII codepoints
+    map 1:1 to LEV_FREE_BYTES slots in codepoint order."""
+    carry_sql = "".join(f", {src}.{c}" for c in carry)
+    return f""", __cps AS (
+        SELECT DISTINCT u.c AS cp
+        FROM {src}, unnest(string_split(head, '')) AS u(c)
+        WHERE unicode(u.c) >= 128
+    ), __dict AS (
+        SELECT cp, substr('{LEV_FREE_BYTES}',
+                          row_number() OVER (ORDER BY cp), 1) AS b
+        FROM __cps
+    ), __chars AS (
+        SELECT doc_id, u.i AS i, substr(head, u.i::INT, 1) AS c
+        FROM {src}, unnest(range(1, length(head) + 1)) AS u(i)
+    ), __rel AS (
+        SELECT ch.doc_id,
+               string_agg(CASE WHEN dd.b IS NOT NULL THEN dd.b ELSE ch.c END,
+                          '' ORDER BY ch.i) AS rhead
+        FROM __chars ch LEFT JOIN __dict dd ON ch.c = dd.cp
+        GROUP BY ch.doc_id
+    ), {out} AS (
+        SELECT {src}.doc_id{carry_sql}, coalesce(r.rhead, '') AS head
+        FROM {src} LEFT JOIN __rel r USING (doc_id)
+    )"""

@@ -249,15 +249,17 @@ def _snm_oracle() -> str:
                levenshtein(head, n{off}_head)::BIGINT AS dist
         FROM w WHERE n{off}_id IS NOT NULL"""
         )
+    from ..functions import sql_codepoint_relabel
+
     return f"""
-    WITH k AS (
+    WITH k0 AS (
         SELECT doc_id,
-               substr(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+               substr(lower(regexp_replace(text, '[^\\p{{L}}\\p{{Nd}} ]', '', 'g')),
                       1, {_SNM_HEAD}) AS head,
-               substr(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+               substr(lower(regexp_replace(text, '[^\\p{{L}}\\p{{Nd}}]', '', 'g')),
                       1, {_SNM_KEY_LEN}) AS skey
         FROM documents
-    ), r AS (
+    ){sql_codepoint_relabel("k0", "k", carry=("skey",))}, r AS (
         SELECT doc_id, head, skey,
                row_number() OVER win AS rn,
                CASE WHEN lag(skey) OVER win IS DISTINCT FROM skey
@@ -296,29 +298,33 @@ def _snm_oracle() -> str:
     "bit-portable so the oracle is exact.  Blocks are key-prefix "
     "partitions, so AQE's skew split applies if one prefix is hot; "
     "near-identical docs share normalized prefixes, which is exactly "
-    "what sorting exploits.  A degenerate run of IDENTICAL sort keys "
+    "what sorting exploits.  UNICODE-CORRECT compare: the head keeps "
+    "unicode letters/digits (CJK, diacritics), Spark's codepoint "
+    "levenshtein is the semantics, and the oracle relabels non-ASCII "
+    "codepoints to free single-byte chars (edit distance is relabel-"
+    "invariant) so DuckDB's byte-based levenshtein matches exactly.  "
+    "Sort keys compare identically on both engines (binary UTF-8 "
+    "order); BMP-only for substr parity (UTF-16 units vs codepoints)."
+    "  A degenerate run of IDENTICAL sort keys "
     "(mass-duplicated boilerplate — the 10x soak grew output 321x) "
     "is capped: only the first _SNM_MAX_RUN docs of an exact-skey "
     "run enter the pass, computed with the islands trick (running "
     "max of run-start row numbers) over the SAME partitioning as the "
-    "neighbor window, so the cap adds no exchange.  The compared "
-    "prefix is ASCII-normalized because DuckDB's levenshtein counts "
-    "bytes and Spark's counts codepoints — identical only on "
-    "single-byte text.",
+    "neighbor window, so the cap adds no exchange.",
 )
 def q_snm_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    # The compare head is ASCII-normalized: DuckDB's levenshtein is
-    # BYTE-based while Spark's is codepoint-based, so any multibyte
-    # char in the prefix would diverge the distances.  The [a-zA-Z0-9 ]
-    # class keeps both engines in single-byte territory.
+    # Unicode-correct compare head: keep letters/digits of ANY script.
+    # Spark levenshtein counts codepoints (the semantics we define);
+    # the oracle relabels non-ASCII codepoints to single-byte chars so
+    # DuckDB's byte-based distance agrees (functions.sql_codepoint_relabel).
     k = docs.select(
         "doc_id",
         F.substring(
-            F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")), 1, _SNM_HEAD
+            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")), 1, _SNM_HEAD
         ).alias("head"),
         F.substring(
-            F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")), 1, _SNM_KEY_LEN
+            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd}]", "")), 1, _SNM_KEY_LEN
         ).alias("skey"),
     )
     # The block key is materialized as a COLUMN, not left as an inline

@@ -1152,33 +1152,49 @@ def q_hash_sample_events(spark, sf_dir):
     )
 
 
-@register(
-    "doc_edit_distance_pairs",
-    """
-    WITH t AS (SELECT doc_id, source,
-                      substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 40)
-                          AS head
-               FROM documents)
+def _edit_pairs_oracle() -> str:
+    from ..functions import sql_codepoint_relabel
+
+    return (
+        r"""
+    WITH t0 AS (SELECT doc_id, source,
+                      substr(lower(regexp_replace(text, '[^\p{L}\p{Nd} ]',
+                                                  '', 'g')), 1, 40) AS head
+               FROM documents)"""
+        + sql_codepoint_relabel("t0", "t", carry=("source",))
+        + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.head, b.head)::BIGINT AS edit_dist
     FROM t a JOIN t b
       ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
-    """,
+    """
+    )
+
+
+@register(
+    "doc_edit_distance_pairs",
+    _edit_pairs_oracle(),
     survey_ids=("J1",),
     doc="Edit-distance near-dup verification: Levenshtein over bounded "
-    "40-char prefixes within bounded candidate pairs (the O(n*m) DP "
-    "must never see full documents or unbounded pairs at scale — "
-    "prefix-block then verify, same shape as the Jaccard verifier).  "
-    "Prefixes are ASCII-normalized first: DuckDB's levenshtein counts "
-    "bytes, Spark's codepoints, so multibyte text would diverge the "
-    "distances.",
+    "40-char case-folded prefixes within bounded candidate pairs (the "
+    "O(n*m) DP must never see full documents or unbounded pairs at "
+    "scale — prefix-block then verify, same shape as the Jaccard "
+    "verifier).  UNICODE-CORRECT: the prefix keeps unicode letters/"
+    "digits, Spark's codepoint levenshtein is the semantics, and the "
+    "oracle relabels non-ASCII codepoints to free single-byte chars "
+    "(edit distance is relabel-invariant) so DuckDB's byte distance "
+    "matches exactly — CJK/diacritic text no longer needs stripping.  "
+    "(BMP codepoints: Spark substring counts UTF-16 units, so "
+    "astral-plane chars would offset the 40-char window.)",
 )
 def q_doc_edit_distance_pairs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "source",
-        F.substring(F.regexp_replace("text", "[^ -~]", ""), 1, 40).alias("head"),
+        F.substring(
+            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")), 1, 40
+        ).alias("head"),
     )
     a, b = t.alias("a"), t.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
