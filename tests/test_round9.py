@@ -1,0 +1,118 @@
+"""Round-9 operators: maximal passage-span merge (interval union per
+doc pair) and the IVFADC nprobe autotune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.plans import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, root: str, texts: list[str]) -> None:
+    rows = [(i, t, "en", "p", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+
+
+class TestDupPassageMaximal:
+    def test_twice_planted_passage_merges_to_one_span(self, spark, tmp_path):
+        # B contains A's 20-token passage TWICE: the diagonal
+        # decomposition reports two fragments over the SAME a-interval;
+        # the maximal merge must collapse them to one span.
+        shared = [f"s{i}" for i in range(20)]
+        a = [f"a{i}" for i in range(5)] + shared + [f"a{i}" for i in range(5, 9)]
+        b = (
+            [f"b{i}" for i in range(3)]
+            + shared
+            + [f"c{i}" for i in range(9)]
+            + shared
+            + [f"d{i}" for i in range(3)]
+        )
+        root = str(tmp_path)
+        _write_docs(spark, root, [" ".join(a), " ".join(b)])
+        frags = REGISTRY["dup_passage_spans"].build(spark, root).collect()
+        assert len(frags) == 2, "expected one fragment per diagonal"
+        assert all((f.a_start, f.span_toks) == (6, 20) for f in frags)
+        got = REGISTRY["dup_passage_maximal"].build(spark, root).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.id_a, r.id_b, r.a_start, r.span_toks, r.n_fragments) == (
+            0, 1, 6, 20, 2,
+        )
+
+    def test_periodic_passage_merges_touching_intervals(self, spark, tmp_path):
+        # A contains Q Q (Q = 16 unique tokens), B contains Q once:
+        # B's Q matches A's first and second copy on two diagonals,
+        # giving TOUCHING a-intervals [i,i+16) and [i+16,i+32) that
+        # must union into one 32-token maximal span.
+        q = [f"q{i}" for i in range(16)]
+        a = [f"a{i}" for i in range(4)] + q + q + [f"a{i}" for i in range(4, 7)]
+        b = [f"b{i}" for i in range(6)] + q + [f"c{i}" for i in range(5)]
+        root = str(tmp_path)
+        _write_docs(spark, root, [" ".join(a), " ".join(b)])
+        got = REGISTRY["dup_passage_maximal"].build(spark, root).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.a_start, r.span_toks, r.n_fragments) == (5, 32, 2)
+
+    def test_fragment_conservation_and_disjointness(self, spark):
+        # On the real corpus: every dup_passage_spans fragment lands in
+        # exactly one maximal island, and a pair's maximal spans are
+        # pairwise disjoint AND non-touching (else they'd have merged).
+        frags = REGISTRY["dup_passage_spans"].build(spark, SF_SMALL).collect()
+        merged = REGISTRY["dup_passage_maximal"].build(spark, SF_SMALL).collect()
+        assert sum(r.n_fragments for r in merged) == len(frags)
+        by_pair: dict[tuple, list] = {}
+        for r in merged:
+            by_pair.setdefault((r.id_a, r.id_b), []).append(
+                (r.a_start, r.a_start + r.span_toks)
+            )
+        for spans in by_pair.values():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > e1, "adjacent maximal spans must not touch"
+
+
+class TestCapTolerantBridging:
+    def test_overcap_gram_mid_span_does_not_split(self, spark, tmp_path):
+        # A 48-token passage shared by docs 0 and 1 contains an 8-gram
+        # that also appears in 20 other docs (df = 22 > PSPAN_DF_MAX),
+        # so that one gram position is dropped by the cap.  The
+        # same-diagonal bridge (gap <= k) must still report ONE
+        # maximal 48-token span — pre-bridge this split into two
+        # fragments around the capped gram.
+        from tomasz_weight_tracker_spark.plans.round8b import (
+            PSPAN_DF_MAX,
+            PSPAN_K,
+        )
+
+        boiler = [f"bl{i}" for i in range(PSPAN_K)]
+        passage = (
+            [f"p{i}" for i in range(17)] + boiler + [f"p{i}" for i in range(17, 40)]
+        )
+        assert len(passage) == 48
+        texts = [
+            " ".join([f"ua{i}" for i in range(10)] + passage
+                     + [f"ua{i}" for i in range(10, 15)]),
+            " ".join([f"ub{i}" for i in range(4)] + passage
+                     + [f"ub{i}" for i in range(4, 10)]),
+        ]
+        for d in range(PSPAN_DF_MAX + 4):
+            texts.append(
+                " ".join([f"x{d}_{i}" for i in range(3)] + boiler
+                         + [f"y{d}_{i}" for i in range(2)])
+            )
+        root = str(tmp_path)
+        _write_docs(spark, root, texts)
+        spans = [
+            r
+            for r in REGISTRY["dup_passage_spans"].build(spark, root).collect()
+            if {r.id_a, r.id_b} == {0, 1}
+        ]
+        assert len(spans) == 1, f"capped gram split the span: {spans}"
+        r = spans[0]
+        assert (r.a_start, r.b_start, r.span_toks) == (11, 5, 48)

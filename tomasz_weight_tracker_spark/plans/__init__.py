@@ -17,3 +17,4 @@ from . import round7  # noqa: F401  (paged source gate, BPE vocab training)
 from . import round8  # noqa: F401  (star-edge dedup, sparse perceptron, media phash)
 from . import round8b  # noqa: F401  (passage spans, PQ recall audit, BPE corpus tokens)
 from . import round8c  # noqa: F401  (source leakage matrix, fertility, Gopher rules)
+from . import round9  # noqa: F401  (maximal passage spans, IVFADC autotune)

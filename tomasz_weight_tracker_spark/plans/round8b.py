@@ -73,6 +73,14 @@ PSPAN_MIN = 16
 # and enumerating its postings pairwise would be quadratic in the
 # clique size.  Measured at sf0.01: the cap is not binding (24 spans
 # at caps 16/32/64 alike); it exists to bound the worst case.
+# An over-cap gram INSIDE an otherwise-unique shared passage does NOT
+# split the reported span: islands bridge same-diagonal gaps <= k
+# (see _pspan_ctes), which losslessly covers any capped run of up to
+# k-1 consecutive grams.  Only a capped run LONGER than k-1 grams
+# (a >= 2k-1-token boilerplate block mid-passage) still splits, and a
+# capped run at the very start/end of a passage shortens it (no
+# flanking match to anchor the bridge) — both are exact-dup-clique
+# territory by construction.
 PSPAN_DF_MAX = 16
 
 
@@ -99,22 +107,38 @@ def _pspan_base_ctes() -> str:
 def _pspan_ctes() -> str:
     """Open CTE chain ending in ``spans`` (id_a, id_b, a_start,
     b_start, span_toks) — shared by the measuring query and the
-    rebuild so the two cannot drift (the sql_lm_chain lesson)."""
+    rebuild so the two cannot drift (the sql_lm_chain lesson).
+
+    Islands bridge same-diagonal gaps of up to k matched positions:
+    a gap can only come from grams the df cap dropped (an intermediate
+    gram of a matched pair is shared by both docs, so df >= 2), and
+    for gap <= k the flanking gram windows [p, p+k) and [p', p'+k)
+    still COVER every token in between (p' <= p+k), so the span stays
+    verbatim-verified.  A genuine token mismatch breaks the k grams
+    overlapping it, forcing a gap of >= k+1 — so bridging never merges
+    across real differences.  span_toks is max(pa)-min(pa)+k (equal to
+    count+k-1 when no gram was capped)."""
     k, mn = PSPAN_K, PSPAN_MIN
     return _pspan_base_ctes() + f""", m AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
         FROM g a JOIN g b USING (h) JOIN df USING (h)
         WHERE a.doc_id < b.doc_id
-    ), i AS (
+    ), ib AS (
         SELECT id_a, id_b, pa, pb, pa - pb AS diag,
-               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
-                                       ORDER BY pa) AS isl
+               CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, pa - pb
+                                            ORDER BY pa) <= {k}
+                    THEN 0 ELSE 1 END AS brk
         FROM m
+    ), i AS (
+        SELECT id_a, id_b, pa, pb, diag,
+               sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM ib
     ), spans AS (
         SELECT id_a, id_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
-               (count(*) + {k} - 1)::BIGINT AS span_toks
+               (max(pa) - min(pa) + {k})::BIGINT AS span_toks
         FROM i GROUP BY id_a, id_b, diag, isl
-        HAVING count(*) + {k} - 1 >= {mn}
+        HAVING max(pa) - min(pa) + {k} >= {mn}
     )"""
 
 
@@ -200,21 +224,32 @@ def _passage_spans(spark, sf_dir):
         .select("pr.id_a", "pr.pa", "pr.id_b", "pr.pb")
         .filter(F.col("id_a") != F.col("id_b"))
     )
+    # Cap-tolerant islands: bridge same-diagonal gaps <= k (only the
+    # df cap can create them, and the flanking gram windows still
+    # cover every bridged token — see _pspan_ctes' docstring); a real
+    # token mismatch forces a gap >= k+1 and still splits.
     w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy("pa")
-    isl = m.select(
+    brk = F.when(F.col("pa") - F.lag("pa").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    staged = m.select(
         "id_a",
         "id_b",
         "pa",
         "pb",
         (F.col("pa") - F.col("pb")).alias("diag"),
-        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+        brk.alias("__brk"),
     )
+    w2 = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = staged.withColumn("isl", F.sum("__brk").over(w2))
     return (
         isl.groupBy("id_a", "id_b", "diag", "isl")
         .agg(
             F.min("pa").alias("a_start"),
             F.min("pb").alias("b_start"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_toks"),
+            (F.max("pa") - F.min("pa") + F.lit(k)).cast("long").alias("span_toks"),
         )
         .filter(F.col("span_toks") >= PSPAN_MIN)
         .select("id_a", "id_b", "a_start", "b_start", "span_toks")
@@ -624,17 +659,24 @@ def _decontam_oracle() -> str:
                e.p AS pe, t2.p AS pt
         FROM g e JOIN g t2 USING (h) JOIN df USING (h)
         WHERE e.doc_id % {mod} = 0 AND t2.doc_id % {mod} <> 0
-    ), i AS (
+    ), ib AS (
         SELECT eval_id, train_id, pe, pt, pe - pt AS diag,
-               pe - row_number() OVER (PARTITION BY eval_id, train_id, pe - pt
-                                       ORDER BY pe) AS isl
+               CASE WHEN pe - lag(pe) OVER (PARTITION BY eval_id, train_id,
+                                                         pe - pt
+                                            ORDER BY pe) <= {k}
+                    THEN 0 ELSE 1 END AS brk
         FROM m
+    ), i AS (
+        SELECT eval_id, train_id, pe, pt, diag,
+               sum(brk) OVER (PARTITION BY eval_id, train_id, diag
+                              ORDER BY pe ROWS UNBOUNDED PRECEDING) AS isl
+        FROM ib
     )
     SELECT eval_id, train_id,
            min(pe)::BIGINT AS eval_start, min(pt)::BIGINT AS train_start,
-           (count(*) + {k} - 1)::BIGINT AS span_toks
+           (max(pe) - min(pe) + {k})::BIGINT AS span_toks
     FROM i GROUP BY eval_id, train_id, diag, isl
-    HAVING count(*) + {k} - 1 >= {mn}
+    HAVING max(pe) - min(pe) + {k} >= {mn}
     """
     )
 
@@ -712,23 +754,31 @@ def q_eval_decontam_spans(spark, sf_dir):
     m = posts.select(F.explode(pair_structs).alias("pr")).select(
         "pr.eval_id", "pr.pe", "pr.train_id", "pr.pt"
     )
+    # Cap-tolerant islands (same bridge rule as _passage_spans).
     w = Window.partitionBy(
         "eval_id", "train_id", F.col("pe") - F.col("pt")
     ).orderBy("pe")
-    isl = m.select(
+    brk = F.when(F.col("pe") - F.lag("pe").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    staged = m.select(
         "eval_id",
         "train_id",
         "pe",
         "pt",
         (F.col("pe") - F.col("pt")).alias("diag"),
-        (F.col("pe") - F.row_number().over(w)).alias("isl"),
+        brk.alias("__brk"),
     )
+    w2 = Window.partitionBy("eval_id", "train_id", "diag").orderBy(
+        "pe"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    isl = staged.withColumn("isl", F.sum("__brk").over(w2))
     return (
         isl.groupBy("eval_id", "train_id", "diag", "isl")
         .agg(
             F.min("pe").alias("eval_start"),
             F.min("pt").alias("train_start"),
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_toks"),
+            (F.max("pe") - F.min("pe") + F.lit(k)).cast("long").alias("span_toks"),
         )
         .filter(F.col("span_toks") >= PSPAN_MIN)
         .select("eval_id", "train_id", "eval_start", "train_start", "span_toks")
