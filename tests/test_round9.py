@@ -116,3 +116,30 @@ class TestCapTolerantBridging:
         assert len(spans) == 1, f"capped gram split the span: {spans}"
         r = spans[0]
         assert (r.a_start, r.b_start, r.span_toks) == (11, 5, 48)
+
+
+class TestIvfadcAutotune:
+    def test_sweep_shape_and_choice_rule(self, spark):
+        from tomasz_weight_tracker_spark.plans.round8b import IVFADC_COARSE
+        from tomasz_weight_tracker_spark.plans.round9 import IVFADC_TUNE_PCT
+
+        rows = sorted(
+            REGISTRY["ivfadc_autotune"].build(spark, SF_SMALL).collect(),
+            key=lambda r: r.nprobe,
+        )
+        assert [r.nprobe for r in rows] == list(range(1, IVFADC_COARSE + 1))
+        full = rows[-1].recall_ppm
+        # target is the same on every row and derives from full-probe
+        # recall (integer floor).
+        assert {r.target_ppm for r in rows} == {IVFADC_TUNE_PCT * full // 100}
+        chosen = [r.nprobe for r in rows if r.chosen]
+        assert len(chosen) == 1
+        # The choice rule: smallest nprobe whose recall captures >=
+        # PCT% of the full-probe recall (exact integer comparison).
+        expect = min(
+            r.nprobe for r in rows if r.recall_ppm * 100 >= IVFADC_TUNE_PCT * full
+        )
+        assert chosen[0] == expect
+        # The full-probe row always satisfies the rule, so the chosen
+        # depth never exceeds it.
+        assert chosen[0] <= IVFADC_COARSE

@@ -906,20 +906,37 @@ IVFADC_TOPK = 5
 IVFADC_NQ = 5
 
 
-def _ivfadc_chain(q_pred: str, topk: int, final: str = "ranked") -> str:
+def _ivfadc_chain(
+    q_pred: str,
+    topk: int,
+    final: str = "ranked",
+    nprobe: int | None = None,
+    probe_rank: bool = False,
+) -> str:
     """IVFADC replay chain, parameterized on the query-set predicate
-    (over ``e``) and k — shared by the search query and the recall
-    audit so layout and instrument cannot drift.  Ends in ``{final}``
-    = (q_id, neighbor_id, rank, adc_dist), rank <= topk."""
+    (over ``e``), k, and probe depth — shared by the search query,
+    the recall audit, and the nprobe autotune so layout and
+    instrument cannot drift.  Ends in ``{final}`` = (q_id,
+    neighbor_id, rank, adc_dist), rank <= topk; with
+    ``probe_rank=True`` it ends at ``adc`` = (q_id, neighbor_id,
+    adc_dist, probe_rank) UNRANKED, so a caller can sweep every
+    probe depth from one index build."""
     from ..operators.similarity import PQ_Q, sql_ivf_train, sql_pq_chain
 
+    if nprobe is None:
+        nprobe = IVFADC_NPROBE
     subdim = 16
     isq = (
         f"list_sum(list_transform(range(1, {subdim + 1}), "
         "i -> (s.sv[i] - c.qc[i]) * (s.sv[i] - c.qc[i])))"
     )
     isq_q = isq.replace("s.sv", "qsub.sv").replace("c.qc", "pc.qc")
-    return (
+    pr_sel = ", rn AS probe_rank" if probe_rank else ""
+    pr_qq = ", p.probe_rank" if probe_rank else ""
+    pr_qsub = ", probe_rank" if probe_rank else ""
+    pr_dtab = ", qsub.probe_rank" if probe_rank else ""
+    pr_adc = ", min(d.probe_rank)::BIGINT AS probe_rank" if probe_rank else ""
+    chain = (
         sql_ivf_train(n_centroids=IVFADC_COARSE)
         + f""",
     af AS (SELECT vec_id, v, centroid_id FROM (
@@ -936,33 +953,39 @@ def _ivfadc_chain(q_pred: str, topk: int, final: str = "ranked") -> str:
                row_number() OVER (PARTITION BY s.vec_id, s.m
                    ORDER BY {isq}, c.centroid_id) AS rn
         FROM pq_subs s JOIN pq_cent c USING (m)) WHERE rn = 1),
-    probes AS (SELECT q_id, centroid_id FROM (
+    probes AS (SELECT q_id, centroid_id{pr_sel} FROM (
         SELECT e.vec_id AS q_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_dot_product(e.v, c.cv) DESC, c.centroid_id) AS rn
         FROM e CROSS JOIN cent c WHERE {q_pred})
-        WHERE rn <= {IVFADC_NPROBE}),
-    qq AS (SELECT p.q_id, p.centroid_id,
+        WHERE rn <= {nprobe}),
+    qq AS (SELECT p.q_id, p.centroid_id{pr_qq},
                   list_transform(range(1, 65),
                                  i -> floor((e.v[i] - c.cv[i]) * {PQ_Q})::BIGINT)
                       AS qv
            FROM probes p JOIN e ON e.vec_id = p.q_id
                 JOIN cent c USING (centroid_id)),
-    qsub AS (SELECT q_id, centroid_id AS coarse_id, t.m,
+    qsub AS (SELECT q_id, centroid_id AS coarse_id{pr_qsub}, t.m,
                     list_slice(qv, t.m * {subdim} + 1, (t.m + 1) * {subdim}) AS sv
              FROM qq, unnest([0, 1, 2, 3]) t(m)),
-    dtab AS (SELECT qsub.q_id, qsub.coarse_id, pc.m,
+    dtab AS (SELECT qsub.q_id, qsub.coarse_id{pr_dtab}, pc.m,
                     pc.centroid_id AS pq_id, {isq_q}::BIGINT AS d
              FROM qsub JOIN pq_cent pc USING (m)),
     cand AS (SELECT af.vec_id AS neighbor_id, af.centroid_id AS coarse_id,
                     codes.m, codes.centroid_id AS pq_id
              FROM af JOIN codes USING (vec_id)),
-    adc AS (SELECT d.q_id, cand.neighbor_id, sum(d.d)::BIGINT AS adc_dist
+    adc AS (SELECT d.q_id, cand.neighbor_id, sum(d.d)::BIGINT AS adc_dist{pr_adc}
             FROM cand JOIN dtab d
               ON d.coarse_id = cand.coarse_id AND d.m = cand.m
              AND d.pq_id = cand.pq_id
             WHERE cand.neighbor_id <> d.q_id
-            GROUP BY 1, 2),
+            GROUP BY 1, 2)"""
+    )
+    if probe_rank:
+        return chain
+    return (
+        chain
+        + f""",
     {final} AS (SELECT q_id, neighbor_id, rank, adc_dist FROM (
         SELECT q_id, neighbor_id,
                row_number() OVER (PARTITION BY q_id
@@ -1013,9 +1036,14 @@ def q_embed_ivfadc_topk(spark, sf_dir):
     return _ivfadc_rank(spark, sf_dir, q, IVFADC_TOPK)
 
 
-def _ivfadc_rank(spark, sf_dir, q, topk):
+def _ivfadc_rank(spark, sf_dir, q, topk, nprobe=None, probe_rank=False):
     """Train the IVFADC index and rank ``q`` = (q_id, qv_raw) against
-    it — shared by the search query and the recall audit."""
+    it — shared by the search query, the recall audit, and the nprobe
+    autotune.  With ``probe_rank=True`` returns the UNRANKED (q_id,
+    neighbor_id, adc_dist, probe_rank) candidate relation so the
+    caller can sweep every probe depth from one index build."""
+    if nprobe is None:
+        nprobe = IVFADC_NPROBE
     from ..operators.similarity import (
         PQ_K,
         PQ_M,
@@ -1065,14 +1093,17 @@ def _ivfadc_rank(spark, sf_dir, q, topk):
     wq = Window.partitionBy("q_id").orderBy(
         F.col("__score").desc(), F.col("centroid_id")
     )
+    pr_cols = [F.col("__rn").cast("long").alias("probe_rank")] if probe_rank else []
+    pr_names = ["probe_rank"] if probe_rank else []
     probes = (
         q.join(F.broadcast(cv), how="cross")
         .withColumn("__score", dot(F.col("qv_raw"), F.col("__cv")))
         .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= IVFADC_NPROBE)
+        .filter(F.col("__rn") <= nprobe)
         .select(
             "q_id",
             F.col("centroid_id").alias("coarse_id"),
+            *pr_cols,
             F.zip_with(
                 "qv_raw",
                 "__cv",
@@ -1083,6 +1114,7 @@ def _ivfadc_rank(spark, sf_dir, q, topk):
     qsub = probes.select(
         "q_id",
         "coarse_id",
+        *pr_names,
         F.explode(
             F.array(
                 *[
@@ -1094,10 +1126,11 @@ def _ivfadc_rank(spark, sf_dir, q, topk):
                 ]
             )
         ).alias("s"),
-    ).select("q_id", "coarse_id", "s.m", "s.sv")
+    ).select("q_id", "coarse_id", *pr_names, "s.m", "s.sv")
     dtab = qsub.join(F.broadcast(pqc), "m").select(
         "q_id",
         "coarse_id",
+        *pr_names,
         "m",
         F.col("centroid_id").alias("pq_id"),
         _isqdist(F.col("sv"), F.col("qc")).alias("d"),
@@ -1128,8 +1161,17 @@ def _ivfadc_rank(spark, sf_dir, q, topk):
         cand.join(F.broadcast(dtab), ["coarse_id", "m", "pq_id"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .groupBy("q_id", "neighbor_id")
-        .agg(F.sum("d").cast("long").alias("adc_dist"))
+        .agg(
+            F.sum("d").cast("long").alias("adc_dist"),
+            *(
+                [F.min("probe_rank").cast("long").alias("probe_rank")]
+                if probe_rank
+                else []
+            ),
+        )
     )
+    if probe_rank:
+        return adc.select("q_id", "neighbor_id", "adc_dist", "probe_rank")
     w = Window.partitionBy("q_id").orderBy("adc_dist", "neighbor_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1138,21 +1180,26 @@ def _ivfadc_rank(spark, sf_dir, q, topk):
     )
 
 
-def _ivfadc_audit_oracle() -> str:
+def _pqa_qsel_sql() -> str:
+    """Query-set predicate (over ``e``) selecting the PQA_N md5 sample."""
+    pri = md5_long_sql("'pqa:' || CAST(vec_id AS VARCHAR)")
+    return (
+        f"e.vec_id IN (SELECT vec_id FROM (SELECT vec_id, "
+        f"row_number() OVER (ORDER BY {pri}, vec_id) AS rn FROM e) "
+        f"WHERE rn <= {PQA_N})"
+    )
+
+
+def _pqa_exact_ctes() -> str:
+    """CTE fragment (exq, samp, exact) — the exact integer-L2 ground
+    truth on the PQA_N sample; shared by the recall audit and the
+    nprobe autotune oracles."""
     pri = md5_long_sql("'pqa:' || CAST(vec_id AS VARCHAR)")
     isq_full = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (s.qv[i] - c2.qv[i]) * (s.qv[i] - c2.qv[i])))"
     )
-    qsel = (
-        f"e.vec_id IN (SELECT vec_id FROM (SELECT vec_id, "
-        f"row_number() OVER (ORDER BY {pri}, vec_id) AS rn FROM e) "
-        f"WHERE rn <= {PQA_N})"
-    )
-    return (
-        "WITH "
-        + _ivfadc_chain(qsel, PQA_TOPK)
-        + f""",
+    return f""",
     exq AS (SELECT vec_id,
                    list_transform(v, x -> floor(x * 1000000)::BIGINT) AS qv
             FROM e),
@@ -1164,7 +1211,15 @@ def _ivfadc_audit_oracle() -> str:
                row_number() OVER (PARTITION BY s.vec_id
                    ORDER BY {isq_full}, c2.vec_id) AS rnk
         FROM exq s JOIN samp USING (vec_id), exq c2
-        WHERE c2.vec_id <> s.vec_id) WHERE rnk <= {PQA_TOPK}),
+        WHERE c2.vec_id <> s.vec_id) WHERE rnk <= {PQA_TOPK})"""
+
+
+def _ivfadc_audit_oracle() -> str:
+    return (
+        "WITH "
+        + _ivfadc_chain(_pqa_qsel_sql(), PQA_TOPK)
+        + _pqa_exact_ctes()
+        + f""",
     hit AS (SELECT count(*)::BIGINT AS n_hit
             FROM exact JOIN ranked USING (q_id, neighbor_id)),
     hit1 AS (SELECT count(*)::BIGINT AS n_top1_hit
@@ -1179,23 +1234,11 @@ def _ivfadc_audit_oracle() -> str:
     )
 
 
-@register(
-    "ivfadc_recall_audit",
-    _ivfadc_audit_oracle(),
-    survey_ids=("A1", "O5"),
-    doc="The measure-don't-guess trilogy completed (LSH -> flat PQ -> "
-    "IVFADC): exact recall@k of the full IVFADC layout — coarse "
-    f"routing loss ({IVFADC_NPROBE}-of-{IVFADC_COARSE} cells probed) "
-    "COMPOUNDED with residual-PQ quantization loss — against the "
-    "same exact integer-L2 ground truth, on the SAME md5 query "
-    "sample as pq_recall_audit, so the two rows decompose the "
-    "recall budget: flat-PQ recall isolates quantization, this row "
-    "adds cell pruning, and the gap prices nprobe.  Shares the "
-    "IVFADC replay chain with embed_ivfadc_topk (builder and oracle "
-    "both — instrument and layout cannot drift).  Audit cost is "
-    "Q*N for the truth plus the production search path itself.",
-)
-def q_ivfadc_recall_audit(spark, sf_dir):
+def _pqa_sample_exact(spark, sf_dir):
+    """The PQA_N md5-sampled query set and its exact integer-L2
+    ground truth (q_id, neighbor_id, rnk <= PQA_TOPK) — shared by the
+    recall audit and the nprobe autotune so the instrument cannot
+    drift between them."""
     from ..operators.similarity import _qvec, _isqdist
 
     e = load(spark, sf_dir, "embeddings").select(
@@ -1232,6 +1275,27 @@ def q_ivfadc_recall_audit(spark, sf_dir):
         .filter(F.col("rnk") <= PQA_TOPK)
         .localCheckpoint(eager=True)
     )
+    return samp, exact
+
+
+@register(
+    "ivfadc_recall_audit",
+    _ivfadc_audit_oracle(),
+    survey_ids=("A1", "O5"),
+    doc="The measure-don't-guess trilogy completed (LSH -> flat PQ -> "
+    "IVFADC): exact recall@k of the full IVFADC layout — coarse "
+    f"routing loss ({IVFADC_NPROBE}-of-{IVFADC_COARSE} cells probed) "
+    "COMPOUNDED with residual-PQ quantization loss — against the "
+    "same exact integer-L2 ground truth, on the SAME md5 query "
+    "sample as pq_recall_audit, so the two rows decompose the "
+    "recall budget: flat-PQ recall isolates quantization, this row "
+    "adds cell pruning, and the gap prices nprobe.  Shares the "
+    "IVFADC replay chain with embed_ivfadc_topk (builder and oracle "
+    "both — instrument and layout cannot drift).  Audit cost is "
+    "Q*N for the truth plus the production search path itself.",
+)
+def q_ivfadc_recall_audit(spark, sf_dir):
+    samp, exact = _pqa_sample_exact(spark, sf_dir)
     ranked = _ivfadc_rank(
         spark, sf_dir, samp.select("q_id", "qv_raw"), PQA_TOPK
     ).localCheckpoint(eager=True)

@@ -7,10 +7,11 @@
   islands trick, so excision tooling sees one span where the
   diagonal decomposition reports fragments.
 - ``ivfadc_autotune``: closes the measure-don't-guess loop on IVFADC —
-  sweep nprobe over the fixed recall-audit sample, pick the smallest
-  nprobe meeting a target recall, and report the chosen operating
-  point (the number that parameterizes embed_ivfadc_topk in
-  production).
+  sweep every probe depth from one index build over the fixed
+  recall-audit sample, pick the smallest nprobe capturing >= 95% of
+  the full-probe recall (relative to the quantization ceiling), and
+  report the whole auditable sweep with the chosen operating point
+  (the number that parameterizes embed_ivfadc_topk in production).
 """
 
 from __future__ import annotations
@@ -96,4 +97,135 @@ def q_dup_passage_maximal(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_fragments"),
         )
         .select("id_a", "id_b", "a_start", "span_toks", "n_fragments")
+    )
+
+
+# ===========================================================================
+# IVFADC nprobe autotune (close the measure-don't-guess loop)
+# ===========================================================================
+
+IVFADC_TUNE_PCT = 95  # capture >= this % of the full-probe recall
+
+
+def _ivfadc_autotune_oracle() -> str:
+    from .round8b import (
+        IVFADC_COARSE,
+        PQA_TOPK,
+        _ivfadc_chain,
+        _pqa_exact_ctes,
+        _pqa_qsel_sql,
+    )
+
+    c, pct, k = IVFADC_COARSE, IVFADC_TUNE_PCT, PQA_TOPK
+    return (
+        "WITH "
+        + _ivfadc_chain(_pqa_qsel_sql(), k, nprobe=c, probe_rank=True)
+        + _pqa_exact_ctes()
+        + f""",
+    nps AS (SELECT u.np::BIGINT AS nprobe FROM unnest(range(1, {c + 1})) u(np)),
+    swept AS (
+        SELECT np.nprobe, a.q_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY np.nprobe, a.q_id
+                                  ORDER BY a.adc_dist, a.neighbor_id) AS rank
+        FROM adc a JOIN nps np ON a.probe_rank <= np.nprobe
+    ), hits AS (
+        SELECT s.nprobe, count(*)::BIGINT AS n_hit
+        FROM swept s JOIN exact USING (q_id, neighbor_id)
+        WHERE s.rank <= {k}
+        GROUP BY s.nprobe
+    ), tr AS (SELECT count(*)::BIGINT AS n_true FROM exact),
+    rec AS (
+        SELECT np.nprobe,
+               (coalesce(h.n_hit, 0) * 1000000 // tr.n_true)::BIGINT AS recall_ppm
+        FROM nps np LEFT JOIN hits h USING (nprobe) CROSS JOIN tr
+    ), fullr AS (SELECT recall_ppm AS full_ppm FROM rec WHERE nprobe = {c}),
+    ch AS (
+        SELECT min(nprobe) AS chosen_np
+        FROM rec CROSS JOIN fullr
+        WHERE recall_ppm * 100 >= {pct} * full_ppm
+    )
+    SELECT rec.nprobe, rec.recall_ppm,
+           ({pct} * fullr.full_ppm // 100)::BIGINT AS target_ppm,
+           (rec.nprobe = ch.chosen_np) AS chosen
+    FROM rec CROSS JOIN fullr CROSS JOIN ch
+    """
+    )
+
+
+@register(
+    "ivfadc_autotune",
+    _ivfadc_autotune_oracle(),
+    survey_ids=("A1", "O5"),
+    doc="nprobe AUTOTUNING from the recall audit — the loop "
+    "ivfadc_recall_audit left open: sweep EVERY probe depth 1..C "
+    "from ONE index build (candidates carry the rank of their coarse "
+    "cell in the query's preference order, so 'probed at depth np' "
+    "is just probe_rank <= np — the index trains once, no per-depth "
+    "re-run), measure recall@k against the same exact integer-L2 "
+    f"ground truth on the same md5 sample, and choose the SMALLEST "
+    f"nprobe capturing >= {IVFADC_TUNE_PCT}% of the full-probe "
+    "recall.  The target is RELATIVE to the achievable ceiling "
+    "because nprobe only trades routing loss — quantization loss "
+    "(pq_recall_audit's number) caps what any probe depth can reach, "
+    "so an absolute target would degenerate to 'probe everything'.  "
+    "Returns the whole sweep (nprobe, recall_ppm, target_ppm, "
+    "chosen) so the operating point is auditable, integer arithmetic "
+    "end-to-end.  Shares the replay chain, sample, and ground truth "
+    "with the audit queries (builder and oracle both) — the tuner "
+    "and the instrument cannot drift.",
+)
+def q_ivfadc_autotune(spark, sf_dir):
+    from .round8b import (
+        IVFADC_COARSE,
+        PQA_TOPK,
+        _ivfadc_rank,
+        _pqa_sample_exact,
+    )
+
+    c, pct, k = IVFADC_COARSE, IVFADC_TUNE_PCT, PQA_TOPK
+    samp, exact = _pqa_sample_exact(spark, sf_dir)
+    adc = _ivfadc_rank(
+        spark, sf_dir, samp.select("q_id", "qv_raw"), k,
+        nprobe=c, probe_rank=True,
+    ).localCheckpoint(eager=True)
+    nps = spark.range(1, c + 1).select(F.col("id").cast("long").alias("nprobe"))
+    w = Window.partitionBy("nprobe", "q_id").orderBy("adc_dist", "neighbor_id")
+    swept = (
+        adc.join(F.broadcast(nps), F.col("probe_rank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    hits = (
+        swept.join(exact, ["q_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    tr = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    rec = (
+        nps.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "nprobe",
+            F.expr("(coalesce(n_hit, 0) * 1000000) div n_true")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+    fullr = rec.filter(F.col("nprobe") == c).select(
+        F.col("recall_ppm").alias("full_ppm")
+    )
+    ch = (
+        rec.crossJoin(F.broadcast(fullr))
+        .filter(F.col("recall_ppm") * 100 >= pct * F.col("full_ppm"))
+        .agg(F.min("nprobe").alias("chosen_np"))
+    )
+    return (
+        rec.crossJoin(F.broadcast(fullr))
+        .crossJoin(F.broadcast(ch))
+        .select(
+            "nprobe",
+            "recall_ppm",
+            F.expr(f"({pct} * full_ppm) div 100").cast("long").alias("target_ppm"),
+            (F.col("nprobe") == F.col("chosen_np")).alias("chosen"),
+        )
     )
