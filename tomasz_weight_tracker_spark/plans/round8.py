@@ -696,9 +696,18 @@ def q_curation_end_to_end(spark, sf_dir):
     # construction (the lsh_recall_audit TreeNode lesson).
     survivors = docs.join(dst, "doc_id", "left_anti").localCheckpoint(eager=True)
 
-    scored = lm_score(survivors)
-    kept_docs = survivors.join(
-        scored.filter(F.col("kept")).select("doc_id"), "doc_id"
+    from ..caching import track_cache
+
+    # The two other shared stages are cached, not re-derived: `scored`
+    # feeds the kept join AND the per-source audit, `kept_docs` feeds
+    # the mix design AND the selection — without the cache Catalyst
+    # duplicates each subtree per reference (no CSE), which measured
+    # 69 exchanges / 100 broadcasts of pure textual blowup in the
+    # static plan.  cache() (not localCheckpoint) keeps lineage while
+    # collapsing every reference to one InMemoryTableScan.
+    scored = track_cache(lm_score(survivors))
+    kept_docs = track_cache(
+        survivors.join(scored.filter(F.col("kept")).select("doc_id"), "doc_id")
     )
     mix = mix_design(kept_docs).select("source", "accept_ppm")
     ntok = F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast("long")
