@@ -143,3 +143,47 @@ class TestIvfadcAutotune:
         # The full-probe row always satisfies the rule, so the chosen
         # depth never exceeds it.
         assert chosen[0] <= IVFADC_COARSE
+
+
+class TestStreamingLshAssign:
+    def test_drained_stream_equals_one_shot_probe(self, spark):
+        # The drained 3-micro-batch replay must equal the one-shot
+        # probe over the whole corpus with everything marked new —
+        # the batching-invariance theorem, checked engine-side (the
+        # parity gate checks it against the DuckDB oracle).
+        from pyspark.sql import functions as F
+
+        from tomasz_weight_tracker_spark.operators import dedup as D
+        from tomasz_weight_tracker_spark.plans.catalog import load
+        from tomasz_weight_tracker_spark.plans.llm_ops import (
+            LSH_BANDS,
+            LSH_K,
+            LSH_THRESH,
+        )
+
+        drained = {
+            (r.doc_id, r.dup_of)
+            for r in REGISTRY["streaming_lsh_assign"].build(spark, SF_SMALL).collect()
+        }
+        docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+        sigs = (
+            D.minhash_signature(docs, "text", k=LSH_K)
+            .drop("text")
+            .withColumn("is_new", F.lit(True))
+        )
+        one_shot = {
+            (r.doc_id, r.dup_of)
+            for r in D.lsh_probe_assign(
+                sigs, "is_new", "doc_id",
+                k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+            )
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"))
+            .collect()
+        }
+        assert drained == one_shot
+        assert drained, "sf0.001 corpus is known to contain near-dups"
+        # Assignment semantics: dup_of < doc_id always (collapse to the
+        # smallest representative), so dropping every doc_id keeps one
+        # representative per near-dup class.
+        assert all(d < i for i, d in drained)

@@ -12,6 +12,11 @@
   the full-probe recall (relative to the quantization ceiling), and
   report the whole auditable sweep with the chosen operating point
   (the number that parameterizes embed_ivfadc_topk in production).
+- ``streaming_lsh_assign``: incremental_lsh_assign's crawl-refresh
+  fold bridged to Structured Streaming — micro-batch MinHash-sign +
+  LSH probe-assign against checkpointed parquet signature state
+  inside foreachBatch, drained state hash-equal to the one-shot
+  oracle by the probe's batching-invariance theorem.
 """
 
 from __future__ import annotations
@@ -19,7 +24,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
 from .catalog import load, register
+from .llm_ops import LSH_BANDS, LSH_K, LSH_THRESH
 from .round8b import _passage_spans, _pspan_ctes
 
 # ===========================================================================
@@ -228,4 +235,105 @@ def q_ivfadc_autotune(spark, sf_dir):
             F.expr(f"({pct} * full_ppm) div 100").cast("long").alias("target_ppm"),
             (F.col("nprobe") == F.col("chosen_np")).alias("chosen"),
         )
+    )
+
+
+# ===========================================================================
+# Streaming near-dup ingestion (LSH probe-assign as a live stream)
+# ===========================================================================
+
+STREAM_LSH_BATCHES = 3
+
+
+def _streaming_lsh_oracle() -> str:
+    from .round8 import _inc_assign_oracle
+
+    return _inc_assign_oracle()
+
+
+@register(
+    "streaming_lsh_assign",
+    _streaming_lsh_oracle(),
+    survey_ids=("ST1", "S11", "A7"),
+    doc="Streaming near-dup INGESTION — incremental_lsh_assign's "
+    "crawl-refresh fold bridged to Structured Streaming: documents "
+    f"arrive as a file-source stream in {STREAM_LSH_BATCHES} "
+    "micro-batches (maxFilesPerTrigger=1 over a file-per-refresh "
+    "layout, availableNow); each micro-batch MinHash-signs its docs "
+    "inside foreachBatch, PROBES them against the checkpointed "
+    "parquet signature store (operators/dedup.py:lsh_probe_assign — "
+    "the bounded-output assign probe, O(touched members) per batch, "
+    "never the pair relation), appends its (doc_id, dup_of) updates "
+    "to the assignment log, then appends its signatures to the "
+    "store.  The drained state min-folds the log — associative, "
+    "commutative, and duplicate-absorbing, so the result is "
+    "invariant to micro-batch boundaries AND to checkpoint-replayed "
+    "batches (a replay only appends duplicate rows the MIN erases) — "
+    "and must hash-equal the ONE-SHOT oracle: GROUP BY doc "
+    "MIN(neighbor) over the uncapped pair run on the union corpus "
+    "(lsh_probe_assign's batching-invariance theorem, now carried by "
+    "the streaming engine's own trigger/checkpoint machinery instead "
+    "of a driver loop).",
+)
+def q_streaming_lsh_assign(spark, sf_dir):
+    from ..session import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("stream_lsh")
+    src = f"{root}/src"
+    sig_state = f"{root}/sig_state"
+    upd_state = f"{root}/assign_updates"
+    # Lay the corpus out one file per refresh (doc_id residues), so the
+    # file source replays it as STREAM_LSH_BATCHES micro-batches.  The
+    # fold is batch-order-invariant, so source file ordering is free.
+    for r in range(STREAM_LSH_BATCHES):
+        docs.filter(F.col("doc_id") % STREAM_LSH_BATCHES == r).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def apply_batch(batch_df, _batch_id):
+        sess = batch_df.sparkSession
+        new_sigs = (
+            D.minhash_signature(
+                batch_df.select("doc_id", "text"), "text", k=LSH_K
+            )
+            .drop("text")
+            .withColumn("is_new", F.lit(True))
+            .localCheckpoint(eager=True)  # sign once: probe + append reuse
+        )
+        try:
+            store = sess.read.parquet(sig_state).withColumn(
+                "is_new", F.lit(False)
+            )
+            all_sigs = store.unionByName(new_sigs)
+        except Exception:  # first batch: empty store
+            all_sigs = new_sigs
+        updates = D.lsh_probe_assign(
+            all_sigs, "is_new", "doc_id",
+            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+        )
+        # Update log BEFORE the store append (the update plan reads the
+        # store lazily; this batch's signatures must not probe
+        # themselves as history).  An empty batch still appends a
+        # schema-bearing empty file, so the final read never 404s.
+        updates.write.mode("append").parquet(upd_state)
+        new_sigs.drop("is_new").write.mode("append").parquet(sig_state)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_lsh_assign drain timed out")
+    return (
+        spark.read.parquet(upd_state)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
     )
