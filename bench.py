@@ -18,9 +18,15 @@ driver-side Python row conversion of collect().  That matches how a
 100 TB job consumes results (written/aggregated cluster-side, never
 collected), and adds only a scan-speed fold over the output.
 
-Timing: per query, one untimed warm pass on a compiled plan, then the
-best of two timed executions of that same plan (see the loop comment —
-execution is fully repeated each pass; only compilation is reused).
+Timing: per query, one untimed warm pass on a compiled plan, then
+THREE timed executions of that same plan (execution is fully repeated
+each pass; only compilation is reused).  The headline reports the
+per-query MEDIAN (and sums medians), so a single noise spike neither
+inflates nor deflates a query's number; the full {median, min, max}
+per query goes to ``BENCH_STATS.json`` (and its own stdout line) so a
+reviewer can separate run-to-run jitter from real regression
+mechanically — sub-second queries at the scheduling floor move +/-40%
+between rounds, and without the spread that reads as a plan change.
 
 Beyond the headline, the JSON carries (round-4 verdict items 7/8):
 
@@ -146,36 +152,49 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     sidebar: dict[str, float] = {}
+    query_stats: dict[str, dict[str, float]] = {}
     for name in HEADLINE + SIDEBAR:
         q = REGISTRY[name]
         # Steady-state methodology: build the checksum plan ONCE, run an
         # untimed warm pass (Catalyst analysis/optimization + codegen JIT
         # are per-plan-shape constants, irrelevant at scale), then time
-        # the best of two executions of the SAME compiled plan — the
-        # engine's marginal cost, the number that extrapolates to a
-        # 1000-executor run.  The storage cache is cleared before every
-        # timed pass, so plans containing an explicit .cache() (e.g.
-        # salient_terms' term-frequency frame) recompute their
-        # intermediates inside the timed window — each pass re-scans
-        # parquet and re-executes the FULL operator tree; only plan
-        # COMPILATION is reused (as any repeated production query would
-        # via the plan cache).  Best-of-2 absorbs single-run noise
-        # spikes from a shared machine without hiding real cost.
+        # THREE executions of the SAME compiled plan and report the
+        # MEDIAN — the engine's marginal cost, the number that
+        # extrapolates to a 1000-executor run.  The storage cache is
+        # cleared before every timed pass, so plans containing an
+        # explicit .cache() (e.g. salient_terms' term-frequency frame)
+        # recompute their intermediates inside the timed window — each
+        # pass re-scans parquet and re-executes the FULL operator tree;
+        # only plan COMPILATION is reused (as any repeated production
+        # query would via the plan cache).  The median absorbs a noise
+        # spike in either direction without hiding real cost; min/max
+        # per query go to BENCH_STATS.json so jitter is auditable.
         df = q.build(spark, sf_dir)
         agg = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum"),
         )
         n = agg.first()["n"]  # warm pass
-        best = float("inf")
-        for _ in range(2):
+        walls = []
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             agg.first()
-            best = min(best, time.time() - t0)
+            walls.append(time.time() - t0)
+        walls.sort()
+        med = round(walls[1], 3)
+        query_stats[name] = {
+            "median": med,
+            "min": round(walls[0], 3),
+            "max": round(walls[2], 3),
+        }
         bucket = sidebar if name in SIDEBAR else timings
-        bucket[name] = round(best, 3)
-        print(f"# {name}: {bucket[name]}s ({n} rows)", file=sys.stderr, flush=True)
+        bucket[name] = med
+        print(
+            f"# {name}: {med}s median of {[round(w, 3) for w in walls]} ({n} rows)",
+            file=sys.stderr,
+            flush=True,
+        )
         release_caches()  # per-query caches must not outlive the query
 
     # Streaming flagship vs its batch twin: one drain pass (the stream
@@ -326,6 +345,26 @@ def main() -> None:
         if full_sf.replace(".", "").isdigit()
         else full_sf,
     }
+    # Per-query run spread (median/min/max of the 3 timed passes) —
+    # its own stdout line plus a committed sidecar, so regression vs
+    # jitter is mechanically separable without re-running the bench.
+    stats_payload = {
+        "metric": "headline_query_stats",
+        "runs": 3,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stats": query_stats,
+    }
+    print(json.dumps(stats_payload), flush=True)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_STATS.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(stats_payload, fh, indent=1)
+    except OSError:
+        pass  # the stdout line above is the record of note
     print(json.dumps(full_payload), flush=True)
     # A headline-only run (SPARK_GRAFT_QUERIES_FULL=0) must not clobber
     # the committed full sidecar with an empty payload.
