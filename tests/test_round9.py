@@ -187,3 +187,35 @@ class TestStreamingLshAssign:
         # smallest representative), so dropping every doc_id keeps one
         # representative per near-dup class.
         assert all(d < i for i, d in drained)
+
+
+class TestLshBandAutotune:
+    def test_sweep_monotone_and_choice_rule(self, spark):
+        from tomasz_weight_tracker_spark.plans.round9 import (
+            _LSH_BAND_SWEEP,
+            LSH_TUNE_PCT,
+        )
+
+        rows = sorted(
+            REGISTRY["lsh_band_autotune"].build(spark, SF_SMALL).collect(),
+            key=lambda r: r.bands,
+        )
+        assert [r.bands for r in rows] == list(_LSH_BAND_SWEEP)
+        # Chunked bandings nest (a full-signature match implies both
+        # half matches, etc.), so candidates and recall are monotone
+        # non-decreasing in band count.
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.n_cand <= hi.n_cand
+            assert lo.recall_ppm <= hi.recall_ppm
+        full = rows[-1].recall_ppm
+        assert {r.target_ppm for r in rows} == {LSH_TUNE_PCT * full // 100}
+        chosen = [r.bands for r in rows if r.chosen]
+        assert chosen == [
+            min(
+                r.bands
+                for r in rows
+                if r.recall_ppm * 100 >= LSH_TUNE_PCT * full
+            )
+        ]
+        # bands=1 candidates are identical-signature pairs: all verify.
+        assert rows[0].n_cand == rows[0].n_verified

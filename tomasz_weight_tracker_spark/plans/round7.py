@@ -775,9 +775,13 @@ _AUDIT_N = 256       # deterministic sample size — constant at any corpus scal
 _AUDIT_P, _AUDIT_Q = 9, 10  # ground-truth Jaccard threshold p/q = 0.9
 
 
-def _lsh_audit_oracle() -> str:
+def _lsh_audit_base_ctes() -> str:
+    """``WITH samp, truth, h, sig`` CTE prefix — the md5 document
+    sample, its exact integer-Jaccard ground truth, and the MinHash
+    signatures; shared by the recall audit and the band autotune so
+    the instrument cannot drift between them."""
     from ..operators import dedup as D
-    from .llm_ops import _BANDED_SQL, _SIG_MATCHES, LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH
+    from .llm_ops import LSH_K
 
     toks = "string_split_regex(trim(lower(text)), '\\s+')"
     guarded = (
@@ -804,7 +808,14 @@ def _lsh_audit_oracle() -> str:
         FROM samp a JOIN samp b ON a.doc_id < b.doc_id
         WHERE {truth_pred}),
     h AS (SELECT doc_id, {minhash_pairs} AS hs FROM samp),
-    sig AS (SELECT doc_id, {mh} FROM h),
+    sig AS (SELECT doc_id, {mh} FROM h)"""
+
+
+def _lsh_audit_oracle() -> str:
+    from ..operators import dedup as D
+    from .llm_ops import _BANDED_SQL, _SIG_MATCHES, LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH
+
+    return _lsh_audit_base_ctes() + f""",
     banded0 AS (
 {_BANDED_SQL}
     ),{D.sql_lsh_candidates(LSH_K, LSH_BANDS, LSH_CAP, LSH_THRESH)},
@@ -847,34 +858,11 @@ def _lsh_audit_oracle() -> str:
     """
 
 
-@register(
-    "lsh_recall_audit",
-    _lsh_audit_oracle(),
-    survey_ids=("A1", "A3"),
-    doc="Measure, don't guess — applied to the dedup path itself: the "
-    f"EXACT recall and precision of the production MinHash-LSH pair "
-    "generator (same 16-hash/4-band/64-cap/12-of-16 pipeline as "
-    "lsh_near_dup, same operators/dedup.py code) against exact "
-    f"token-set Jaccard >= {_AUDIT_P}/{_AUDIT_Q} ground truth, on a "
-    f"deterministic {_AUDIT_N}-document sample (TakeOrdered over an "
-    "md5 priority — fixed COST at any corpus scale, which is exactly "
-    "how one audits at 100 TB: the all-pairs truth is O(n^2) and must "
-    "never see the full corpus).  Reported capped AND uncapped.  In "
-    "round 7 this audit measured the then-current drop-the-bucket cap "
-    "at 0.45% recall vs 90.8% uncapped on this adversarially dense "
-    "corpus; round 8 replaced truncation with recursive bucket "
-    "splitting plus output-bound emission of signature-exhausted "
-    "clusters (operators/dedup.py:lsh_candidate_pairs), and the same "
-    "instrument now shows capped == uncapped recall here — the cap "
-    "only bounds FALSE-candidate emission.  The theta test is "
-    "pure-integer ((p+q)*common >= p*(|A|+|B|)), the sample is "
-    "broadcast for the truth self-join, and every rate lands as a "
-    "ppm integer.",
-)
-def q_lsh_recall_audit(spark, sf_dir):
+def _lsh_audit_sample_truth(spark, sf_dir):
+    """The _AUDIT_N md5-sampled documents and their exact integer-
+    Jaccard ground-truth pairs — shared by the recall audit and the
+    band autotune so the instrument cannot drift between them."""
     from ..functions import md5_long
-    from ..operators import dedup as D
-    from .llm_ops import LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     samp = (
@@ -905,7 +893,38 @@ def q_lsh_recall_audit(spark, sf_dir):
         # CONSTRUCTION (driver OOM in TreeNode), not execution.
         .localCheckpoint(eager=True)
     )
+    return samp, truth
 
+
+@register(
+    "lsh_recall_audit",
+    _lsh_audit_oracle(),
+    survey_ids=("A1", "A3"),
+    doc="Measure, don't guess — applied to the dedup path itself: the "
+    f"EXACT recall and precision of the production MinHash-LSH pair "
+    "generator (same 16-hash/4-band/64-cap/12-of-16 pipeline as "
+    "lsh_near_dup, same operators/dedup.py code) against exact "
+    f"token-set Jaccard >= {_AUDIT_P}/{_AUDIT_Q} ground truth, on a "
+    f"deterministic {_AUDIT_N}-document sample (TakeOrdered over an "
+    "md5 priority — fixed COST at any corpus scale, which is exactly "
+    "how one audits at 100 TB: the all-pairs truth is O(n^2) and must "
+    "never see the full corpus).  Reported capped AND uncapped.  In "
+    "round 7 this audit measured the then-current drop-the-bucket cap "
+    "at 0.45% recall vs 90.8% uncapped on this adversarially dense "
+    "corpus; round 8 replaced truncation with recursive bucket "
+    "splitting plus output-bound emission of signature-exhausted "
+    "clusters (operators/dedup.py:lsh_candidate_pairs), and the same "
+    "instrument now shows capped == uncapped recall here — the cap "
+    "only bounds FALSE-candidate emission.  The theta test is "
+    "pure-integer ((p+q)*common >= p*(|A|+|B|)), the sample is "
+    "broadcast for the truth self-join, and every rate lands as a "
+    "ppm integer.",
+)
+def q_lsh_recall_audit(spark, sf_dir):
+    from ..operators import dedup as D
+    from .llm_ops import LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH
+
+    samp, truth = _lsh_audit_sample_truth(spark, sf_dir)
     sig = D.minhash_signature(samp, "text", k=LSH_K).drop("text")
     # Checkpoint the pair frames BEFORE the downstream aggregates: the
     # final stats reference each frame twice, and re-inlining the

@@ -17,6 +17,11 @@
   LSH probe-assign against checkpointed parquet signature state
   inside foreachBatch, drained state hash-equal to the one-shot
   oracle by the probe's batching-invariance theorem.
+- ``lsh_band_autotune``: the tuner trilogy's dedup leg — sweep band
+  counts over the divisors of k from one signature computation,
+  measure candidate volume and verified recall on lsh_recall_audit's
+  sample/truth, choose the fewest bands capturing >= 95% of the
+  loosest banding's recall.
 """
 
 from __future__ import annotations
@@ -336,4 +341,207 @@ def q_streaming_lsh_assign(spark, sf_dir):
         spark.read.parquet(upd_state)
         .groupBy("doc_id")
         .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
+# ===========================================================================
+# LSH band autotune (the tuner trilogy's dedup leg)
+# ===========================================================================
+
+LSH_TUNE_PCT = 95  # capture >= this % of the loosest banding's recall
+_LSH_BAND_SWEEP = (1, 2, 4, 8, 16)  # divisors of LSH_K
+
+
+def _lsh_band_autotune_oracle() -> str:
+    from .llm_ops import _SIG_MATCHES
+    from .round7 import _lsh_audit_base_ctes
+
+    k, pct = LSH_K, LSH_TUNE_PCT
+    arms = []
+    for nb in _LSH_BAND_SWEEP:
+        rpb = k // nb
+        for band in range(nb):
+            key = ", ".join(f"mh{band * rpb + j}" for j in range(rpb))
+            arms.append(
+                f"SELECT doc_id, {nb}::BIGINT AS nb, "
+                f"{band}::BIGINT AS band_id, [{key}] AS key FROM sig"
+            )
+    loosest = _LSH_BAND_SWEEP[-1]
+    return (
+        _lsh_audit_base_ctes()
+        + f""",
+    sweep AS ({" UNION ALL ".join(arms)}),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.nb, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sweep a JOIN sweep b
+          ON a.nb = b.nb AND a.band_id = b.band_id AND a.key = b.key
+         AND a.doc_id < b.doc_id),
+    ver AS MATERIALIZED (
+        SELECT cand.nb, cand.id_a, cand.id_b
+        FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+                  JOIN sig sb ON cand.id_b = sb.doc_id
+        WHERE {_SIG_MATCHES} >= {LSH_THRESH}),
+    nbs AS (SELECT unnest([{", ".join(str(b) for b in _LSH_BAND_SWEEP)}])::BIGINT
+                AS nb),
+    cc AS (SELECT nb, count(*)::BIGINT AS n_cand FROM cand GROUP BY nb),
+    vc AS (SELECT nb, count(*)::BIGINT AS n_verified FROM ver GROUP BY nb),
+    hc AS (SELECT ver.nb, count(*)::BIGINT AS n_hit
+           FROM ver JOIN truth USING (id_a, id_b) GROUP BY ver.nb),
+    tr AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+    rec AS (
+        SELECT nbs.nb, coalesce(cc.n_cand, 0) AS n_cand,
+               coalesce(vc.n_verified, 0) AS n_verified,
+               coalesce(hc.n_hit, 0) AS n_hit,
+               (coalesce(hc.n_hit, 0) * 1000000 // tr.n_true)::BIGINT
+                   AS recall_ppm
+        FROM nbs LEFT JOIN cc USING (nb) LEFT JOIN vc USING (nb)
+                 LEFT JOIN hc USING (nb) CROSS JOIN tr),
+    fullr AS (SELECT recall_ppm AS full_ppm FROM rec WHERE nb = {loosest}),
+    ch AS (SELECT min(nb) AS chosen_nb FROM rec CROSS JOIN fullr
+           WHERE recall_ppm * 100 >= {pct} * full_ppm)
+    SELECT rec.nb AS bands, rec.n_cand, rec.n_verified, rec.n_hit,
+           rec.recall_ppm,
+           ({pct} * fullr.full_ppm // 100)::BIGINT AS target_ppm,
+           (rec.nb = ch.chosen_nb) AS chosen
+    FROM rec CROSS JOIN fullr CROSS JOIN ch
+    """
+    )
+
+
+@register(
+    "lsh_band_autotune",
+    _lsh_band_autotune_oracle(),
+    survey_ids=("A1", "A3"),
+    doc="Band-count AUTOTUNING for the MinHash-LSH dedup path — the "
+    "tuner trilogy's dedup leg (ivfadc_autotune tunes the ANN leg "
+    "from its audit; this tunes banding from lsh_recall_audit's "
+    f"sample and ground truth): sweep bands over the divisors of "
+    f"k={LSH_K} — one signature computation, every banding is just a "
+    "different grouping of the SAME 16 hashes — measure candidate "
+    "volume (the verification workload banding exists to bound: "
+    "more/narrower bands => exponentially more candidates) and "
+    "verified recall against exact integer-Jaccard truth, and choose "
+    f"the FEWEST bands capturing >= {LSH_TUNE_PCT}% of the loosest "
+    "banding's recall.  Fewest bands = cheapest: candidate volume is "
+    "monotone in band count, so the choice rule reads 'stop widening "
+    "the net once the extra candidates stop catching true dups'.  "
+    "The ceiling is relative (the 12-of-16 verify gate caps what any "
+    "banding can pass), the sample is the audit's constant-cost md5 "
+    "sample, and the whole sweep is the result relation — integer "
+    "arithmetic end-to-end, hash-checked against the oracle replay.",
+)
+def q_lsh_band_autotune(spark, sf_dir):
+    from .round7 import _lsh_audit_sample_truth
+
+    k, pct = LSH_K, LSH_TUNE_PCT
+    loosest = _LSH_BAND_SWEEP[-1]
+    samp, truth = _lsh_audit_sample_truth(spark, sf_dir)
+    sig = (
+        D.minhash_signature(samp, "text", k=k)
+        .drop("text")
+        .localCheckpoint(eager=True)  # sign once: 31 band arms reuse it
+    )
+    structs = []
+    for nb in _LSH_BAND_SWEEP:
+        rpb = k // nb
+        for band in range(nb):
+            structs.append(
+                F.struct(
+                    F.lit(nb).cast("long").alias("nb"),
+                    F.lit(band).cast("long").alias("band_id"),
+                    F.array(
+                        *[F.col(f"mh{band * rpb + j}") for j in range(rpb)]
+                    ).alias("key"),
+                )
+            )
+    sweep = sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", "b.nb", "b.band_id", "b.key")
+    a, b = sweep.alias("a"), sweep.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.nb").alias("nb"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+        # Sample-bounded pair frame, referenced by three aggregates —
+        # checkpoint before fan-out (the lsh_recall_audit TreeNode
+        # lesson: re-inlining 16-wide signature trees per reference
+        # blows up plan construction, not execution).
+        .localCheckpoint(eager=True)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
+    )
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(matches >= LSH_THRESH)
+        .select("nb", "id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    nbs = spark.createDataFrame(
+        [(int(nb),) for nb in _LSH_BAND_SWEEP], "nb long"
+    )
+    cc = cand.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    vc = ver.groupBy("nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified")
+    )
+    hc = (
+        ver.join(truth, ["id_a", "id_b"])
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    tr = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    rec = (
+        nbs.join(cc, "nb", "left")
+        .join(vc, "nb", "left")
+        .join(hc, "nb", "left")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "nb",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("(coalesce(n_hit, 0) * 1000000) div n_true")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+    fullr = rec.filter(F.col("nb") == loosest).select(
+        F.col("recall_ppm").alias("full_ppm")
+    )
+    ch = (
+        rec.crossJoin(F.broadcast(fullr))
+        .filter(F.col("recall_ppm") * 100 >= pct * F.col("full_ppm"))
+        .agg(F.min("nb").alias("chosen_nb"))
+    )
+    return (
+        rec.crossJoin(F.broadcast(fullr))
+        .crossJoin(F.broadcast(ch))
+        .select(
+            F.col("nb").alias("bands"),
+            "n_cand",
+            "n_verified",
+            "n_hit",
+            "recall_ppm",
+            F.expr(f"({pct} * full_ppm) div 100").cast("long").alias("target_ppm"),
+            (F.col("nb") == F.col("chosen_nb")).alias("chosen"),
+        )
     )
