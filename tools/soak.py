@@ -110,6 +110,31 @@ DEFAULT_QUERIES = [
     "curation_end_to_end",
     "embed_pq_train",
     "embed_pq_topk",
+    # round-8b/8c families (promoted from the r8 ad-hoc batch)
+    "dup_passage_spans",
+    "dup_passage_rebuild",
+    "eval_decontam_spans",
+    "term_proximity_search",
+    "pq_recall_audit",
+    "bpe_corpus_tokens",
+    "embed_ivfadc_topk",
+    "training_shard_write",
+    "incremental_shard_manifest",
+    "decile_cut_values",
+    "incremental_lsh_assign",
+    "semantic_dedup",
+    "corpus_shuffle_shards",
+    "ivfadc_recall_audit",
+    "source_leakage_matrix",
+    "tokenizer_fertility_by_lang",
+    "gopher_quality_rules",
+    # round-9 families
+    "dup_passage_maximal",
+    "streaming_lsh_assign",
+    "ivfadc_autotune",
+    "lsh_band_autotune",
+    "order_quartiles",
+    "doc_edit_distance_pairs",
 ]
 
 _SHIFTS = {
