@@ -207,8 +207,11 @@ def q_ivfadc_autotune(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    # exact is the PQA_N*k ground-truth frame (<= 320 rows) but is
+    # localCheckpointed (no stats), so without the hint the static
+    # plan sorts-and-merges; broadcast it explicitly.
     hits = (
-        swept.join(exact, ["q_id", "neighbor_id"])
+        swept.join(F.broadcast(exact), ["q_id", "neighbor_id"])
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
@@ -503,8 +506,10 @@ def q_lsh_band_autotune(spark, sf_dir):
     vc = ver.groupBy("nb").agg(
         F.count(F.lit(1)).cast("long").alias("n_verified")
     )
+    # truth is sample-bounded but localCheckpointed (no stats) —
+    # broadcast it explicitly so the static plan skips the sort-merge.
     hc = (
-        ver.join(truth, ["id_a", "id_b"])
+        ver.join(F.broadcast(truth), ["id_a", "id_b"])
         .groupBy("nb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
