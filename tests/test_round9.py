@@ -219,3 +219,57 @@ class TestLshBandAutotune:
         ]
         # bands=1 candidates are identical-signature pairs: all verify.
         assert rows[0].n_cand == rows[0].n_verified
+
+
+class TestInferredCsvScan:
+    def test_infer_mode_types_and_values_match_coerce_path(self, spark, tmp_path):
+        # The literal inferSchema variant (the reference's
+        # read_csv_auto mode) must agree with the default
+        # try_cast-coerce path on a clean file: numeric columns come
+        # back typed, and every value matches.
+        from tomasz_weight_tracker_spark.sources.csv_normalized import (
+            inferred_csv_scan,
+            normalized_sensor_scan,
+        )
+
+        p = tmp_path / "sensor Living room 202501010000.csv"
+        p.write_text(
+            "Timestamp,Temperature_Celsius(calibrated -0.1 deg C),Humidity\n"
+            "2025-01-01 00:00:00,21.5,40\n"
+            "2025-01-01 00:15:00,21.7,41\n"
+            "2025-01-01 00:30:00,21.9,42\n"
+        )
+        inf = inferred_csv_scan(spark, str(p))
+        assert dict(inf.dtypes)["Temperature_Celsius"] == "double"
+        assert dict(inf.dtypes)["Humidity"] == "int"
+        coerced = normalized_sensor_scan(spark, str(p))
+        a = {
+            (str(r.Timestamp), float(r.Temperature_Celsius), float(r.Humidity))
+            for r in inf.collect()
+        }
+        b = {
+            (str(r.Timestamp), float(r.Temperature_Celsius), float(r.Humidity))
+            for r in coerced.collect()
+        }
+        assert a == b and len(a) == 3
+
+    def test_infer_mode_demotes_dirty_column_coerce_does_not(self, spark, tmp_path):
+        # The documented semantic difference: a stray string demotes
+        # the whole inferred column to string, while the coerce path
+        # nulls just that cell — the reason try_cast is the default.
+        from tomasz_weight_tracker_spark.sources.csv_normalized import (
+            inferred_csv_scan,
+            normalized_sensor_scan,
+        )
+
+        p = tmp_path / "sensor Attic 202501010000.csv"
+        p.write_text(
+            "Timestamp,Temperature_Celsius\n"
+            "2025-01-01 00:00:00,21.5\n"
+            "2025-01-01 00:15:00,sensor_error\n"
+        )
+        inf = inferred_csv_scan(spark, str(p))
+        assert dict(inf.dtypes)["Temperature_Celsius"] == "string"
+        coerced = normalized_sensor_scan(spark, str(p))
+        vals = {r.Temperature_Celsius for r in coerced.collect()}
+        assert vals == {21.5, None}

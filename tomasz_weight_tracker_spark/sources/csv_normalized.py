@@ -99,3 +99,20 @@ def normalized_sensor_scan(spark: SparkSession, path: str) -> DataFrame:
     )
     df = dedup_keep_last(df, ["Timestamp"], [F.col("__file_order")]).drop("__file_order")
     return df.select("Timestamp", *[try_double(c).alias(c) for c in measures])
+
+
+def inferred_csv_scan(spark: SparkSession, path: str) -> DataFrame:
+    """S2 in its literal ``inferSchema`` form: one sampling pass picks
+    column types (the reference's ``read_csv_auto``,
+    utils/20251223-csv-for-duckdb.py).  The engine's DEFAULT auto-typing
+    path is the header-scan + ``try_cast`` in
+    :func:`normalized_sensor_scan` — per-VALUE coercion semantics
+    (``errors='coerce'``: a stray string nulls one cell, not the whole
+    column), which is strictly more forgiving than inference (a stray
+    string demotes the inferred column to string).  This variant exists
+    for parity with the reference's mode and for inputs known clean,
+    where skipping the per-value try_cast keeps the scan schema-typed
+    at the source (PushedFilters apply to typed columns).
+    """
+    raw = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return raw.toDF(*[normalize_header(c) for c in raw.columns])
