@@ -645,6 +645,7 @@ def dsir_weights(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
         .select(
             "doc_id",
             F.row_number()
+            # bounded-frame: DSIR_TOP_K-row frame after limit
             .over(Window.orderBy(F.desc("weight_e6"), "doc_id"))
             .cast("long")
             .alias("rnk"),

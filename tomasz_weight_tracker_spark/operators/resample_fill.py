@@ -39,6 +39,7 @@ def fill_minute_gaps(
     grid minute; observed instants keep their value, interior minutes
     interpolate linearly."""
     keys = list(series_keys)
+    # bounded-frame: keyless fallback = single-series input (documented degenerate; pass keys at scale)
     w = Window.partitionBy(*keys).orderBy(ts_col, *order_tiebreak) if keys else Window.orderBy(
         ts_col, *order_tiebreak
     )

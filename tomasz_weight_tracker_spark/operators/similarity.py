@@ -146,6 +146,7 @@ def ivf_train(
     )
     hashed = e.withColumn("__h", md5_long(F.col("__id").cast("string")))
     top = hashed.orderBy("__h", "__id").limit(n_centroids)
+    # bounded-frame: n_centroids-row frame after limit
     w = Window.orderBy("__h", "__id")
     cents = top.select(
         (F.row_number().over(w) - 1).alias("centroid_id"),
@@ -352,6 +353,7 @@ def pq_train(
 
     hashed = e.withColumn("__h", md5_long(F.col("__id").cast("string")))
     top = hashed.orderBy("__h", "__id").limit(k)
+    # bounded-frame: k-row frame after limit
     w = Window.orderBy("__h", "__id")
     init = top.select(
         (F.row_number().over(w) - 1).alias("centroid_id"), F.col("__qv")

@@ -46,6 +46,7 @@ def lead_next(df: DataFrame, order_col: str, series_keys: Sequence[str], cols: S
     """W1: attach ``next_<col>`` for each requested column via LEAD over
     the series order (utils/duckdb_electricity_1-minute.py:60-69).
     """
+    # bounded-frame: keyless fallback = single-series input (documented degenerate; pass series_keys at scale)
     w = Window.partitionBy(*series_keys).orderBy(order_col) if series_keys else Window.orderBy(order_col)
     for c in cols:
         df = df.withColumn(f"next_{c}", F.lead(c).over(w))

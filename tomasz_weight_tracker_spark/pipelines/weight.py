@@ -201,6 +201,7 @@ def periodic_summary(
         res = resample_weekly_mean(df, "ts", cols, anchor_dow=freq[2:])
     else:
         raise ValueError(f"unsupported resample freq: {freq}")
+    # bounded-frame: one row per resample period
     w = Window.orderBy("period")
     res = res.withColumn(
         "weight_change", F.col("Weight") - F.lag("Weight").over(w)

@@ -662,6 +662,7 @@ def q_sequence_packing(spark, sf_dir):
     # Shard subtotals are one row per shard — cumulating THEM with a
     # global window is O(n_shards), then the offsets broadcast-join back.
     totals = toks.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    # bounded-frame: one row per pack shard
     w_sh = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -927,6 +928,7 @@ def q_graph_triangle_stats(spark, sf_dir):
     cum = hist.withColumn(
         "cum",
         F.sum("n").over(
+            # bounded-frame: one row per distinct histogram bin value
             Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

@@ -1090,9 +1090,11 @@ def q_order_quartiles(spark, sf_dir):
     within = t.withColumn("__lrk", F.row_number().over(w_in))
     counts = t.groupBy("__shard").agg(F.count(F.lit(1)).alias("__c"))
     # One row per shard: cumulating THEM globally is O(n_shards).
+    # bounded-frame: one row per price-bucket shard
     w_off = Window.orderBy("__shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # bounded-frame: one row per price-bucket shard
     w_all = Window.orderBy("__shard").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

@@ -652,6 +652,7 @@ def mix_design(docs):
         F.count(F.lit(1)).cast("long").alias("s"),
         F.expr(f"(sum(avail) * {_MIX_BUDGET_PCT}) div 100").alias("budget"),
     )
+    # bounded-frame: one row per source
     w = Window.orderBy("avail", "source")
     ordd = (
         src.crossJoin(F.broadcast(tot))

@@ -993,6 +993,7 @@ def _shuffled_docs(spark, sf_dir):
     )
     within = toks.withColumn("in_cum", F.sum("n_tokens").over(w_in))
     totals = toks.groupBy("hshard").agg(F.sum("n_tokens").alias("st"))
+    # bounded-frame: one row per h-shard (128), never the corpus
     w_sh = Window.orderBy("hshard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "hshard", F.coalesce(F.sum("st").over(w_sh), F.lit(0)).alias("off")

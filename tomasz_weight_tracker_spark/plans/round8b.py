@@ -863,6 +863,7 @@ def q_term_proximity_search(spark, sf_dir):
     # + merge — no global sort, no vocabulary-wide single-partition
     # window); the rank window then runs on the 2-row frame only (the
     # dsir_importance_weights posture).
+    # bounded-frame: 2-row frame (TakeOrdered top-2 terms)
     wr = Window.orderBy(F.col("cnt").desc(), "w")
     top2 = (
         tok.groupBy("w")
@@ -1470,6 +1471,7 @@ def q_incremental_shard_manifest(spark, sf_dir):
     offset = 0
     for b in range(INC_SHARD_BATCHES):
         batch = docs.filter(F.col("doc_id") % INC_SHARD_BATCHES == b)
+        # bounded-frame: one refresh's docs (within-batch prefix sum)
         w = Window.orderBy("h", "doc_id").rowsBetween(
             Window.unboundedPreceding, 0
         )

@@ -537,6 +537,7 @@ def q_interval_bucket_join(spark, sf_dir):
     w_in = Window.partitionBy("shard").orderBy("t", "weight")
     within = stream.withColumn("in_cum", F.sum("weight").over(w_in))
     totals = stream.groupBy("shard").agg(F.sum("weight").alias("shard_total"))
+    # bounded-frame: one row per shard
     w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "shard",
@@ -811,6 +812,7 @@ def q_cumulative_daily_revenue(spark, sf_dir):
     d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
     )
+    # bounded-frame: one row per calendar day (resample-period frame)
     wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.partitionBy()
     return d.select(
