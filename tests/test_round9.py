@@ -273,3 +273,30 @@ class TestInferredCsvScan:
         coerced = normalized_sensor_scan(spark, str(p))
         vals = {r.Temperature_Celsius for r in coerced.collect()}
         assert vals == {21.5, None}
+
+
+class TestGopherRuleAttribution:
+    def test_attribution_consistent_with_boolean_view(self, spark):
+        rules = ["word_count", "mean_word_len", "stopwords", "alpha_words"]
+        flags = {
+            r.doc_id: {n: r[f"r_{n}"] for n in rules}
+            for r in REGISTRY["gopher_quality_rules"].build(spark, SF_SMALL).collect()
+        }
+        attr = {
+            r.rule: r
+            for r in REGISTRY["gopher_rule_attribution"].build(spark, SF_SMALL).collect()
+        }
+        assert set(attr) == set(rules)
+        for n in rules:
+            n_fail = sum(1 for f in flags.values() if not f[n])
+            n_unique = sum(
+                1
+                for f in flags.values()
+                if not f[n] and all(f[o] for o in rules if o != n)
+            )
+            assert (attr[n].n_fail, attr[n].n_unique_fail) == (n_fail, n_unique)
+        n_keep = sum(1 for f in flags.values() if all(f.values()))
+        assert {r.n_docs for r in attr.values()} == {len(flags)}
+        assert {r.n_keep for r in attr.values()} == {n_keep}
+        # Unique kills never exceed total kills.
+        assert all(r.n_unique_fail <= r.n_fail for r in attr.values())

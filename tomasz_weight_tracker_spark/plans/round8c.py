@@ -172,9 +172,10 @@ GOPHER_ALPHA_PCT = 80  # % of words that must contain a letter
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-@register(
-    "gopher_quality_rules",
-    f"""
+# The metrics CTE chain (t, m) and the Spark metrics frame are shared
+# with round9's gopher_rule_attribution so rule definitions cannot
+# drift between the boolean view and the attribution view.
+GOPHER_METRIC_CTES = f"""
     WITH t AS (
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -190,40 +191,23 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
                    x -> list_contains([{_SW}], lower(x))),
                    x -> lower(x))))::BIGINT AS n_stop
         FROM t
-    )
-    SELECT doc_id, n_words,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-               AS r_word_count,
-           (n_chars >= {GOPHER_MIN_MWL} * n_words
-            AND n_chars <= {GOPHER_MAX_MWL} * n_words) AS r_mean_word_len,
-           (n_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
-           (n_alpha * 100 >= {GOPHER_ALPHA_PCT} * n_words) AS r_alpha_words,
-           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-            AND n_chars >= {GOPHER_MIN_MWL} * n_words
-            AND n_chars <= {GOPHER_MAX_MWL} * n_words
-            AND n_stop >= {GOPHER_MIN_STOPWORDS}
-            AND n_alpha * 100 >= {GOPHER_ALPHA_PCT} * n_words) AS keep
-    FROM m
-    """,
-    survey_ids=("G5", "A2"),
-    doc="The NAMED Gopher document-quality rules (Rae et al. 2021 "
-    "§A1.1, public), word-level subset, as per-document booleans "
-    "plus the conjunctive keep flag: word count in "
-    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
-    f"[{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}] (compared as integers — "
-    "MIN*n <= chars <= MAX*n, no float division to round), >= "
-    f"{GOPHER_MIN_STOPWORDS} distinct stopword types, >= "
-    f"{GOPHER_ALPHA_PCT}% words containing a letter.  The paper's "
-    "line-based rules (ellipsis starts, bullet ratios) are "
-    "INAPPLICABLE here — the synthetic documents are single-line "
-    "(measured: zero newlines at every SF) — and documented out "
-    "rather than silently skipped.  Complements doc_quality (score) "
-    "and the LM/perceptron filters (learned): these are the "
-    "hand-set, named thresholds a real pipeline runs FIRST.  One "
-    "projection pass, no shuffle at all — every rule is an "
-    "expression over the fused token array.",
-)
-def q_gopher_quality_rules(spark, sf_dir):
+    )"""
+
+# SQL rule predicates over the m frame, by rule name (order = report order).
+GOPHER_RULES_SQL = {
+    "word_count": f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+    "mean_word_len": (
+        f"(n_chars >= {GOPHER_MIN_MWL} * n_words"
+        f" AND n_chars <= {GOPHER_MAX_MWL} * n_words)"
+    ),
+    "stopwords": f"(n_stop >= {GOPHER_MIN_STOPWORDS})",
+    "alpha_words": f"(n_alpha * 100 >= {GOPHER_ALPHA_PCT} * n_words)",
+}
+
+
+def gopher_metrics(spark, sf_dir):
+    """(doc_id, n_words, n_chars, n_alpha, n_stop) — the fused-token
+    metric pass both gopher consumers build their rules on."""
     d = load(spark, sf_dir, "documents")
     tk = tokens(F.trim(F.col("text")))
     d = d.select("doc_id", tk.alias("tk"))
@@ -245,25 +229,68 @@ def q_gopher_quality_rules(spark, sf_dir):
             )
         )
     ).cast("long")
-    m = d.select(
+    return d.select(
         "doc_id",
         n.alias("n_words"),
         chars.alias("n_chars"),
         alpha.alias("n_alpha"),
         stop.alias("n_stop"),
     )
-    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    r_mwl = (F.col("n_chars") >= GOPHER_MIN_MWL * F.col("n_words")) & (
-        F.col("n_chars") <= GOPHER_MAX_MWL * F.col("n_words")
-    )
-    r_sw = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
-    r_al = F.col("n_alpha") * 100 >= GOPHER_ALPHA_PCT * F.col("n_words")
+
+
+def gopher_rules(metrics):
+    """Rule-name -> boolean Column over the metrics frame (mirrors
+    GOPHER_RULES_SQL term for term)."""
+    return {
+        "word_count": F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        "mean_word_len": (
+            F.col("n_chars") >= GOPHER_MIN_MWL * F.col("n_words")
+        ) & (F.col("n_chars") <= GOPHER_MAX_MWL * F.col("n_words")),
+        "stopwords": F.col("n_stop") >= GOPHER_MIN_STOPWORDS,
+        "alpha_words": F.col("n_alpha") * 100 >= GOPHER_ALPHA_PCT * F.col("n_words"),
+    }
+
+
+@register(
+    "gopher_quality_rules",
+    GOPHER_METRIC_CTES
+    + f"""
+    SELECT doc_id, n_words,
+           {GOPHER_RULES_SQL["word_count"]} AS r_word_count,
+           {GOPHER_RULES_SQL["mean_word_len"]} AS r_mean_word_len,
+           {GOPHER_RULES_SQL["stopwords"]} AS r_stopwords,
+           {GOPHER_RULES_SQL["alpha_words"]} AS r_alpha_words,
+           ({" AND ".join(GOPHER_RULES_SQL.values())}) AS keep
+    FROM m
+    """,
+    survey_ids=("G5", "A2"),
+    doc="The NAMED Gopher document-quality rules (Rae et al. 2021 "
+    "§A1.1, public), word-level subset, as per-document booleans "
+    "plus the conjunctive keep flag: word count in "
+    f"[{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in "
+    f"[{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}] (compared as integers — "
+    "MIN*n <= chars <= MAX*n, no float division to round), >= "
+    f"{GOPHER_MIN_STOPWORDS} distinct stopword types, >= "
+    f"{GOPHER_ALPHA_PCT}% words containing a letter.  The paper's "
+    "line-based rules (ellipsis starts, bullet ratios) are "
+    "INAPPLICABLE here — the synthetic documents are single-line "
+    "(measured: zero newlines at every SF) — and documented out "
+    "rather than silently skipped.  Complements doc_quality (score) "
+    "and the LM/perceptron filters (learned): these are the "
+    "hand-set, named thresholds a real pipeline runs FIRST.  One "
+    "projection pass, no shuffle at all — every rule is an "
+    "expression over the fused token array.",
+)
+def q_gopher_quality_rules(spark, sf_dir):
+    m = gopher_metrics(spark, sf_dir)
+    r = gopher_rules(m)
+    keep = r["word_count"] & r["mean_word_len"] & r["stopwords"] & r["alpha_words"]
     return m.select(
         "doc_id",
         "n_words",
-        r_wc.alias("r_word_count"),
-        r_mwl.alias("r_mean_word_len"),
-        r_sw.alias("r_stopwords"),
-        r_al.alias("r_alpha_words"),
-        (r_wc & r_mwl & r_sw & r_al).alias("keep"),
+        r["word_count"].alias("r_word_count"),
+        r["mean_word_len"].alias("r_mean_word_len"),
+        r["stopwords"].alias("r_stopwords"),
+        r["alpha_words"].alias("r_alpha_words"),
+        keep.alias("keep"),
     )

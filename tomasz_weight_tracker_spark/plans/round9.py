@@ -22,6 +22,10 @@
   measure candidate volume and verified recall on lsh_recall_audit's
   sample/truth, choose the fewest bands capturing >= 95% of the
   loosest banding's recall.
+- ``gopher_rule_attribution``: per-rule kill attribution for the
+  Gopher filter stack — n_fail and n_unique_fail (the rule's marginal
+  contribution) per rule, sharing the metric pass and rule predicates
+  with gopher_quality_rules.
 """
 
 from __future__ import annotations
@@ -549,4 +553,106 @@ def q_lsh_band_autotune(spark, sf_dir):
             F.expr(f"({pct} * full_ppm) div 100").cast("long").alias("target_ppm"),
             (F.col("nb") == F.col("chosen_nb")).alias("chosen"),
         )
+    )
+
+
+# ===========================================================================
+# Gopher rule attribution (which filter kills what, uniquely)
+# ===========================================================================
+
+
+def _gopher_attr_oracle() -> str:
+    from .round8c import GOPHER_METRIC_CTES, GOPHER_RULES_SQL
+
+    rules = list(GOPHER_RULES_SQL)
+    flags = ", ".join(f"{GOPHER_RULES_SQL[r]} AS r_{r}" for r in rules)
+    arms = []
+    for r in rules:
+        others = " AND ".join(f"r_{o}" for o in rules if o != r)
+        arms.append(
+            f"""
+        SELECT '{r}' AS rule,
+               sum(CASE WHEN NOT r_{r} THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+               sum(CASE WHEN NOT r_{r} AND {others} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_unique_fail
+        FROM f"""
+        )
+    keep_all = " AND ".join(f"r_{r}" for r in rules)
+    return (
+        GOPHER_METRIC_CTES
+        + f""", f AS (
+        SELECT doc_id, {flags} FROM m
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN {keep_all} THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        FROM f
+    ), per AS ({" UNION ALL ".join(arms)})
+    SELECT per.rule, per.n_fail, per.n_unique_fail, tot.n_docs, tot.n_keep
+    FROM per CROSS JOIN tot
+    """
+    )
+
+
+@register(
+    "gopher_rule_attribution",
+    _gopher_attr_oracle(),
+    survey_ids=("A2", "A1"),
+    doc="Filter-rule KILL ATTRIBUTION for the Gopher stack — the table "
+    "a pipeline owner reads before loosening a threshold: per rule, "
+    "how many documents fail it at all (n_fail) and how many it "
+    "UNIQUELY removes (n_unique_fail: fails this rule, passes every "
+    "other) — the rule's marginal contribution, since a doc failing "
+    "two rules returns with neither threshold change alone.  Shares "
+    "the metric pass and the rule predicates with "
+    "gopher_quality_rules (round8c.GOPHER_RULES_SQL / gopher_rules — "
+    "the attribution and the boolean view cannot drift).  Plan "
+    "shape: ONE fused-token projection pass computes all four flags, "
+    "then a single global aggregate per rule arm over the cached "
+    "flag frame — no shuffle carries anything wider than the "
+    "counters; at 100 TB this is a scan plus map-side partial "
+    "aggregation, the cheapest audit in the stack.",
+)
+def q_gopher_rule_attribution(spark, sf_dir):
+    from ..caching import track_cache
+    from .round8c import GOPHER_RULES_SQL, gopher_metrics, gopher_rules
+
+    rules = list(GOPHER_RULES_SQL)
+    m = gopher_metrics(spark, sf_dir)
+    r = gopher_rules(m)
+    # One projection computes every flag; cached because each rule arm
+    # and the totals re-read it (Catalyst does no CSE across branches).
+    f = track_cache(
+        m.select("doc_id", *[r[name].alias(f"r_{name}") for name in rules])
+    )
+    keep_all = None
+    for name in rules:
+        c = F.col(f"r_{name}")
+        keep_all = c if keep_all is None else (keep_all & c)
+    tot = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(keep_all.cast("int")).cast("long").alias("n_keep"),
+    )
+    arms = []
+    for name in rules:
+        others = None
+        for o in rules:
+            if o == name:
+                continue
+            c = F.col(f"r_{o}")
+            others = c if others is None else (others & c)
+        arms.append(
+            f.agg(
+                F.sum((~F.col(f"r_{name}")).cast("int"))
+                .cast("long")
+                .alias("n_fail"),
+                F.sum(((~F.col(f"r_{name}")) & others).cast("int"))
+                .cast("long")
+                .alias("n_unique_fail"),
+            ).select(F.lit(name).alias("rule"), "n_fail", "n_unique_fail")
+        )
+    per = arms[0]
+    for a in arms[1:]:
+        per = per.unionByName(a)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "rule", "n_fail", "n_unique_fail", "n_docs", "n_keep"
     )
