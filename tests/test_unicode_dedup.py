@@ -85,3 +85,65 @@ def test_distances_are_codepoint_counted(spark, cjk_docs_dir):
     # ASCII near-dup pair: 'one' vs 'two' -> 3 edits... but the heads
     # are 40-codepoint prefixes; the differing tail falls at the cut.
     assert (4, 5) in rows
+
+
+# ---------------------------------------------------------------------------
+# Property: the relabel CTE preserves codepoint edit distance exactly.
+
+
+def _py_lev(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[-1][-1]
+
+
+def test_relabel_distance_equals_codepoint_dp_property():
+    from hypothesis import given, settings, strategies as st
+
+    from tomasz_weight_tracker_spark.functions import sql_codepoint_relabel
+
+    alphabet = "ab1 日本語誤テスト文書éüß漢字中文한국"  # mixed 1–3 byte codepoints
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=12),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(heads):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t0(doc_id BIGINT, head VARCHAR)")
+        con.executemany(
+            "INSERT INTO t0 VALUES (?, ?)", list(enumerate(heads))
+        )
+        q = (
+            "WITH t0x AS (SELECT doc_id, head FROM t0)"
+            + sql_codepoint_relabel("t0x", "t")
+            + """
+            SELECT a.doc_id, b.doc_id, levenshtein(a.head, b.head)
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ORDER BY 1, 2
+            """
+        )
+        got = con.execute(q).fetchall()
+        ref = [
+            (i, j, _py_lev(heads[i], heads[j]))
+            for i in range(len(heads))
+            for j in range(i + 1, len(heads))
+        ]
+        assert got == ref
+        con.close()
+
+    check()
