@@ -300,3 +300,38 @@ class TestGopherRuleAttribution:
         assert {r.n_keep for r in attr.values()} == {n_keep}
         # Unique kills never exceed total kills.
         assert all(r.n_unique_fail <= r.n_fail for r in attr.values())
+
+
+class TestSourceTemperatureMix:
+    def test_flattening_and_conservation(self, spark):
+        import math
+
+        from tomasz_weight_tracker_spark.plans.round9 import TMIX_BUDGET_PCT
+
+        rows = REGISTRY["source_temperature_mix"].build(spark, SF_SMALL).collect()
+        assert rows
+        tot_avail = sum(r.tokens_avail for r in rows)
+        budget = tot_avail * TMIX_BUDGET_PCT // 100
+        sum_w = sum(r.w for r in rows)
+        for r in rows:
+            # Exact integer sqrt.
+            assert r.w == math.isqrt(r.tokens_avail)
+            # accept_ppm realizes min(budget share, own supply).
+            alloc = min(budget * r.w // sum_w, r.tokens_avail)
+            expect = 0 if r.tokens_avail == 0 else min(
+                1_000_000, alloc * 1_000_000 // r.tokens_avail
+            )
+            assert r.accept_ppm == expect
+            assert r.docs_kept <= r.n_docs
+            assert r.tokens_kept <= r.tokens_avail
+        # Flattening trend: w/avail ~ 1/sqrt(avail) is non-monotone by
+        # +-1 at perfect-square boundaries, so compare only sources
+        # whose sizes differ enough for the sqrt to dominate the step.
+        uncapped = sorted(
+            (r for r in rows if r.accept_ppm < 1_000_000),
+            key=lambda r: r.tokens_avail,
+        )
+        for small in uncapped:
+            for big in uncapped:
+                if big.tokens_avail >= 4 * small.tokens_avail > 0:
+                    assert small.accept_ppm > big.accept_ppm

@@ -26,6 +26,10 @@
   Gopher filter stack — n_fail and n_unique_fail (the rule's marginal
   contribution) per rule, sharing the metric pass and rule predicates
   with gopher_quality_rules.
+- ``source_temperature_mix``: T=2 temperature-flattened source mixing
+  (the multilingual-LM sampling rule) with exact integer square-root
+  weights, single-shot proportional allocation capped at supply, and
+  the md5-realized per-source yield.
 """
 
 from __future__ import annotations
@@ -655,4 +659,158 @@ def q_gopher_rule_attribution(spark, sf_dir):
         per = per.unionByName(a)
     return per.crossJoin(F.broadcast(tot)).select(
         "rule", "n_fail", "n_unique_fail", "n_docs", "n_keep"
+    )
+
+
+# ===========================================================================
+# Temperature-flattened source mixing (T = 2, exact integer sqrt)
+# ===========================================================================
+
+TMIX_BUDGET_PCT = 50  # global token budget as % of corpus tokens
+
+# Exact integer sqrt: float seed + integer correction (the float sqrt
+# of a BIGINT can be off by one ulp at perfect-square boundaries —
+# the correction makes the result bit-portable across engines).
+_ISQRT_SQL = """(CASE WHEN (f0 + 1) * (f0 + 1) <= avail THEN f0 + 1
+                      WHEN f0 * f0 > avail THEN f0 - 1
+                      ELSE f0 END)"""
+
+
+def _tmix_oracle() -> str:
+    pct = TMIX_BUDGET_PCT
+    samp = "('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(lower(text)) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+               END::BIGINT AS nt
+        FROM documents
+    ), src AS (
+        SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS avail
+        FROM toks GROUP BY source
+    ), sq AS (
+        SELECT source, n_docs, avail,
+               floor(sqrt(avail))::BIGINT AS f0
+        FROM src
+    ), wts AS (
+        SELECT source, n_docs, avail, {_ISQRT_SQL}::BIGINT AS w FROM sq
+    ), tot AS (
+        SELECT sum(w)::BIGINT AS sum_w,
+               (sum(avail) * {pct}) // 100 AS budget
+        FROM wts
+    ), alloc AS (
+        SELECT w.source, w.n_docs, w.avail, w.w,
+               least((t.budget * w.w) // t.sum_w, w.avail) AS tokens_alloc
+        FROM wts w CROSS JOIN tot t
+    ), des AS (
+        SELECT source, n_docs, avail AS tokens_avail, w,
+               CASE WHEN avail = 0 THEN 0
+                    ELSE least(1000000, (tokens_alloc * 1000000) // avail)
+               END::BIGINT AS accept_ppm
+        FROM alloc
+    ), kept AS (
+        SELECT t.source, count(*)::BIGINT AS docs_kept,
+               sum(t.nt)::BIGINT AS tokens_kept
+        FROM toks t JOIN des USING (source)
+        WHERE {samp} % 1000000 < des.accept_ppm
+        GROUP BY t.source
+    )
+    SELECT des.source, des.n_docs, des.tokens_avail, des.w, des.accept_ppm,
+           coalesce(kept.docs_kept, 0)::BIGINT AS docs_kept,
+           coalesce(kept.tokens_kept, 0)::BIGINT AS tokens_kept
+    FROM des LEFT JOIN kept USING (source)
+    """
+
+
+@register(
+    "source_temperature_mix",
+    _tmix_oracle(),
+    survey_ids=("A1", "A2"),
+    doc="Temperature-flattened source mixing, T=2 — the multilingual-"
+    "LM sampling rule (sample source s with probability proportional "
+    "to n_s^(1/T), flattening the head so low-resource sources are "
+    "not drowned; T=2 => weights are integer square roots of token "
+    "mass, computed EXACTLY via float seed + integer correction so "
+    f"both engines agree at perfect-square boundaries).  A "
+    f"{TMIX_BUDGET_PCT}% global token budget is split proportionally "
+    "to the flattened weights (single-shot proportional rule, capped "
+    "at each source's own supply — deliberately NOT water-fill: "
+    "token_budget_mix redistributes cap overflow, this rule shows "
+    "the flattening itself; run both and diff to see what "
+    "redistribution buys), realized through the deterministic md5 "
+    "acceptance sampler and reported as per-source design + realized "
+    "yield.  Plan: one tokenize pass -> per-source aggregate (tiny) "
+    "-> broadcast design joined back for the acceptance filter — "
+    "corpus touched twice, shuffled never (acceptance is a scan-side "
+    "predicate on broadcast ppm thresholds).",
+)
+def q_source_temperature_mix(spark, sf_dir):
+    from ..functions import md5_long, tokens
+
+    pct = TMIX_BUDGET_PCT
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))).cast(
+            "long"
+        ).alias("nt"),
+    )
+    src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("avail"),
+    )
+    wts = src.withColumn(
+        "f0", F.floor(F.sqrt(F.col("avail"))).cast("long")
+    ).withColumn("w", F.expr(_ISQRT_SQL).cast("long"))
+    tot = wts.agg(
+        F.sum("w").cast("long").alias("sum_w"),
+        F.expr(f"(sum(avail) * {pct}) div 100").cast("long").alias("budget"),
+    )
+    des = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "tokens_alloc",
+            F.least(F.expr("(budget * w) div sum_w"), F.col("avail")).cast(
+                "long"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("avail").alias("tokens_avail"),
+            "w",
+            F.when(F.col("avail") == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(1000000),
+                    F.expr("(tokens_alloc * 1000000) div avail"),
+                )
+            )
+            .cast("long")
+            .alias("accept_ppm"),
+        )
+    )
+    kept = (
+        toks.join(F.broadcast(des.select("source", "accept_ppm")), "source")
+        .filter(
+            md5_long(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")))
+            % 1000000
+            < F.col("accept_ppm")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("nt").cast("long").alias("tokens_kept"),
+        )
+    )
+    return des.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "tokens_avail",
+        "w",
+        "accept_ppm",
+        F.coalesce("docs_kept", F.lit(0)).cast("long").alias("docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
     )
