@@ -135,6 +135,8 @@ DEFAULT_QUERIES = [
     "lsh_band_autotune",
     "order_quartiles",
     "doc_edit_distance_pairs",
+    "source_temperature_mix",
+    "gopher_rule_attribution",
 ]
 
 _SHIFTS = {
