@@ -1,0 +1,159 @@
+"""Round-10 additions.
+
+1. The band-partitioned LSH signature store: file-level partition
+   pruning must be REAL (PartitionFilters in the scan plan, untouched
+   bucket files never listed), the probe-read must be exact (returns
+   precisely the store docs sharing a band hash with the batch, plus
+   nothing the hash buckets alias in that the semi-join doesn't kill),
+   and the incremental fold through the store must still equal the
+   one-shot run (the round-9 verdict's top item).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.operators import dedup as D
+
+K, BANDS, NB = 16, 4, 64
+
+
+def _sigs(spark, texts, start_id=0):
+    df = spark.createDataFrame(
+        [(start_id + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    return D.minhash_signature(df, "text", k=K).drop("text")
+
+
+@pytest.fixture(scope="module")
+def store_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lshstore")) + "/store"
+    # 60 distinct store docs: no two share a band key (distinct texts),
+    # plus one doc ("shared alpha beta gamma delta") the batch will
+    # duplicate verbatim.
+    texts = [f"store document number {i} unique tokens {i * 7} {i * 13}" for i in range(60)]
+    texts.append("shared alpha beta gamma delta epsilon zeta")
+    D.lsh_store_append(_sigs(spark, texts), root, k=K, bands=BANDS, n_buckets=NB)
+    return root
+
+
+def _touched_buckets(batch):
+    keys = batch.select(
+        F.explode(
+            F.array(*[D.lsh_band_hash(b, K, BANDS) for b in range(BANDS)])
+        ).alias("bh")
+    ).select(F.pmod("bh", F.lit(NB)).cast("int").alias("pb"))
+    return {r.pb for r in keys.distinct().collect()}
+
+
+def test_store_probe_partition_pruning(spark, store_dir):
+    """The store scan must carry STATIC PartitionFilters on pb whose
+    IN-list is exactly the batch's touched buckets (<= BANDS values for
+    a 1-doc batch) — the contract FileSourceScanExec prunes file
+    listings on — and every file that yields a row must live in a
+    touched bucket directory."""
+    import re
+
+    batch = _sigs(spark, ["shared alpha beta gamma delta epsilon zeta"], start_id=1000)
+    batch = batch.localCheckpoint(eager=True)
+    touched = _touched_buckets(batch)
+    assert 0 < len(touched) <= BANDS
+
+    pruned = D.lsh_store_probe_read(spark, store_dir, batch, k=K, bands=BANDS, n_buckets=NB)
+    assert pruned is not None
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1]
+    pf = pf[: pf.index("]") + 1]
+    assert "pb" in pf
+    in_literals = {int(x) for x in re.findall(r"\b(\d+)\b", pf.split("(", 1)[1])}
+    assert in_literals == touched, (pf, touched)
+
+    # Functional check (input_file_name survives no shuffle, so run it
+    # on a raw scan carrying the same partition filter the helper
+    # plants): rows only ever come out of touched bucket dirs.
+    raw = spark.read.parquet(store_dir).filter(
+        F.col("pb").isin(sorted(touched))
+    )
+    files = {
+        r.f.split("pb=")[1].split("/")[0]
+        for r in raw.select(F.input_file_name().alias("f")).collect()
+    }
+    assert files and files <= {str(b) for b in touched}
+
+
+def test_store_probe_exact_retention(spark, store_dir):
+    """probe-read returns exactly the store docs sharing >=1 band hash
+    with the batch (here: the verbatim twin, id 60), reconstructed with
+    their full signatures intact."""
+    batch = _sigs(spark, ["shared alpha beta gamma delta epsilon zeta"], start_id=1000)
+    batch = batch.localCheckpoint(eager=True)
+    pruned = D.lsh_store_probe_read(spark, store_dir, batch, k=K, bands=BANDS, n_buckets=NB)
+    rows = pruned.collect()
+    # Same-bucket strangers are killed by the exact band-hash semi-join:
+    # only the identical-signature store doc survives.
+    assert [r.doc_id for r in rows] == [60]
+    bsig = batch.collect()[0]
+    assert all(rows[0][f"mh{i}"] == bsig[f"mh{i}"] for i in range(K))
+
+
+def test_store_probe_empty_and_errors(spark, tmp_path):
+    """No parquet files yet -> None (first refresh); a CORRUPT store
+    must RAISE, not masquerade as empty (round-9 advice fix)."""
+    empty = str(tmp_path / "nothing")
+    batch = _sigs(spark, ["any text at all"]).localCheckpoint(eager=True)
+    assert D.lsh_store_probe_read(spark, empty, batch, k=K, bands=BANDS) is None
+
+    corrupt = tmp_path / "bad" / "pb=0"
+    corrupt.mkdir(parents=True)
+    (corrupt / "part-0.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        D.lsh_store_probe_read(
+            spark, str(tmp_path / "bad"), batch, k=K, bands=BANDS
+        ).collect()
+
+
+def test_incremental_fold_through_store_equals_one_shot(spark, tmp_path):
+    """The full refresh loop over the bucketed store must equal the
+    one-shot lsh_probe_assign on the union corpus (the batching-
+    invariance theorem, now through the pruned store path)."""
+    texts = [f"doc {i} body tokens {i % 5} {i % 7} filler" for i in range(30)]
+    # duplicate clusters across batch boundaries
+    texts += ["doc 3 body tokens 3 3 filler", "doc 12 body tokens 2 5 filler"]
+    sigs = _sigs(spark, texts).localCheckpoint(eager=True)
+    n = len(texts)
+
+    store = str(tmp_path / "store")
+    upd = []
+    n_batches = 3
+    for r in range(n_batches):
+        batch = sigs.filter(F.col("doc_id") % n_batches == r).localCheckpoint(eager=True)
+        hist = D.lsh_store_probe_read(spark, store, batch, k=K, bands=BANDS, n_buckets=NB)
+        new = batch.withColumn("is_new", F.lit(True))
+        all_sigs = (
+            new if hist is None
+            else hist.withColumn("is_new", F.lit(False)).unionByName(new)
+        )
+        upd.append(
+            D.lsh_probe_assign(
+                all_sigs, "is_new", "doc_id", k=K, bands=BANDS, verify_min=12
+            ).localCheckpoint(eager=True)
+        )
+        D.lsh_store_append(batch, store, k=K, bands=BANDS, n_buckets=NB)
+
+    folded = upd[0]
+    for u in upd[1:]:
+        folded = folded.unionByName(u)
+    folded = folded.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+
+    one_shot = D.lsh_probe_assign(
+        sigs.withColumn("is_new", F.lit(True)), "is_new", "doc_id",
+        k=K, bands=BANDS, verify_min=12,
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+    assert folded.count() > 0, "fixture produced no duplicate assignments"

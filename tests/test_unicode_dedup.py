@@ -34,6 +34,16 @@ def cjk_docs_dir(spark, tmp_path_factory):
         (7, "   ", "en", "eu", 0),
         # Mixed-script doc, no partner (must not pair with anything).
         (8, "混合 mixed スクリプト content 999", "ja", "cjk", 0),
+        # Turkish UPPERCASE with U+0130 İ — Java FULL case mapping
+        # lowers İ to 'i'+U+0307 while utf8proc's simple mapping gives
+        # plain 'i'; portable_lower folds İ->i first so both engines
+        # agree (round-10 advice fix).
+        (9, "İSTANBUL ŞEHİR NÜFUS RAPORU GENEL ÖZET BİR", "tr", "tr", 0),
+        (10, "İSTANBUL ŞEHİR NÜFUS RAPORU GENEL ÖZET İKİ", "tr", "tr", 0),
+        # Greek UPPERCASE with word-final Σ — full mapping emits
+        # contextual ς, simple mapping always σ; same fold closes it.
+        (11, "ΑΘΗΝΑ ΚΕΝΤΡΙΚΗ ΟΔΟΣ ΑΡΙΘΜΟΣ ΕΝΑ ΤΕΛΟΣ", "el", "el", 0),
+        (12, "ΑΘΗΝΑ ΚΕΝΤΡΙΚΗ ΟΔΟΣ ΑΡΙΘΜΟΣ ΔΥΟ ΤΕΛΟΣ", "el", "el", 0),
     ]
     rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
     spark.createDataFrame(
@@ -86,6 +96,28 @@ def test_distances_are_codepoint_counted(spark, cjk_docs_dir):
     # are 40-codepoint prefixes; the differing tail falls at the cut.
     assert (4, 5) in rows
 
+    # Full-vs-simple case-mapping pairs: the expected distances are
+    # recomputed here with the SAME fold the engines apply (translate
+    # İ->i, Σ->σ, then lower — Python's str.lower is full-mapping like
+    # Java's, so the pre-fold is what makes it portable), proving the
+    # engine output matches an independent codepoint DP.
+    import re
+
+    def head(t):
+        t = t.translate(str.maketrans("İΣ", "iσ"))
+        return re.sub(r"[^\w ]", "", t.lower(), flags=re.UNICODE)[:40]
+
+    tr = _py_lev(
+        head("İSTANBUL ŞEHİR NÜFUS RAPORU GENEL ÖZET BİR"),
+        head("İSTANBUL ŞEHİR NÜFUS RAPORU GENEL ÖZET İKİ"),
+    )
+    el = _py_lev(
+        head("ΑΘΗΝΑ ΚΕΝΤΡΙΚΗ ΟΔΟΣ ΑΡΙΘΜΟΣ ΕΝΑ ΤΕΛΟΣ"),
+        head("ΑΘΗΝΑ ΚΕΝΤΡΙΚΗ ΟΔΟΣ ΑΡΙΘΜΟΣ ΔΥΟ ΤΕΛΟΣ"),
+    )
+    assert rows[(9, 10)] == tr
+    assert rows[(11, 12)] == el
+
 
 # ---------------------------------------------------------------------------
 # Property: the relabel CTE preserves codepoint edit distance exactly.
@@ -105,6 +137,30 @@ def _py_lev(a: str, b: str) -> int:
                 m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
             )
     return m[-1][-1]
+
+
+def test_relabel_overflow_fails_loudly():
+    """>54 distinct non-ASCII codepoints must ERROR, not silently
+    delete overflow codepoints from the relabeled head (round-10
+    advice fix)."""
+    from tomasz_weight_tracker_spark.functions import (
+        LEV_FREE_BYTES,
+        sql_codepoint_relabel,
+    )
+
+    n = len(LEV_FREE_BYTES) + 1
+    head = "".join(chr(0x4E00 + i) for i in range(n))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t0(doc_id BIGINT, head VARCHAR)")
+    con.execute("INSERT INTO t0 VALUES (0, ?)", [head])
+    q = (
+        "WITH t0x AS (SELECT doc_id, head FROM t0)"
+        + sql_codepoint_relabel("t0x", "t")
+        + " SELECT head FROM t"
+    )
+    with pytest.raises(Exception, match="relabel alphabet exhausted"):
+        con.execute(q).fetchall()
+    con.close()
 
 
 def test_relabel_distance_equals_codepoint_dp_property():

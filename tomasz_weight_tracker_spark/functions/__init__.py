@@ -139,6 +139,44 @@ def sanitize_filename(name: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Engine-portable lowercase.
+#
+# Spark lower() applies Java/ICU FULL case mapping; DuckDB's applies
+# utf8proc SIMPLE per-codepoint mapping.  The locale-independent
+# lowercase divergence surface is exactly two codepoints (SpecialCasing
+# .txt's unconditional + Final_Sigma rules; everything else lowercases
+# identically):
+#   U+0130 İ -> 'i'+U+0307 (full) vs 'i' (simple)
+#   U+03A3 Σ -> ς when word-final (full, contextual) vs σ always (simple)
+# Folding both to their SIMPLE targets before lower() makes the result
+# byte-identical across engines (verified empirically: Spark 4.1 emits
+# i+0x307 / final ς, DuckDB emits i / σ, both emit i / σ after the
+# fold).  Use these wrappers wherever a lowercased value feeds a
+# cross-engine hash/compare.
+
+CASEFOLD_DIVERGENT_FROM = "İΣ"  # İ Σ
+CASEFOLD_DIVERGENT_TO = "iσ"  # i σ
+
+
+def portable_lower(col: Column | str) -> Column:
+    """lower() that agrees with DuckDB's on every codepoint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.translate(c, CASEFOLD_DIVERGENT_FROM, CASEFOLD_DIVERGENT_TO)
+    )
+
+
+def sql_portable_lower(expr: str) -> str:
+    """DuckDB rendering of :func:`portable_lower` (the fold is a no-op
+    for DuckDB's own simple mapping of İ/Σ, but keeping it in BOTH
+    engines documents the contract and survives an engine swap)."""
+    return (
+        f"lower(translate({expr}, '{CASEFOLD_DIVERGENT_FROM}', "
+        f"'{CASEFOLD_DIVERGENT_TO}'))"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Codepoint-consistent edit distance across engines.
 #
 # Spark's levenshtein counts CODEPOINTS; DuckDB 1.0's counts BYTES —
@@ -167,9 +205,13 @@ def sql_codepoint_relabel(src: str, out: str, carry: tuple[str, ...] = ()) -> st
         FROM {src}, unnest(string_split(head, '')) AS u(c)
         WHERE unicode(u.c) >= 128
     ), __dict AS (
-        SELECT cp, substr('{LEV_FREE_BYTES}',
-                          row_number() OVER (ORDER BY cp), 1) AS b
-        FROM __cps
+        -- Fail LOUDLY past capacity: slot {len(LEV_FREE_BYTES) + 1}+
+        -- would substr to '' and silently DELETE the codepoint from
+        -- the relabeled head (wrong distances, no error).
+        SELECT cp, CASE WHEN rn > {len(LEV_FREE_BYTES)}
+                        THEN error('sql_codepoint_relabel: relabel alphabet exhausted (>{len(LEV_FREE_BYTES)} distinct non-ASCII codepoints)')
+                        ELSE substr('{LEV_FREE_BYTES}', rn::INT, 1) END AS b
+        FROM (SELECT cp, row_number() OVER (ORDER BY cp) AS rn FROM __cps)
     ), __chars AS (
         SELECT doc_id, u.i AS i, substr(head, u.i::INT, 1) AS c
         FROM {src}, unnest(range(1, length(head) + 1)) AS u(i)

@@ -249,15 +249,19 @@ def _snm_oracle() -> str:
                levenshtein(head, n{off}_head)::BIGINT AS dist
         FROM w WHERE n{off}_id IS NOT NULL"""
         )
-    from ..functions import sql_codepoint_relabel
+    from ..functions import sql_codepoint_relabel, sql_portable_lower
 
+    head_norm = sql_portable_lower(
+        "regexp_replace(text, '[^\\p{L}\\p{Nd} ]', '', 'g')"
+    )
+    skey_norm = sql_portable_lower(
+        "regexp_replace(text, '[^\\p{L}\\p{Nd}]', '', 'g')"
+    )
     return f"""
     WITH k0 AS (
         SELECT doc_id,
-               substr(lower(regexp_replace(text, '[^\\p{{L}}\\p{{Nd}} ]', '', 'g')),
-                      1, {_SNM_HEAD}) AS head,
-               substr(lower(regexp_replace(text, '[^\\p{{L}}\\p{{Nd}}]', '', 'g')),
-                      1, {_SNM_KEY_LEN}) AS skey
+               substr({head_norm}, 1, {_SNM_HEAD}) AS head,
+               substr({skey_norm}, 1, {_SNM_KEY_LEN}) AS skey
         FROM documents
     ){sql_codepoint_relabel("k0", "k", carry=("skey",))}, r AS (
         SELECT doc_id, head, skey,
@@ -318,13 +322,20 @@ def q_snm_near_dup(spark, sf_dir):
     # Spark levenshtein counts codepoints (the semantics we define);
     # the oracle relabels non-ASCII codepoints to single-byte chars so
     # DuckDB's byte-based distance agrees (functions.sql_codepoint_relabel).
+    # portable_lower: Spark's full case mapping diverges from DuckDB's
+    # simple mapping on İ/Σ (functions.portable_lower) — fold them
+    # first so head AND skey are byte-identical across engines.
+    from ..functions import portable_lower
+
     k = docs.select(
         "doc_id",
         F.substring(
-            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")), 1, _SNM_HEAD
+            portable_lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")),
+            1, _SNM_HEAD,
         ).alias("head"),
         F.substring(
-            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd}]", "")), 1, _SNM_KEY_LEN
+            portable_lower(F.regexp_replace("text", r"[^\p{L}\p{Nd}]", "")),
+            1, _SNM_KEY_LEN,
         ).alias("skey"),
     )
     # The block key is materialized as a COLUMN, not left as an inline

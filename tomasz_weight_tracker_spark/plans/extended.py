@@ -1155,13 +1155,15 @@ def q_hash_sample_events(spark, sf_dir):
 
 
 def _edit_pairs_oracle() -> str:
-    from ..functions import sql_codepoint_relabel
+    from ..functions import sql_codepoint_relabel, sql_portable_lower
 
+    norm = sql_portable_lower(
+        r"regexp_replace(text, '[^\p{L}\p{Nd} ]', '', 'g')"
+    )
     return (
-        r"""
+        f"""
     WITH t0 AS (SELECT doc_id, source,
-                      substr(lower(regexp_replace(text, '[^\p{L}\p{Nd} ]',
-                                                  '', 'g')), 1, 40) AS head
+                      substr({norm}, 1, 40) AS head
                FROM documents)"""
         + sql_codepoint_relabel("t0", "t", carry=("source",))
         + """
@@ -1190,12 +1192,17 @@ def _edit_pairs_oracle() -> str:
     "astral-plane chars would offset the 40-char window.)",
 )
 def q_doc_edit_distance_pairs(spark, sf_dir):
+    from ..functions import portable_lower
+
     d = load(spark, sf_dir, "documents")
+    # portable_lower: fold İ/Σ before lower so the head matches the
+    # oracle's utf8proc simple case mapping byte-for-byte.
     t = d.select(
         "doc_id",
         "source",
         F.substring(
-            F.lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")), 1, 40
+            portable_lower(F.regexp_replace("text", r"[^\p{L}\p{Nd} ]", "")),
+            1, 40,
         ).alias("head"),
     )
     a, b = t.alias("a"), t.alias("b")

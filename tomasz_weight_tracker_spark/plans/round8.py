@@ -329,11 +329,15 @@ def _inc_lsh_oracle() -> str:
     doc="The crawl-refresh production shape of near-dup detection: "
     f"documents arrive in {_INC_BATCHES} batches (doc_id residue "
     "classes); each batch is MinHash-signed, PROBED against the "
-    "persisted signature store (parquet state, the incremental_topk "
-    "state mechanism) emitting only pairs with a new endpoint, then "
-    "appended to the store — history is never re-paired against "
-    "itself, so refresh cost is |batch| x store-bucket-width however "
-    "long the crawl has run.  The probe's share-a-band candidate "
+    "persisted signature store — parquet state PARTITIONED by "
+    "band-key-hash bucket (operators/dedup.py:lsh_store_append), so "
+    "each refresh partition-prunes the store scan to the batch's "
+    "touched buckets and broadcast-semi-joins on the exact band hash "
+    "BEFORE any shuffle (lsh_store_probe_read) — emitting only pairs "
+    "with a new endpoint, then appended to the store.  History is "
+    "never re-paired against itself AND never re-scanned: per-refresh "
+    "cost (scan, shuffle, and output) is O(|batch| x touched buckets) "
+    "however long the crawl has run.  The probe's share-a-band candidate "
     "rule is a pure pairwise predicate, hence BATCHING-INVARIANT "
     "(operators/dedup.py:lsh_probe_pairs): the union of the batch "
     "emissions equals the one-shot uncapped run on the union corpus "
@@ -355,11 +359,18 @@ def q_incremental_lsh_dedup(spark, sf_dir):
             .withColumn("is_new", F.lit(True))
             .localCheckpoint(eager=True)  # sign once: probe + append reuse
         )
-        try:
-            store = spark.read.parquet(state).withColumn("is_new", F.lit(False))
-            all_sigs = store.unionByName(new_sigs)
-        except Exception:  # first batch: empty store
+        # Band-partitioned store probe (round-10): partition filter on
+        # the batch's band-hash buckets + broadcast semi-join, so the
+        # refresh never scans or shuffles untouched store history.
+        store = D.lsh_store_probe_read(
+            spark, state, new_sigs, k=LSH_K, bands=LSH_BANDS
+        )
+        if store is None:  # genuinely-empty first refresh
             all_sigs = new_sigs
+        else:
+            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
+                new_sigs
+            )
         pairs = D.lsh_probe_pairs(
             all_sigs, "is_new", "doc_id",
             k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
@@ -368,7 +379,9 @@ def q_incremental_lsh_dedup(spark, sf_dir):
         # store lazily, and parquet files appended below must not leak
         # into this batch's probe.
         outs.append(pairs.localCheckpoint(eager=True))
-        new_sigs.drop("is_new").write.mode("append").parquet(state)
+        D.lsh_store_append(
+            new_sigs.drop("is_new"), state, k=LSH_K, bands=LSH_BANDS
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -400,7 +413,12 @@ def _inc_assign_oracle() -> str:
     "updates (doc_id, dup_of = smallest verified neighbor visible "
     "this refresh) instead of pairs "
     "(operators/dedup.py:lsh_probe_assign), so refresh output is "
-    "O(touched members) however duplicated the corpus.  Updates fold "
+    "O(touched members) however duplicated the corpus — and refresh "
+    "COMPUTE matches: the store is parquet PARTITIONED by "
+    "band-key-hash bucket, partition-pruned to the batch's buckets "
+    "and band-hash-semi-joined before any shuffle "
+    "(lsh_store_probe_read), so untouched history is never scanned.  "
+    "Updates fold "
     "through the state table with a keyed MIN-merge (the S11 upsert "
     "mechanism; here an append log + final min-aggregate — "
     "associative + commutative, so batch order is irrelevant), and "
@@ -425,13 +443,18 @@ def q_incremental_lsh_assign(spark, sf_dir):
             .withColumn("is_new", F.lit(True))
             .localCheckpoint(eager=True)  # sign once: probe + append reuse
         )
-        try:
-            store = spark.read.parquet(sig_state).withColumn(
-                "is_new", F.lit(False)
-            )
-            all_sigs = store.unionByName(new_sigs)
-        except Exception:  # first batch: empty store
+        # Band-partitioned store probe (round-10): partition filter on
+        # the batch's band-hash buckets + broadcast semi-join, so the
+        # refresh never scans or shuffles untouched store history.
+        store = D.lsh_store_probe_read(
+            spark, sig_state, new_sigs, k=LSH_K, bands=LSH_BANDS
+        )
+        if store is None:  # genuinely-empty first refresh
             all_sigs = new_sigs
+        else:
+            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
+                new_sigs
+            )
         updates = D.lsh_probe_assign(
             all_sigs, "is_new", "doc_id",
             k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
@@ -440,7 +463,9 @@ def q_incremental_lsh_assign(spark, sf_dir):
         # update plan reads the store lazily), then min-merge them into
         # the assignment state via the append log.
         updates.write.mode("append").parquet(upd_state)
-        new_sigs.drop("is_new").write.mode("append").parquet(sig_state)
+        D.lsh_store_append(
+            new_sigs.drop("is_new"), sig_state, k=LSH_K, bands=LSH_BANDS
+        )
     return (
         spark.read.parquet(upd_state)
         .groupBy("doc_id")

@@ -277,8 +277,13 @@ def _streaming_lsh_oracle() -> str:
     "micro-batches (maxFilesPerTrigger=1 over a file-per-refresh "
     "layout, availableNow); each micro-batch MinHash-signs its docs "
     "inside foreachBatch, PROBES them against the checkpointed "
-    "parquet signature store (operators/dedup.py:lsh_probe_assign — "
-    "the bounded-output assign probe, O(touched members) per batch, "
+    "parquet signature store — PARTITIONED by band-key-hash bucket "
+    "(operators/dedup.py:lsh_store_append), each micro-batch "
+    "partition-pruning the store scan to its touched buckets and "
+    "broadcast-semi-joining on the exact band hash before any "
+    "shuffle (lsh_store_probe_read), then lsh_probe_assign — "
+    "the bounded-output assign probe, O(touched members) per batch "
+    "in OUTPUT and COMPUTE alike, "
     "never the pair relation), appends its (doc_id, dup_of) updates "
     "to the assignment log, then appends its signatures to the "
     "store.  The drained state min-folds the log — associative, "
@@ -318,13 +323,20 @@ def q_streaming_lsh_assign(spark, sf_dir):
             .withColumn("is_new", F.lit(True))
             .localCheckpoint(eager=True)  # sign once: probe + append reuse
         )
-        try:
-            store = sess.read.parquet(sig_state).withColumn(
-                "is_new", F.lit(False)
-            )
-            all_sigs = store.unionByName(new_sigs)
-        except Exception:  # first batch: empty store
+        # Band-partitioned store probe: partition-prune + broadcast
+        # band-hash semi-join, so the refresh reads/shuffles O(batch x
+        # touched buckets), never the whole store (round-10 fix of the
+        # round-9 store-rescan weak).  None == genuinely-empty store
+        # (no parquet files yet); real read errors propagate.
+        store = D.lsh_store_probe_read(
+            sess, sig_state, new_sigs, k=LSH_K, bands=LSH_BANDS
+        )
+        if store is None:
             all_sigs = new_sigs
+        else:
+            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
+                new_sigs
+            )
         updates = D.lsh_probe_assign(
             all_sigs, "is_new", "doc_id",
             k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
@@ -334,7 +346,9 @@ def q_streaming_lsh_assign(spark, sf_dir):
         # themselves as history).  An empty batch still appends a
         # schema-bearing empty file, so the final read never 404s.
         updates.write.mode("append").parquet(upd_state)
-        new_sigs.drop("is_new").write.mode("append").parquet(sig_state)
+        D.lsh_store_append(
+            new_sigs.drop("is_new"), sig_state, k=LSH_K, bands=LSH_BANDS
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -681,9 +695,11 @@ def _tmix_oracle() -> str:
     samp = "('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     return f"""
     WITH toks AS (
+        -- coalesce mirrors the Spark side's coalesce(text, ''): a NULL
+        -- text row must count 0 tokens, not poison sum(nt) with NULL.
         SELECT doc_id, source,
-               CASE WHEN trim(lower(text)) = '' THEN 0
-                    ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+               CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN 0
+                    ELSE len(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'))
                END::BIGINT AS nt
         FROM documents
     ), src AS (
