@@ -157,3 +157,63 @@ def test_incremental_fold_through_store_equals_one_shot(spark, tmp_path):
         map(tuple, one_shot.collect())
     )
     assert folded.count() > 0, "fixture produced no duplicate assignments"
+
+
+# ---------------------------------------------------------------------------
+# Rebuild-on-maximal: doubled-offset duplicate (round-9 verdict item 7).
+
+
+@pytest.fixture(scope="module")
+def doubled_dup_dir(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dbldup"))
+    P = " ".join(f"p{i}" for i in range(20))  # the duplicated passage
+    rows = [
+        (0, "first document filler alpha beta gamma delta " + P, "en", "a"),
+        # The passage appears at TWO offsets in doc 1 — the old rebuild
+        # excised the union via DISTINCT positions; the maximal rebuild
+        # must union the intervals and excise each region once.
+        (1, "intro one two three " + P + " middle six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen " + P + " tail end", "en", "a"),
+        (2, "unrelated text with none of the shared material at all "
+            "just words words words more words", "en", "b"),
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{root}/documents.parquet")
+    return root
+
+
+def test_rebuild_maximal_doubled_offset(spark, doubled_dup_dir):
+    import duckdb
+
+    from tomasz_weight_tracker_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{doubled_dup_dir}/documents.parquet/*.parquet')"
+    )
+
+    qm = REGISTRY["dup_passage_rebuild_maximal"]
+    got = {r.doc_id: r for r in qm.build(spark, doubled_dup_dir).collect()}
+    # Doc 1 loses BOTH copies of the 20-token passage: 2 regions.
+    assert set(got) == {1}
+    assert got[1].n_regions == 2
+    assert got[1].n_dropped >= 40
+    assert "p0" not in got[1].kept_text.split()
+
+    # Oracle agreement (the hash gate in miniature).
+    orc = {r[0]: r for r in con.execute(qm.oracle).fetchall()}
+    assert set(orc) == {1}
+    g = got[1]
+    assert (g.n_toks, g.n_dropped, g.n_regions, g.kept_text) == tuple(orc[1][1:])
+
+    # And the maximal rebuild's kept_text equals the DISTINCT-position
+    # rebuild's: union-then-excise-once == excise-with-dedup.
+    old = {
+        r.doc_id: r.kept_text
+        for r in REGISTRY["dup_passage_rebuild"].build(spark, doubled_dup_dir).collect()
+    }
+    assert old == {1: g.kept_text}
+    con.close()

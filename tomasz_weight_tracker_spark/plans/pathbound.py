@@ -248,58 +248,11 @@ def q_weight_txt_parse(spark, sf_dir):
 # The flush line is constant so distinct events can collide on
 # signature -> the A7 dedup (first file_label wins) actually fires.
 
-_BLOCK_ORACLE = """
-WITH e AS (
-  SELECT event_id AS h, date_trunc('day', ts)::DATE AS d,
-         strftime(date_trunc('day', ts)::DATE, '%Y%m%d') AS file_label
-  FROM events WHERE event_id % 97 <> 0),
-b1 AS (
-  SELECT file_label,
-         d - (1 + (h % 9)::INT) AS block_date,
-         'Job ' || (h % 50)::VARCHAR || ' - Data Engineer' AS group_key,
-         CASE WHEN h % 3 = 0 THEN 'Viewed'
-              WHEN h % 3 = 1 THEN 'Unsuccessful'
-              ELSE 'Applied' END AS verb
-  FROM e),
-b2 AS (
-  SELECT file_label,
-         d - (1 + (h % 4)::INT) AS block_date,
-         'Role ' || (h % 41)::VARCHAR AS group_key,
-         'Successful' AS verb
-  FROM e WHERE h % 7 = 0),
-allb AS (
-  SELECT file_label, block_date, group_key,
-         group_key || chr(31) || verb || ' on ' || block_date::VARCHAR ||
-           chr(31) || 'Updated on latest' AS signature,
-         3::BIGINT AS n_lines
-  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
-SELECT file_label, block_date, group_key, n_lines, signature
-FROM allb
-QUALIFY row_number() OVER (
-  PARTITION BY signature ORDER BY file_label, block_date) = 1
-"""
-
-
-@register(
-    "block_capture",
-    _BLOCK_ORACLE,
-    survey_ids=("S7", "F4", "F5", "T8", "G4", "A7", "P9"),
-    doc="The W4 MHTML pipeline run on generated MIME documents (one "
-    "per event row): MIME walk -> HTML strip -> marker-delimited "
-    "stateful block capture -> 'N days ago' resolution -> ordered "
-    "keyword classification incl. prev-line fallback with line "
-    "replacement -> cross-file signature dedup. Oracle recomputes "
-    "the surviving blocks closed-form and replays the dedup as a "
-    "window over signatures.",
-)
-def q_block_capture(spark, sf_dir):
-    # The single-row-group events file would pin the per-document MIME
-    # parse (the expensive part) to ONE task; spread the NARROW key
-    # columns first so blob synthesis and parsing run on every core.
-    # At real scale the input is many file splits and this is a no-op
-    # cost-wise (16 bytes/row through the exchange).
-    ev = load(spark, sf_dir, "events").select("event_id", "ts")
-    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+def mime_blobs(ev):
+    """Synthesize the W4 MIME documents from (event_id, ts) rows — one
+    (path, content: binary) row per event.  Shared by ``block_capture``
+    and round-10's ``report_render_lines`` so the block relation and
+    the rendered report cannot drift."""
     h = F.col("event_id")
     hs = h.cast("string")
     days1 = (h % 9 + 1).cast("string")
@@ -352,10 +305,62 @@ def q_block_capture(spark, sf_dir):
     ).otherwise(
         F.concat(F.date_format(F.col("ts"), "yyyyMMdd"), F.lit("_snap_h"), hs, F.lit(".mhtml"))
     )
-    binary = ev.select(
-        path.alias("path"), F.encode(mime, "UTF-8").alias("content")
-    )
-    blocks = dedup_blocks(extract_blocks(binary))
+    return ev.select(path.alias("path"), F.encode(mime, "UTF-8").alias("content"))
+
+
+_BLOCK_ORACLE = """
+WITH e AS (
+  SELECT event_id AS h, date_trunc('day', ts)::DATE AS d,
+         strftime(date_trunc('day', ts)::DATE, '%Y%m%d') AS file_label
+  FROM events WHERE event_id % 97 <> 0),
+b1 AS (
+  SELECT file_label,
+         d - (1 + (h % 9)::INT) AS block_date,
+         'Job ' || (h % 50)::VARCHAR || ' - Data Engineer' AS group_key,
+         CASE WHEN h % 3 = 0 THEN 'Viewed'
+              WHEN h % 3 = 1 THEN 'Unsuccessful'
+              ELSE 'Applied' END AS verb
+  FROM e),
+b2 AS (
+  SELECT file_label,
+         d - (1 + (h % 4)::INT) AS block_date,
+         'Role ' || (h % 41)::VARCHAR AS group_key,
+         'Successful' AS verb
+  FROM e WHERE h % 7 = 0),
+allb AS (
+  SELECT file_label, block_date, group_key,
+         group_key || chr(31) || verb || ' on ' || block_date::VARCHAR ||
+           chr(31) || 'Updated on latest' AS signature,
+         3::BIGINT AS n_lines
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+SELECT file_label, block_date, group_key, n_lines, signature
+FROM allb
+QUALIFY row_number() OVER (
+  PARTITION BY signature ORDER BY file_label, block_date) = 1
+"""
+
+
+@register(
+    "block_capture",
+    _BLOCK_ORACLE,
+    survey_ids=("S7", "F4", "F5", "T8", "G4", "A7", "P9"),
+    doc="The W4 MHTML pipeline run on generated MIME documents (one "
+    "per event row): MIME walk -> HTML strip -> marker-delimited "
+    "stateful block capture -> 'N days ago' resolution -> ordered "
+    "keyword classification incl. prev-line fallback with line "
+    "replacement -> cross-file signature dedup. Oracle recomputes "
+    "the surviving blocks closed-form and replays the dedup as a "
+    "window over signatures.",
+)
+def q_block_capture(spark, sf_dir):
+    # The single-row-group events file would pin the per-document MIME
+    # parse (the expensive part) to ONE task; spread the NARROW key
+    # columns first so blob synthesis and parsing run on every core.
+    # At real scale the input is many file splits and this is a no-op
+    # cost-wise (16 bytes/row through the exchange).
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    blocks = dedup_blocks(extract_blocks(mime_blobs(ev)))
     return blocks.select(
         "file_label",
         "block_date",
