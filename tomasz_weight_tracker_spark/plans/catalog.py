@@ -181,7 +181,14 @@ def dsum(col, scale: int = 4, prec: int = 18):
 
 
 def sql_dsum(expr: str, scale: int = 4, prec: int = 18) -> str:
-    return f"sum(({expr})::DECIMAL({prec},{scale}))::DOUBLE"
+    # ::VARCHAR::DOUBLE, not ::DOUBLE: DuckDB's decimal->double cast
+    # divides the (huge)int payload by 10^scale in floating point, so
+    # once the scaled integer exceeds 2^53 it DOUBLE-ROUNDS (round-10
+    # sf1 finding: pricing_summary's sum_charge off by 1 ulp at 2.8e16
+    # scaled).  The decimal's string render parsed by strtod is
+    # correctly rounded — bit-identical to Spark's BigDecimal
+    # .doubleValue at any magnitude.
+    return f"sum(({expr})::DECIMAL({prec},{scale}))::VARCHAR::DOUBLE"
 
 
 def davg(col, scale: int = 6, prec: int = 18):
@@ -190,7 +197,8 @@ def davg(col, scale: int = 6, prec: int = 18):
 
 
 def sql_davg(expr: str, scale: int = 6, prec: int = 18) -> str:
-    return f"sum(({expr})::DECIMAL({prec},{scale}))::DOUBLE / count({expr})"
+    # Same ::VARCHAR route as sql_dsum (correctly-rounded at any scale).
+    return f"sum(({expr})::DECIMAL({prec},{scale}))::VARCHAR::DOUBLE / count({expr})"
 
 
 PEAK_TYPES = ("click", "view", "purchase")
@@ -580,7 +588,7 @@ def q_lead_delta(spark, sf_dir):
     "rolling_avg_7d",
     f"""
     SELECT user_id, event_id,
-           sum(value::DECIMAL(18,6)) OVER w::DOUBLE / count(*) OVER w AS roll_avg
+           (sum(value::DECIMAL(18,6)) OVER w)::VARCHAR::DOUBLE / count(*) OVER w AS roll_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
@@ -808,8 +816,8 @@ def _electricity_oracle(max_gap: int = 60) -> str:
            make_timestamp(((floor(floor(epoch(minute_ts - INTERVAL 1 MINUTE)) / 900) * 900)::BIGINT) * 1000000) AS bucket,
            min(minute_ts) AS min_ts, max(minute_ts) AS max_ts,
            count(*) AS minutes,
-           sum(p_usage_min::DECIMAL(18,12))::DOUBLE AS p_usage,
-           sum(op_usage_min::DECIMAL(18,12))::DOUBLE AS op_usage
+           sum(p_usage_min::DECIMAL(18,12))::VARCHAR::DOUBLE AS p_usage,
+           sum(op_usage_min::DECIMAL(18,12))::VARCHAR::DOUBLE AS op_usage
     FROM rated GROUP BY user_id, bucket
     """
 

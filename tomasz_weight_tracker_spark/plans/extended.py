@@ -258,7 +258,7 @@ def q_embed_near_dup(spark, sf_dir):
            {sql_dsum('l.l_extendedprice')} AS small_revenue
     FROM lineitem l
     WHERE l.l_quantity < 0.5 * (
-      SELECT sum(l2.l_quantity::DECIMAL(18,4))::DOUBLE / count(*)
+      SELECT sum(l2.l_quantity::DECIMAL(18,4))::VARCHAR::DOUBLE / count(*)
       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
     )
     GROUP BY l.l_partkey
@@ -294,7 +294,7 @@ def q_scalar_subquery_avg(spark, sf_dir):
     SELECT l_orderkey AS orderkey, {sql_dsum('l_quantity')} AS total_qty,
            count(*) AS n_items
     FROM lineitem GROUP BY l_orderkey
-    HAVING sum(l_quantity::DECIMAL(18,4))::DOUBLE > 150.0
+    HAVING sum(l_quantity::DECIMAL(18,4))::VARCHAR::DOUBLE > 150.0
     """,
     survey_ids=("A1", "P5"),
     doc="GROUP BY ... HAVING (TPC-H Q18 shape): orders whose total "
@@ -1399,12 +1399,12 @@ def q_small_qty_part_revenue(spark, sf_dir):
     "idle_customers",
     """
     WITH avg_bal AS (
-      SELECT sum(c_acctbal::DECIMAL(18,6))::DOUBLE / count(*) AS a
+      SELECT sum(c_acctbal::DECIMAL(18,6))::VARCHAR::DOUBLE / count(*) AS a
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT (c.c_nationkey % 5)::INT AS cgroup,
            count(*)::BIGINT AS numcust,
-           sum(c.c_acctbal::DECIMAL(18,6))::DOUBLE AS totacctbal
+           sum(c.c_acctbal::DECIMAL(18,6))::VARCHAR::DOUBLE AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (

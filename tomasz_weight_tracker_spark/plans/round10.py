@@ -618,18 +618,27 @@ def _rebuild_maximal_oracle() -> str:
     return (
         _pspan_ctes()
         + """, bint AS (
-        SELECT id_b AS doc_id, b_start AS s, b_start + span_toks AS e
+        SELECT id_b AS doc_id, b_start AS s, b_start + span_toks AS e,
+               id_a, a_start
         FROM spans
     ), bu AS (
-        SELECT doc_id, s, e,
+        -- (id_a, a_start) tiebreaks make the order TOTAL: brk and the
+        -- running sum are SEPARATE window layers, and with duplicate
+        -- (s, e) rows (one passage shared with many partners — the 10x
+        -- replica corpus) the two sorts need not agree on tie order —
+        -- rows the second sort placed before the flagged row got
+        -- grp=0 and one island split in two (found at sf1, 18 docs
+        -- with n_dropped = 2 x n_toks).
+        SELECT doc_id, s, e, id_a, a_start,
                CASE WHEN s > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY s, e
+                        PARTITION BY doc_id ORDER BY s, e, id_a, a_start
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
                     THEN 1 ELSE 0 END AS brk
         FROM bint
     ), bg AS (
         SELECT doc_id, s, e,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+               sum(brk) OVER (PARTITION BY doc_id
+                              ORDER BY s, e, id_a, a_start
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM bu
     ), reg AS (
@@ -690,8 +699,12 @@ def q_dup_passage_rebuild_maximal(spark, sf_dir):
         F.col("id_b").alias("doc_id"),
         F.col("b_start").alias("s"),
         (F.col("b_start") + F.col("span_toks")).alias("e"),
+        "id_a",
+        "a_start",
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    # Total order via (id_a, a_start) tiebreaks — see the oracle's bu
+    # comment: island determinism must not hinge on tie order.
+    w = Window.partitionBy("doc_id").orderBy("s", "e", "id_a", "a_start")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     brk = F.when(prev_end.isNull() | (F.col("s") > prev_end), F.lit(1)).otherwise(
         F.lit(0)

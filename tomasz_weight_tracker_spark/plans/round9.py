@@ -51,17 +51,23 @@ def _pspan_maximal_oracle() -> str:
     return (
         _pspan_ctes()
         + """, u AS (
-        SELECT id_a, id_b, a_start, a_start + span_toks AS a_end,
+        -- b_start tiebreak makes the order TOTAL: brk and the running
+        -- sum live in SEPARATE window layers, and with duplicate
+        -- (a_start, a_end) rows (the same passage matched via several
+        -- partners/offsets) the two sorts need not agree on tie order
+        -- otherwise — rows sorted before the flagged row pick up
+        -- grp=0 and one island splits in two (round-10 sf1 finding).
+        SELECT id_a, id_b, a_start, a_start + span_toks AS a_end, b_start,
                CASE WHEN a_start > coalesce(max(a_start + span_toks) OVER (
                         PARTITION BY id_a, id_b
-                        ORDER BY a_start, a_start + span_toks
+                        ORDER BY a_start, a_start + span_toks, b_start
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
                     THEN 1 ELSE 0 END AS brk
         FROM spans
     ), gi AS (
         SELECT id_a, id_b, a_start, a_end,
                sum(brk) OVER (PARTITION BY id_a, id_b
-                              ORDER BY a_start, a_end
+                              ORDER BY a_start, a_end, b_start
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM u
     )
@@ -100,8 +106,13 @@ def q_dup_passage_maximal(spark, sf_dir):
         "id_b",
         "a_start",
         (F.col("a_start") + F.col("span_toks")).alias("a_end"),
+        "b_start",
     )
-    w = Window.partitionBy("id_a", "id_b").orderBy("a_start", "a_end")
+    # b_start tiebreak: total order so the brk window and the running
+    # sum can never disagree on duplicate-(a_start, a_end) rows (the
+    # oracle's two window layers re-sort independently; Spark shares
+    # one WindowExec sort, but determinism should not hinge on that).
+    w = Window.partitionBy("id_a", "id_b").orderBy("a_start", "a_end", "b_start")
     prev_end = F.max("a_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     brk = F.when(
         prev_end.isNull() | (F.col("a_start") > prev_end), F.lit(1)

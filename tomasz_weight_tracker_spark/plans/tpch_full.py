@@ -216,8 +216,8 @@ def q_returned_items_top(spark, sf_dir):
     )
     SELECT o_year,
            sum(CASE WHEN supp_nation = 'NATION_8' THEN volume
-                    ELSE 0::DECIMAL(18,6) END)::DOUBLE
-           / sum(volume)::DOUBLE AS mkt_share
+                    ELSE 0::DECIMAL(18,6) END)::VARCHAR::DOUBLE
+           / sum(volume)::VARCHAR::DOUBLE AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
     survey_ids=("J1", "A2"),
@@ -337,8 +337,8 @@ def q_profit_by_nation_year(spark, sf_dir):
     """
     WITH costs AS (
       SELECT l_partkey, l_suppkey,
-             sum(l_extendedprice::DECIMAL(18,4))::DOUBLE
-             / sum(l_quantity::DECIMAL(18,4))::DOUBLE AS unit_cost
+             sum(l_extendedprice::DECIMAL(18,4))::VARCHAR::DOUBLE
+             / sum(l_quantity::DECIMAL(18,4))::VARCHAR::DOUBLE AS unit_cost
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -419,7 +419,7 @@ def q_min_cost_supplier(spark, sf_dir):
     """
     WITH v AS (
       SELECT l_partkey,
-             sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+             sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::VARCHAR::DOUBLE
                AS part_value
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -429,7 +429,7 @@ def q_min_cost_supplier(spark, sf_dir):
     )
     SELECT l_partkey, part_value FROM v
     WHERE part_value >
-      (SELECT sum(part_value::DECIMAL(18,6))::DOUBLE * 0.002 FROM v)
+      (SELECT sum(part_value::DECIMAL(18,6))::VARCHAR::DOUBLE * 0.002 FROM v)
     """,
     survey_ids=("A1", "A8"),
     doc="TPC-H Q11 shape (traded value stands in for the schema's "
@@ -475,7 +475,7 @@ def q_important_parts(spark, sf_dir):
     """
     WITH revenue AS (
       SELECT l_suppkey,
-             sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+             sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::VARCHAR::DOUBLE
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -634,7 +634,7 @@ def q_disjunctive_part_revenue(spark, sf_dir):
     """
     WITH shipped AS (
       SELECT l_suppkey, l_partkey,
-             sum(l_quantity::DECIMAL(18,4))::DOUBLE AS qty
+             sum(l_quantity::DECIMAL(18,4))::VARCHAR::DOUBLE AS qty
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       WHERE p_name LIKE 'small%'
@@ -643,7 +643,7 @@ def q_disjunctive_part_revenue(spark, sf_dir):
       GROUP BY l_suppkey, l_partkey
     ), dominant AS (
       SELECT l_suppkey FROM shipped
-      JOIN (SELECT l_partkey AS pk, sum(qty::DECIMAL(18,4))::DOUBLE AS total
+      JOIN (SELECT l_partkey AS pk, sum(qty::DECIMAL(18,4))::VARCHAR::DOUBLE AS total
             FROM shipped GROUP BY l_partkey) t
         ON shipped.l_partkey = t.pk
       WHERE qty > 0.3 * total

@@ -24,11 +24,21 @@ TABLES = (
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
+    # Bound the oracle: a pair-relation CTE on a verbatim-duplicated
+    # soak/sf1 corpus can balloon quadratically — without a limit the
+    # KERNEL oom-kills the whole parity run (124 GB RSS observed at
+    # sf1) instead of DuckDB failing the one query gracefully.
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Driver testdata ships single files; Spark-written corpora
+        # (tools/soak.py replicas, the sf1 run) are directories.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

@@ -137,6 +137,13 @@ DEFAULT_QUERIES = [
     "doc_edit_distance_pairs",
     "source_temperature_mix",
     "gopher_rule_attribution",
+    # round-10 families
+    "url_canonical_dedup",
+    "url_domain_profile",
+    "dup_passage_rebuild_maximal",
+    "html_table_extract",
+    "report_render_lines",
+    "inferred_csv_roundtrip",
 ]
 
 _SHIFTS = {
