@@ -193,6 +193,12 @@ def lsh_store_append(
         sigs.withColumn("__bh", F.explode(_band_hash_array(k, bands)))
         .withColumn("pb", F.pmod(F.col("__bh"), F.lit(n_buckets)).cast("int"))
     )
+    # Partition-ALIGNED write: cluster rows by pb first so each bucket
+    # directory receives exactly one file per append (without this,
+    # every input task opens a writer per bucket it sees — up to
+    # tasks x n_buckets small files per refresh, and the store's file
+    # count is what every future probe pays to list/open).
+    rows = rows.repartition(n_buckets, F.col("pb"))
     rows.write.partitionBy("pb").mode("append").parquet(path)
 
 
