@@ -774,3 +774,83 @@ def q_dup_passage_rebuild_maximal(spark, sf_dir):
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+# ===========================================================================
+# Streaming URL dedup (keep-first ingestion fold)
+# ===========================================================================
+
+_STREAM_URL_BATCHES = 3
+
+
+@register(
+    "streaming_url_dedup",
+    _URL_CTES
+    + """
+    SELECT curl AS canonical_url,
+           min(doc_id)::BIGINT AS kept_doc_id,
+           count(*)::BIGINT AS n_docs
+    FROM canon GROUP BY curl
+    """,
+    survey_ids=("ST1", "S11", "A6"),
+    doc="URL-granularity dedup as STREAMING INGESTION — the crawl "
+    "front-door shape: documents arrive as a file-source stream in "
+    f"{_STREAM_URL_BATCHES} micro-batches (availableNow, "
+    "maxFilesPerTrigger=1); each micro-batch canonicalizes its URLs "
+    "(url_canonicalize — the same native projection as "
+    "url_canonical_dedup, shared code) and appends per-batch PARTIAL "
+    "aggregates (canonical key, min doc, count) to the state log; "
+    "the drained state folds the log with min/sum — both "
+    "associative, commutative, and replay-absorbing for min (a "
+    "checkpoint replay of a batch re-appends rows the MIN erases; "
+    "count idempotence is the engine's exactly-once file-source "
+    "guarantee) — and must hash-equal the ONE-SHOT keep-first oracle "
+    "on the union corpus.  Per-batch state traffic is O(distinct "
+    "keys in batch), never the corpus; the fold is the "
+    "decomposable-aggregate discipline (incremental_agg_events) "
+    "applied at the crawl's entry point, BEFORE content dedup ever "
+    "sees a duplicate URL's bytes.",
+)
+def q_streaming_url_dedup(spark, sf_dir):
+    from ..session import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    root = scratch_dir("stream_url")
+    src = f"{root}/src"
+    log = f"{root}/state_log"
+    for r in range(_STREAM_URL_BATCHES):
+        docs.filter(F.col("doc_id") % _STREAM_URL_BATCHES == r).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def apply_batch(batch_df, _batch_id):
+        canon = batch_df.select(
+            "doc_id", _url_gen_spark(F.col("doc_id")).alias("url")
+        ).select("doc_id", url_canonicalize(F.col("url")).alias("curl"))
+        partial = canon.groupBy("curl").agg(
+            F.min("doc_id").alias("min_doc"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        partial.write.mode("append").parquet(log)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_url_dedup drain timed out")
+    return (
+        spark.read.parquet(log)
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.min("min_doc").cast("long").alias("kept_doc_id"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+        )
+    )

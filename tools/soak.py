@@ -144,6 +144,7 @@ DEFAULT_QUERIES = [
     "html_table_extract",
     "report_render_lines",
     "inferred_csv_roundtrip",
+    "streaming_url_dedup",
 ]
 
 _SHIFTS = {
