@@ -19,3 +19,4 @@ from . import round8b  # noqa: F401  (passage spans, PQ recall audit, BPE corpus
 from . import round8c  # noqa: F401  (source leakage matrix, fertility, Gopher rules)
 from . import round9  # noqa: F401  (maximal passage spans, IVFADC autotune)
 from . import round10  # noqa: F401  (S2/S8/S12 gate closure, URL dedup)
+from . import round10b  # noqa: F401  (keep-best dedup, line scrub, bitext mining, JSONL)

@@ -145,6 +145,11 @@ DEFAULT_QUERIES = [
     "report_render_lines",
     "inferred_csv_roundtrip",
     "streaming_url_dedup",
+    # round-10b families
+    "line_dedup_scrub",
+    "dup_cluster_keep_best",
+    "bitext_mine_margin",
+    "jsonl_roundtrip",
 ]
 
 _SHIFTS = {
