@@ -116,7 +116,11 @@ def main():
     from tomasz_weight_tracker_spark.plans import REGISTRY
     from tomasz_weight_tracker_spark.session import get_spark
 
-    spark = get_spark("parity")
+    # The compare collects FULL results on both sides; wide-output
+    # queries at sf1/sf10 (electricity's per-minute explode is ~12M
+    # rows at sf10) exceed the 1g default maxResultSize — a harness
+    # limit, not an engine one, so raise it for the parity session.
+    spark = get_spark("parity", extra_conf={"spark.driver.maxResultSize": "6g"})
     con = duck_connection(sf_dir)
 
     todo = names or list(REGISTRY)
