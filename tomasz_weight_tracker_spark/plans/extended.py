@@ -63,7 +63,15 @@ def q_asof_join(spark, sf_dir):
     survey_ids=("A1",),
     doc="ROLLUP grouping sets (SURVEY §2.4 'not present' row — free in "
     "Spark): revenue at (region, nation), (region), and grand-total "
-    "levels, disambiguated by grouping_id.",
+    "levels, disambiguated by grouping_id.  Scale shape: the rollup "
+    "runs over a PRE-AGGREGATED (region, nation) frame, not the fact "
+    "join — Expand multiplies its input by the number of grouping "
+    "sets, so expanding the 25-row aggregate instead of the joined "
+    "fact rows moves that 3x from |lineitem| to |groups| (sf10: "
+    "26.6 s -> the revenue_by_nation cost).  Exactness is preserved "
+    "because the partial sums stay DECIMAL (exact, re-aggregable) "
+    "until the final cast; the oracle's one-shot rollup sums the "
+    "same addends.",
 )
 def q_rollup_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
@@ -71,15 +79,20 @@ def q_rollup_revenue(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    return (
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fine = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev.cast("decimal(18,6)")).alias("__rev"))
+    )
+    return (
+        fine.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.sum("__rev").cast("double").alias("revenue"),
         )
         .select("region", "nation", "gid", "revenue")
     )
