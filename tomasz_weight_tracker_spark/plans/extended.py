@@ -1036,10 +1036,14 @@ def q_salted_event_totals(spark, sf_dir):
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     survey_ids=("A1",),
-    doc="CUBE grouping sets: all 4 grouping combinations in ONE pass "
-    "(Expand feeds a single hash aggregate — vs 4 separate scans), "
+    doc="CUBE grouping sets: all 4 grouping combinations in ONE pass, "
     "with grouping() flags distinguishing NULL-as-total from NULL "
-    "data.  Complements rollup_revenue.",
+    "data.  Scale shape (the rollup_revenue discipline): count and "
+    "decimal-sum are re-aggregable, so the CUBE's Expand runs over "
+    "the PRE-AGGREGATED 6-row (returnflag, status) frame, not the "
+    "fact scan — Expand's input multiplier moves from |lineitem| to "
+    "|groups|.  Data-NULL keys survive the pre-agg as ordinary "
+    "groups, so grouping() semantics are unchanged.",
 )
 def q_cube_returnflag_status(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
@@ -1047,12 +1051,16 @@ def q_cube_returnflag_status(spark, sf_dir):
         F.grouping("l_returnflag").cast("long") * 2
         + F.grouping("l_linestatus").cast("long")
     )
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        fine.cube("l_returnflag", "l_linestatus")
         .agg(
             gid.alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            dsum("l_quantity").alias("sum_qty"),
+            F.sum("__n").alias("n"),
+            F.sum("__qty").cast("double").alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
@@ -1464,22 +1472,32 @@ def q_idle_customers(spark, sf_dir):
     """,
     survey_ids=("A1",),
     doc="Explicit GROUPING SETS (vs the catalog's CUBE/ROLLUP cousins): "
-    "three chosen granularities in one pass — Spark expands the input "
-    "once (Expand node) and aggregates all sets in a single shuffle, "
-    "exactly what three separate groupBys would spend 3 scans + 3 "
-    "shuffles on.  grouping_id disambiguates NULL-as-group-all from "
-    "NULL data in both engines.",
+    "three chosen granularities in one pass.  grouping_id "
+    "disambiguates NULL-as-group-all from NULL data in both engines.  "
+    "Scale shape (the rollup_revenue discipline): the sets are all "
+    "coarsenings of (returnflag, status), and decimal-sum/count "
+    "re-aggregate exactly, so Expand runs over the pre-aggregated "
+    "6-row frame — one fact shuffle at the finest grain, grouping-set "
+    "multiplication paid only on |groups|.",
 )
 def q_grouping_sets_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return li.groupingSets(
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return fine.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
         "l_returnflag",
         "l_linestatus",
     ).agg(
         F.grouping_id().cast("long").alias("gid"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__rev").cast("double").alias("revenue"),
+        F.sum("__n").alias("n_items"),
     )
 
 

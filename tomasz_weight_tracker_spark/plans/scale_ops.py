@@ -718,18 +718,34 @@ def q_event_type_affinity(spark, sf_dir):
     """,
     survey_ids=("A1", "T9"),
     doc="Hourly, daily, AND weekly aggregates from ONE scan via "
-    "GROUPING SETS over derived time columns (Expand feeds a single "
-    "hash aggregate) — the multi-granularity dashboard feed computed "
-    "without re-reading the fact table per granularity, disambiguated "
-    "by grouping_id.",
+    "GROUPING SETS over derived time columns — the multi-granularity "
+    "dashboard feed computed without re-reading the fact table per "
+    "granularity, disambiguated by grouping_id.  Scale shape (the "
+    "rollup_revenue discipline): day and week are FUNCTIONS of the "
+    "hour truncation and count/integer-sum re-aggregate exactly, so "
+    "the fact scan aggregates ONCE at hour grain and Expand runs over "
+    "the |hours|-row frame, not |events| — grouping-set "
+    "multiplication paid on the calendar, not the data.",
 )
 def q_time_rollup_multi(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    base = ev.select(
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        F.to_date("ts").alias("d"),
-        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
-        "value",
+    fine = (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("v_e6"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("v_e6").alias("__v"),
+        )
+    )
+    base = fine.select(
+        "h",
+        F.to_date("h").alias("d"),
+        F.date_trunc("week", F.col("h")).cast("date").alias("w"),
+        "__n",
+        "__v",
     )
     gid = (
         F.grouping("h").cast("long") * 4
@@ -738,8 +754,8 @@ def q_time_rollup_multi(spark, sf_dir):
     )
     return base.groupingSets([["h"], ["d"], ["w"]], "h", "d", "w").agg(
         gid.alias("gid"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("v_sum_e6"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__v").alias("v_sum_e6"),
     ).select("gid", "h", "d", "w", "n", "v_sum_e6")
 
 
