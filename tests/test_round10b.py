@@ -16,6 +16,7 @@ def test_registry_has_round10b_entries():
     for name in (
         "dup_cluster_keep_best",
         "line_dedup_scrub",
+        "streaming_line_dedup",
         "bitext_mine_margin",
         "jsonl_roundtrip",
     ):
@@ -154,3 +155,27 @@ class TestJsonl:
 
         with _pt.raises(Exception):
             jsonl_scan(spark, str(p), "doc_id bigint").collect()
+
+
+class TestStreamingLineDedup:
+    def test_fold_equals_one_shot_scrub(self, spark):
+        """The drained per-doc kept counts must equal the batch scrub's
+        (for docs that keep anything) — the batching-invariance the
+        oracle parity proves, asserted here engine-side at sf0.001."""
+        sf = "/root/testdata/sf0.001"
+        stream = {
+            r["doc_id"]: (r["n_kept"], r["n_occurrences"])
+            for r in REGISTRY["streaming_line_dedup"].build(spark, sf).collect()
+        }
+        batch = {
+            r["doc_id"]: r["n_kept"]
+            for r in REGISTRY["line_dedup_scrub"].build(spark, sf).collect()
+        }
+        assert {d: v[0] for d, v in stream.items()} == {
+            d: n for d, n in batch.items() if n > 0
+        }
+        # every occurrence in the corpus is absorbed by exactly one
+        # keeping doc: totals conserve
+        total_lines = sum(v[1] for v in stream.values())
+        kept_lines = sum(v[0] for v in stream.values())
+        assert total_lines >= kept_lines > 0

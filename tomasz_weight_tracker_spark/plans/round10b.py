@@ -25,6 +25,9 @@ pretraining-data pipeline:
   the value gate: JSONL is THE interchange format for LLM corpora;
   the round trip proves nested-struct and array fields survive the
   writer -> declared-schema reader path type-exactly.
+- ``streaming_line_dedup`` — the streaming-ingestion twin of the line
+  scrub (shared chunker, decomposable min/count fold), completing the
+  symmetry that every dedup stage has a crawl-front-door shape.
 
 The synthetic documents table has no newline structure, so
 ``line_dedup_scrub`` derives lines deterministically as consecutive
@@ -184,8 +187,36 @@ _SQL_RAW_TOKS = (
     "ELSE string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') END"
 )
 
-_LINE_SCRUB_ORACLE = f"""
-    WITH t AS (
+def _doc_line_chunks(docs):
+    """(doc_id, idx, line) — the corpus as derived lines (consecutive
+    8-token chunks).  Shared by the batch scrub and the streaming twin
+    so their line semantics cannot drift.  Empty docs are filtered out
+    here (Spark's sequence(0, -1) is a DESCENDING pair, not empty) and
+    re-attached by the batch scrub's final left join."""
+    base = docs.select(
+        "doc_id",
+        tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("toks"),
+    )
+    w = F.lit(_LINE_W)
+    n_lines = F.ceil(F.size("toks") / F.lit(float(_LINE_W))).cast("long")
+    return (
+        base.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+                    lambda c: F.concat_ws(" ", F.slice("toks", c * w + 1, _LINE_W)),
+                )
+            ).alias("idx", "line"),
+        )
+        .select("doc_id", F.col("idx").cast("long").alias("idx"), "line")
+    )
+
+
+# DuckDB rendering of the same chunking (used by both oracles).
+_SQL_CHUNKS = f"""
+    t AS (
         SELECT doc_id, {_SQL_RAW_TOKS} AS toks FROM documents
     ),
     idxs AS (
@@ -200,7 +231,11 @@ _LINE_SCRUB_ORACLE = f"""
                    toks[c * {_LINE_W} + 1 : c * {_LINE_W} + {_LINE_W}],
                    ' ') AS line
         FROM idxs
-    ),
+    )
+"""
+
+_LINE_SCRUB_ORACLE = f"""
+    WITH {_SQL_CHUNKS},
     hashed AS (SELECT *, {md5_long_sql('line')} AS h FROM chunks),
     kept AS (
         SELECT * FROM (
@@ -246,29 +281,12 @@ _LINE_SCRUB_ORACLE = f"""
 )
 def q_line_dedup_scrub(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("toks"),
-    )
-    w = F.lit(_LINE_W)
-    n_lines = F.ceil(F.size("toks") / F.lit(float(_LINE_W))).cast("long")
-    # sequence(0, n-1) on an empty doc would be sequence(0, -1) — a
-    # DESCENDING two-element sequence in Spark, not empty — so empty
-    # docs are filtered out of the chunker and re-attached by the
-    # final left join.
-    chunks = (
-        base.filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), (n_lines - 1).cast("int")),
-                    lambda c: F.concat_ws(" ", F.slice("toks", c * w + 1, _LINE_W)),
-                )
-            ).alias("idx", "line"),
-        )
-        .select("doc_id", F.col("idx").cast("long").alias("idx"), "line")
-    )
+    n_lines = F.ceil(
+        F.size(tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))))
+        / F.lit(float(_LINE_W))
+    ).cast("long")
+    base = docs.select("doc_id", n_lines.alias("n_lines"))
+    chunks = _doc_line_chunks(docs)
     hashed = chunks.withColumn("h", md5_long("line"))
     first = Window.partitionBy("h").orderBy("doc_id", "idx")
     kept = (
@@ -287,8 +305,7 @@ def q_line_dedup_scrub(spark, sf_dir):
         ).alias("rebuilt"),
     )
     return (
-        base.select("doc_id", n_lines.alias("n_lines"))
-        .join(reb, "doc_id", "left")
+        base.join(reb, "doc_id", "left")
         .select(
             "doc_id",
             "n_lines",
@@ -481,4 +498,113 @@ def q_jsonl_roundtrip(spark, sf_dir):
         F.sum(md5_long(F.concat_ws(" ", "head_toks")) % F.lit(1000003))
         .cast("long")
         .alias("toks_checksum"),
+    )
+
+
+# ===========================================================================
+# Streaming line dedup (the crawl front door for CONTENT lines)
+# ===========================================================================
+
+_STREAM_LINE_BATCHES = 3
+
+_STREAM_LINE_ORACLE = f"""
+    WITH {_SQL_CHUNKS},
+    hashed AS (SELECT *, {md5_long_sql('line')} AS h FROM chunks),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY h ORDER BY doc_id, idx) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    ),
+    occ AS (SELECT h, count(*)::BIGINT AS cnt FROM hashed GROUP BY h)
+    SELECT kept.doc_id,
+           count(*)::BIGINT AS n_kept,
+           sum(occ.cnt)::BIGINT AS n_occurrences
+    FROM kept JOIN occ ON kept.h = occ.h
+    GROUP BY kept.doc_id
+"""
+
+
+@register(
+    "streaming_line_dedup",
+    _STREAM_LINE_ORACLE,
+    survey_ids=("ST1", "A7"),
+    doc="Global line dedup as STREAMING INGESTION — the streaming twin "
+    "of line_dedup_scrub, completing the symmetry that every dedup "
+    "stage has a crawl-front-door shape (exact: streaming_dedup_events; "
+    "URL: streaming_url_dedup; LSH: streaming_lsh_assign; lines: "
+    "this).  Documents arrive as a file-source stream in 3 "
+    "micro-batches (availableNow, maxFilesPerTrigger=1); each batch "
+    "chunks its docs through the SHARED _doc_line_chunks (semantics "
+    "cannot drift from the batch scrub), and appends per-batch PARTIAL "
+    "aggregates per line hash — min(struct(doc_id, idx)) and count — "
+    "to the state log.  The drained fold takes min/sum per hash: min "
+    "over a partition of the occurrence set IS the global first "
+    "occurrence (associative, commutative, and replay-absorbing — a "
+    "checkpoint replay re-appends rows the MIN erases; count "
+    "idempotence is the file source's exactly-once guarantee), so the "
+    "folded state must hash-equal the one-shot keep-first oracle on "
+    "the union corpus, for ANY batching.  Output is per KEEPING doc: "
+    "lines it owns globally and the total occurrences those lines "
+    "absorb corpus-wide.  Per-batch state traffic is O(distinct line "
+    "hashes in the batch), never the corpus; at production refresh "
+    "cadence the log is bucketed by hash (the band-partitioned LSH "
+    "store pattern, operators/layout.py:write_bucketed) so the fold "
+    "prunes to touched buckets.",
+)
+def q_streaming_line_dedup(spark, sf_dir):
+    from ..session import scratch_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("stream_line")
+    src = f"{root}/src"
+    log = f"{root}/state_log"
+    for r in range(_STREAM_LINE_BATCHES):
+        docs.filter(F.col("doc_id") % _STREAM_LINE_BATCHES == r).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def apply_batch(batch_df, _batch_id):
+        chunks = _doc_line_chunks(batch_df)
+        partial = (
+            chunks.withColumn("h", md5_long("line"))
+            .groupBy("h")
+            .agg(
+                F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .select(
+                "h",
+                F.col("first_occ.doc_id").alias("min_doc"),
+                F.col("first_occ.idx").alias("min_idx"),
+                "cnt",
+            )
+        )
+        partial.write.mode("append").parquet(log)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_line_dedup drain timed out")
+    folded = (
+        spark.read.parquet(log)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("min_doc", "min_idx")).alias("first_occ"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return folded.groupBy(F.col("first_occ.min_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
     )

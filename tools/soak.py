@@ -150,6 +150,7 @@ DEFAULT_QUERIES = [
     "dup_cluster_keep_best",
     "bitext_mine_margin",
     "jsonl_roundtrip",
+    "streaming_line_dedup",
 ]
 
 _SHIFTS = {
