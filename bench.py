@@ -32,7 +32,9 @@ Beyond the headline, the JSON carries (round-4 verdict items 7/8):
 
 - ``queries_full``: one {t_spark, t_duck} pair for EVERY catalog query
   — the engine run (build + JVM checksum materialization, timed from
-  before build so eagerly-executing queries are honest) next to its
+  before build so eagerly-executing queries are honest; warm pass
+  first, same as the headline — ``t_cold`` keeps the old cold-build
+  number visible) next to its warmed
   DuckDB oracle (execute + fetch) on the same parquet, at
   ``$SPARK_GRAFT_FULL_SF_DIR`` (default sf0.01, the driver's
   correctness-gate scale; the committed PARITY_r{N}*.txt artifacts
@@ -273,6 +275,27 @@ def main() -> None:
             q = REGISTRY[name]
             entry = {}
             try:
+                # Same discipline as the headline (and as tools/
+                # duck_bench.py on the oracle side): one untimed warm
+                # pass — Catalyst analysis + codegen JIT are per-plan-
+                # shape constants, irrelevant at scale and absent from
+                # DuckDB's ms-level compile — then ONE timed execution
+                # with storage caches cleared, so track_cache subtrees
+                # recompute inside the timed window.  Until round 10
+                # the sidecar timed the COLD build, charging Spark
+                # ~0.5-1 s of JIT per entry that the oracle side never
+                # pays; t_cold records what that was, so the change
+                # hides nothing.  Stateful replay queries (incremental
+                # / streaming harnesses) do their real work eagerly in
+                # build on fresh scratch dirs, so for them warm and
+                # timed are two full honest executions.
+                LAYOUT_WRITE_S.pop(name, None)
+                t0 = time.time()
+                fdf = q.build(spark, full_sf_dir)
+                materialize(fdf)
+                entry["t_cold"] = round(time.time() - t0, 2)
+                release_caches()
+                spark.catalog.clearCache()
                 LAYOUT_WRITE_S.pop(name, None)
                 t0 = time.time()
                 fdf = q.build(spark, full_sf_dir)
@@ -292,6 +315,7 @@ def main() -> None:
                 spark.catalog.clearCache()
             if q.oracle is not None:
                 try:
+                    con.execute(q.oracle).fetchall()  # warm
                     t0 = time.time()
                     con.execute(q.oracle).fetchall()
                     entry["t_duck"] = round(time.time() - t0, 2)

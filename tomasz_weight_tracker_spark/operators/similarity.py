@@ -220,6 +220,35 @@ def sql_ivf_train(
     return ",\n    ".join(parts)
 
 
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Route each query to its ``nprobe`` nearest coarse centroids
+    (max dot product, deterministic centroid-id tiebreak).  Centroids
+    are broadcast; one map-side pass plus a frame bounded by
+    ``n_centroids`` per query — no corpus-sized shuffle.  Returns
+    (q_id, q_vec, centroid_id), one row per probed bucket."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    probes = q.join(F.broadcast(c)).withColumn(
+        "__score", dot(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("__score").desc(), F.col("centroid_id"))
+    return (
+        probes.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "q_vec", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates_assigned: DataFrame,
@@ -233,20 +262,8 @@ def ivf_topk(
     query, then exact top-k within those buckets.  The candidate join is
     an equi-join on centroid_id — candidates stay partitioned by bucket,
     so only the (tiny) query×probe side moves."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
-    probes = q.join(F.broadcast(c)).withColumn(
-        "__score", dot(F.col("q_vec"), F.col("cent_vec"))
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("__score").desc(), F.col("centroid_id"))
-    probes = (
-        probes.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "q_vec", "centroid_id")
+    probes = ivf_probe(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     )
     cand = candidates_assigned.select(
         F.col(id_col).alias("neighbor_id"),

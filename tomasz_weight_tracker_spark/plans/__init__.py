@@ -20,3 +20,4 @@ from . import round8c  # noqa: F401  (source leakage matrix, fertility, Gopher r
 from . import round9  # noqa: F401  (maximal passage spans, IVFADC autotune)
 from . import round10  # noqa: F401  (S2/S8/S12 gate closure, URL dedup)
 from . import round10b  # noqa: F401  (keep-best dedup, line scrub, bitext mining, JSONL)
+from . import round11  # noqa: F401  (IVF bitext mining, LSH keep-best)

@@ -235,7 +235,12 @@ _SNM_WINDOW = 2  # compare each doc to its next w neighbors
 _SNM_MAX_RUN = 4
 
 
-def _snm_oracle() -> str:
+def _snm_oracle(slice_mod: int | None = None) -> str:
+    """``slice_mod=m`` bounds BOTH engines to the ~1/m of coarse BLOCKS
+    whose md5(block-key) residue is 0 — blocks are the window partition
+    key, so whole-block slicing is exact (no window is cut mid-frame).
+    This is the sf10 value-check path: the full oracle's pair CTEs
+    exhaust DuckDB's 24 GB cap on a 100x-verbatim corpus."""
     leads = []
     arms = []
     for off in range(1, _SNM_WINDOW + 1):
@@ -257,6 +262,14 @@ def _snm_oracle() -> str:
     skey_norm = sql_portable_lower(
         "regexp_replace(text, '[^\\p{L}\\p{Nd}]', '', 'g')"
     )
+    from ..functions import md5_long_sql
+
+    blk_where = (
+        f"WHERE {md5_long_sql(f'substr(skey, 1, {_SNM_BLK_LEN})')} "
+        f"% {slice_mod} = 0"
+        if slice_mod
+        else ""
+    )
     return f"""
     WITH k0 AS (
         SELECT doc_id,
@@ -269,6 +282,7 @@ def _snm_oracle() -> str:
                CASE WHEN lag(skey) OVER win IS DISTINCT FROM skey
                     THEN 1 ELSE 0 END AS flag
         FROM k
+        {blk_where}
         WINDOW win AS (PARTITION BY substr(skey, 1, {_SNM_BLK_LEN})
                        ORDER BY skey, doc_id)
     ), p AS (
@@ -317,7 +331,14 @@ def _snm_oracle() -> str:
     "neighbor window, so the cap adds no exchange.",
 )
 def q_snm_near_dup(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    return snm_near_dup_frame(load(spark, sf_dir, "documents"))
+
+
+def snm_near_dup_frame(docs, slice_mod: int | None = None):
+    """The SNM chain over a documents frame — shared by the flagship
+    query and its sf10 bounded-slice twin (round11.py).  ``slice_mod``
+    keeps only blocks with md5(block-key) % slice_mod == 0 (whole-block
+    slicing — exact, since every window partitions by the block key)."""
     # Unicode-correct compare head: keep letters/digits of ANY script.
     # Spark levenshtein counts codepoints (the semantics we define);
     # the oracle relabels non-ASCII codepoints to single-byte chars so
@@ -344,6 +365,10 @@ def q_snm_near_dup(spark, sf_dir):
     # attributes force one exchange PER window (3 total, measured)
     # instead of one shared clustering.
     k = k.withColumn("__blk", F.substring("skey", 1, _SNM_BLK_LEN))
+    if slice_mod:
+        from ..functions import md5_long
+
+        k = k.filter(md5_long(F.col("__blk")) % slice_mod == 0)
     win = Window.partitionBy("__blk").orderBy("skey", "doc_id")
     # Degenerate-run cap: position within the exact-skey run via the
     # islands trick — run starts flagged by lag, running max of

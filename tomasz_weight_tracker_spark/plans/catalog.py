@@ -772,7 +772,7 @@ def q_peak_offpeak(spark, sf_dir):
     )
 
 
-def _electricity_oracle(max_gap: int = 60) -> str:
+def _electricity_oracle(max_gap: int = 60, source: str = "events") -> str:
     peak_list = ", ".join(f"'{t}'" for t in PEAK_TYPES)
     mod = "(hour(minute_ts) * 60 + minute(minute_ts))"
     return f"""
@@ -782,7 +782,7 @@ def _electricity_oracle(max_gap: int = 60) -> str:
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p_cum,
              sum((CASE WHEN event_type NOT IN ({peak_list}) THEN value ELSE 0.0 END)::DECIMAL(18,6))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS op_cum
-      FROM events
+      FROM {source}
     ), leads AS (
       SELECT user_id, ts AS t0,
              lead(ts) OVER w AS t1,
@@ -831,7 +831,12 @@ def _electricity_oracle(max_gap: int = 60) -> str:
     "peak/off-peak allocation -> end-labeled 15-min buckets.",
 )
 def q_electricity_15min(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    return electricity_15min_frame(load(spark, sf_dir, "events"))
+
+
+def electricity_15min_frame(ev):
+    """The full 15-min usage chain over an events frame — shared by the
+    flagship query and its sf10 bounded-slice twin (round11.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p_delta = F.when(F.col("event_type").isin(*PEAK_TYPES), F.col("value")).otherwise(
         F.lit(0.0)

@@ -784,13 +784,17 @@ def q_value_percentiles(spark, sf_dir):
 @register(
     "dup_clusters",
     """
-    WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+    WITH RECURSIVE t AS (SELECT doc_id, source,
+               CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN []::VARCHAR[]
+                    ELSE list_distinct(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'))
+               END AS toks
                FROM documents WHERE doc_id < 200),
     edges0 AS (
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM t a JOIN t b
         ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 40
-      WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+      WHERE len(a.toks) + len(b.toks) > 0
+        AND len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
             / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))::DOUBLE
             > 0.5
     ),

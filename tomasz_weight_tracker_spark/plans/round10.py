@@ -800,11 +800,12 @@ _STREAM_URL_BATCHES = 3
     "(url_canonicalize — the same native projection as "
     "url_canonical_dedup, shared code) and appends per-batch PARTIAL "
     "aggregates (canonical key, min doc, count) to the state log; "
-    "the drained state folds the log with min/sum — both "
-    "associative, commutative, and replay-absorbing for min (a "
-    "checkpoint replay of a batch re-appends rows the MIN erases; "
-    "count idempotence is the engine's exactly-once file-source "
-    "guarantee) — and must hash-equal the ONE-SHOT keep-first oracle "
+    "writes them to a DETERMINISTIC per-batch path with overwrite "
+    "(foreachBatch sinks are at-least-once, so a replayed batch must "
+    "be a no-op — append-only logs double the count partials on "
+    "replay); the drained state folds the log with min/sum — both "
+    "associative and commutative — and must hash-equal the ONE-SHOT "
+    "keep-first oracle "
     "on the union corpus.  Per-batch state traffic is O(distinct "
     "keys in batch), never the corpus; the fold is the "
     "decomposable-aggregate discipline (incremental_agg_events) "
@@ -832,7 +833,13 @@ def q_streaming_url_dedup(spark, sf_dir):
             F.min("doc_id").alias("min_doc"),
             F.count(F.lit(1)).cast("long").alias("cnt"),
         )
-        partial.write.mode("append").parquet(log)
+        # Deterministic per-batch path + overwrite = IDEMPOTENT sink:
+        # foreachBatch is only at-least-once, and a batch replayed
+        # after a successful append but before the checkpoint commit
+        # would double its cnt partials under a flat append log (the
+        # min leg absorbs replay; the sum leg does not — round-10
+        # ADVICE).  Overwriting batch=<id> makes replay a no-op.
+        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
 
     q = (
         spark.readStream.schema(schema)

@@ -73,7 +73,8 @@ _KEEP_BEST_ORACLE = f"""
       FROM t a JOIN t b
         ON a.source = b.source AND a.doc_id < b.doc_id
        AND b.doc_id - a.doc_id <= 40
-      WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+      WHERE len(a.toks) + len(b.toks) > 0
+        AND len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
             / (len(a.toks) + len(b.toks)
                - len(list_filter(a.toks, x -> list_contains(b.toks, x))))::DOUBLE
             > 0.5
@@ -539,11 +540,13 @@ _STREAM_LINE_ORACLE = f"""
     "chunks its docs through the SHARED _doc_line_chunks (semantics "
     "cannot drift from the batch scrub), and appends per-batch PARTIAL "
     "aggregates per line hash — min(struct(doc_id, idx)) and count — "
-    "to the state log.  The drained fold takes min/sum per hash: min "
-    "over a partition of the occurrence set IS the global first "
-    "occurrence (associative, commutative, and replay-absorbing — a "
-    "checkpoint replay re-appends rows the MIN erases; count "
-    "idempotence is the file source's exactly-once guarantee), so the "
+    "to a DETERMINISTIC per-batch path with overwrite (foreachBatch "
+    "sinks are at-least-once: an append-only log would double the "
+    "count partials if a batch replayed after a successful write but "
+    "before its checkpoint commit — overwrite makes replay a no-op).  "
+    "The drained fold takes min/sum per hash: min over a partition of "
+    "the occurrence set IS the global first occurrence (associative, "
+    "commutative), so the "
     "folded state must hash-equal the one-shot keep-first oracle on "
     "the union corpus, for ANY batching.  Output is per KEEPING doc: "
     "lines it owns globally and the total occurrences those lines "
@@ -582,7 +585,10 @@ def q_streaming_line_dedup(spark, sf_dir):
                 "cnt",
             )
         )
-        partial.write.mode("append").parquet(log)
+        # Deterministic per-batch path + overwrite = IDEMPOTENT sink
+        # (foreachBatch is at-least-once; a replayed batch would
+        # double cnt under a flat append log — round-10 ADVICE).
+        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
 
     q = (
         spark.readStream.schema(schema)

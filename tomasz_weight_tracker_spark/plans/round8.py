@@ -350,15 +350,21 @@ def q_incremental_lsh_dedup(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     state = f"{scratch_dir('inc_lsh')}/sig_state"
+    # Sign the union corpus ONCE (minhash is a pure per-doc function —
+    # per-batch signing re-pays the 16-hash codegen + a job per batch
+    # for identical results; the replay's subject is STORE interaction,
+    # not re-signing).  One eager checkpoint; batches are cheap filters
+    # over the materialized signatures.
+    sigs_all = (
+        D.minhash_signature(docs, "text", k=LSH_K)
+        .drop("text")
+        .localCheckpoint(eager=True)
+    )
     outs = []
     for r in range(_INC_BATCHES):
-        batch = docs.filter(F.col("doc_id") % _INC_BATCHES == r)
-        new_sigs = (
-            D.minhash_signature(batch, "text", k=LSH_K)
-            .drop("text")
-            .withColumn("is_new", F.lit(True))
-            .localCheckpoint(eager=True)  # sign once: probe + append reuse
-        )
+        new_sigs = sigs_all.filter(
+            F.col("doc_id") % _INC_BATCHES == r
+        ).withColumn("is_new", F.lit(True))
         # Band-partitioned store probe (round-10): partition filter on
         # the batch's band-hash buckets + broadcast semi-join, so the
         # refresh never scans or shuffles untouched store history.
@@ -435,14 +441,17 @@ def q_incremental_lsh_assign(spark, sf_dir):
     root = scratch_dir("inc_assign")
     sig_state = f"{root}/sig_state"
     upd_state = f"{root}/assign_updates"
+    # Sign once on the union corpus (see q_incremental_lsh_dedup) —
+    # batches are filters over the eager checkpoint.
+    sigs_all = (
+        D.minhash_signature(docs, "text", k=LSH_K)
+        .drop("text")
+        .localCheckpoint(eager=True)
+    )
     for r in range(_INC_BATCHES):
-        batch = docs.filter(F.col("doc_id") % _INC_BATCHES == r)
-        new_sigs = (
-            D.minhash_signature(batch, "text", k=LSH_K)
-            .drop("text")
-            .withColumn("is_new", F.lit(True))
-            .localCheckpoint(eager=True)  # sign once: probe + append reuse
-        )
+        new_sigs = sigs_all.filter(
+            F.col("doc_id") % _INC_BATCHES == r
+        ).withColumn("is_new", F.lit(True))
         # Band-partitioned store probe (round-10): partition filter on
         # the batch's band-hash buckets + broadcast semi-join, so the
         # refresh never scans or shuffles untouched store history.

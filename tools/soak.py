@@ -34,6 +34,7 @@ OUTPUT_COLLAPSE (documented) marker instead of a failure.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -185,7 +186,24 @@ def build_soak(spark, base: str, out: str, n: int) -> None:
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p)
-        union.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        if table == "documents":
+            # Single FILE named documents.parquet, matching the driver
+            # corpus layout: doc_provenance's oracle states the source
+            # basename from that layout, so a directory-of-part-files
+            # replica made the sf10 row a corpus-shape artifact
+            # (PARITY_r10_sf10).  500k docs is a one-task write.
+            tmp = f"{out}/__documents_tmp"
+            union.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{out}/documents.parquet"
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.remove(dst)
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+        else:
+            union.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
     for table in _COPY_TABLES:
         src = f"{base}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
