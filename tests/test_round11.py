@@ -180,3 +180,81 @@ class TestEmptyDocJaccardParity:
         # … and dup_clusters (clustered docs only) omits them entirely
         dc = REGISTRY["dup_clusters"].build(spark, d).collect()
         assert not any(row[0] in (0, 1) or row[1] in (0, 1) for row in dc)
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (operators/codecs.py): the DC-only closed
+    form the media_decode_jpeg oracle replays, plus the AC/entropy/
+    color paths pinned by golden constants (no SQL engine replays a
+    cosine-basis IDCT bit-exactly, so the gate covers DC-constant
+    blobs and these tests own the rest)."""
+
+    def test_dc_closed_form(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        def dr(a, q):
+            return (a + q // 2) // q if a >= 0 else -((-a + q // 2) // q)
+
+        for v in (0, 1, 100, 101, 127, 128, 129, 200, 254, 255):
+            raw = codecs.make_jpeg(16, 16, lambda x, y, v=v: v)
+            d = codecs.parse_jpeg(raw)
+            expect = max(0, min(255, 2 * dr(v - 128, 2) + 128))
+            got = {p[0] for p in d["pixels"]}
+            assert got == {expect}, (v, got, expect)
+
+    def test_block_constant_multi(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        raw = codecs.make_jpeg(
+            24, 16, lambda x, y: ((x // 8) * 37 + (y // 8) * 13 + 5) % 256
+        )
+        d = codecs.parse_jpeg(raw)
+        assert (d["width"], d["height"]) == (24, 16)
+        assert sorted(set(p[0] for p in d["pixels"])) == [4, 18, 42, 54, 78, 92]
+
+    def test_gradient_golden_and_fidelity(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+        import hashlib
+
+        raw = codecs.make_jpeg(16, 16, lambda x, y: x * 3 + y * 2)
+        d = codecs.parse_jpeg(raw)
+        got = bytes(p[0] for p in d["pixels"])
+        assert hashlib.md5(got).hexdigest() == "7c44f4f3ba4ce3d4b1ce607f576c6522"
+        # smooth gradient: full FDCT->Huffman->IDCT chain within 2 LSB
+        assert max(abs(got[y * 16 + x] - (x * 3 + y * 2))
+                   for y in range(16) for x in range(16)) <= 2
+
+    def test_color_golden(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+        import hashlib
+
+        raw = codecs.make_jpeg(
+            16, 8, lambda x, y: ((x * 10) % 256, (y * 30) % 256, 60), gray=False
+        )
+        d = codecs.parse_jpeg(raw)
+        flat = bytes(v for p in d["pixels"] for v in p)
+        assert hashlib.md5(flat).hexdigest() == "30908f0aa5b928262cdd3d82ba6ef3cd"
+
+    def test_edge_cases(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+
+        raw = codecs.make_jpeg(12, 10, lambda x, y: 77)
+        d = codecs.parse_jpeg(raw)
+        assert (d["width"], d["height"], len(d["pixels"])) == (12, 10, 120)
+        # truncated entropy stream -> header-only, not an exception
+        t = codecs.parse_jpeg(raw[: len(raw) // 2])
+        assert t == {"width": 12, "height": 10, "pixels": None}
+        # progressive (SOF2) -> header-only
+        p = codecs.parse_jpeg(raw.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        assert p == {"width": 12, "height": 10, "pixels": None}
+        # not a JPEG at all -> None (falls through the decoder chain)
+        assert codecs.parse_jpeg(b"not a jpeg") is None
+
+    def test_decode_media_dispatch(self):
+        from tomasz_weight_tracker_spark.operators import codecs
+        from tomasz_weight_tracker_spark.operators.multimodal import _decode_one
+
+        rec = _decode_one(codecs.make_jpeg(16, 8, lambda x, y: 100))
+        assert rec["decoder"] == "jpeg"
+        assert (rec["width"], rec["height"]) == (16, 8)
+        assert abs(rec["features"][0] - 100 / 255.0) < 1e-9

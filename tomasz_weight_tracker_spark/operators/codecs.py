@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: BMP + PNG (image) and WAV/PCM (audio).
+"""Pure-stdlib media codecs: BMP + PNG + GIF + baseline JPEG (image)
+and WAV/PCM (audio).
 
 Real decoders — no external libraries — so the multimodal pipeline has
 a genuinely exercised decode path in this container (Pillow/soundfile
@@ -628,3 +629,584 @@ def parse_video(raw: bytes) -> list[bytes] | None:
         frames.append(raw[pos : pos + ln])
         pos += ln
     return frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU T.81) — the last codec stub closed
+# (round-10 verdict item 5).  Pure stdlib: marker walk, canonical
+# Huffman decode with byte-unstuffing and restart markers, dequantize +
+# dezigzag, float IDCT, nearest-neighbor chroma upsample, integer
+# YCbCr->RGB.  The encoder emits baseline JFIF with the spec's Annex K
+# quantization + Huffman tables (public constants), 4:4:4 or grayscale,
+# with PORTABLE away-from-zero coefficient rounding so DC-only blobs
+# decode to closed-form values an SQL oracle can replay exactly (see
+# plans/round11.py:media_decode_jpeg).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 quantization tables (row-major natural order).
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 standard Huffman tables: (bits[1..16], values).
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+import math as _math
+
+_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / _math.sqrt(2)] + [1.0] * 7
+
+# Full-decode pixel ceiling (untrusted SOF dims; the Python IDCT loop
+# is O(w*h) — same posture as _PNG_MAX_PIXELS).
+_JPEG_MAX_PIXELS = 1 << 22
+
+
+def _div_round(a: int, q: int) -> int:
+    """Away-from-zero integer rounding of a/q — portable (no float, no
+    banker's rounding), the property the closed-form oracle replays."""
+    if a >= 0:
+        return (a + q // 2) // q
+    return -((-a + q // 2) // q)
+
+
+def _fdct_quant(block: list[int], qt: list[int]) -> list[int]:
+    """Forward DCT + quantization of one level-shifted 8x8 block,
+    natural order in, natural order out."""
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = _COS[y][v]
+                base = 8 * y
+                for x in range(8):
+                    s += block[base + x] * _COS[x][u] * cy
+            coef = 0.25 * _C[u] * _C[v] * s
+            out[v * 8 + u] = _div_round(int(round(coef)), qt[v * 8 + u])
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: number of bits in |v| (0 for 0)."""
+    a = abs(v)
+    n = 0
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+def make_jpeg(width: int, height: int, pixel_fn, gray: bool = True) -> bytes:
+    """Serialize a baseline JFIF JPEG.  ``gray=True``: one component,
+    ``pixel_fn(x, y) -> int`` (a tuple's first element is accepted).
+    ``gray=False``: 4:4:4 color, ``pixel_fn(x, y) -> (r, g, b)``.
+    Planes pad to 8-multiples by edge replication; coefficients round
+    away-from-zero (``_div_round``), so a per-8x8-block CONSTANT image
+    quantizes to a DC-only stream whose decode is closed-form:
+    value' = clamp(2 * _div_round(value - 128, 2) + 128) under the
+    Annex K luminance table's DC step of 16."""
+
+    def sample(x: int, y: int):
+        px = pixel_fn(min(x, width - 1), min(y, height - 1))
+        return px
+
+    pw, ph = (width + 7) & ~7, (height + 7) & ~7
+    if gray:
+        planes = [
+            [
+                (lambda p: p[0] if isinstance(p, tuple) else p)(sample(x, y)) & 0xFF
+                for y in range(ph)
+                for x in range(pw)
+            ]
+        ]
+        qts = [_JPEG_QT_LUMA]
+        comp_qt = [0]
+    else:
+        ys: list[int] = []
+        cbs: list[int] = []
+        crs: list[int] = []
+        for y in range(ph):
+            for x in range(pw):
+                r, g, b = sample(x, y)
+                ys.append(max(0, min(255, round(0.299 * r + 0.587 * g + 0.114 * b))))
+                cbs.append(
+                    max(0, min(255, round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+                )
+                crs.append(
+                    max(0, min(255, round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+                )
+        planes = [ys, cbs, crs]
+        qts = [_JPEG_QT_LUMA, _JPEG_QT_CHROMA]
+        comp_qt = [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(qt[_ZIGZAG[i]] for i in range(64))
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, comp_qt[ci]])  # 1x1 sampling
+    huffs = [(_DC_LUMA, 0x00), (_AC_LUMA, 0x10)]
+    if ncomp == 3:
+        huffs += [(_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)]
+    for (bits, vals), tc_th in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        tabs = 0x00 if ci == 0 else 0x11
+        out += bytes([ci + 1, tabs])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    dc_maps = [_huff_encode_map(*_DC_LUMA)]
+    ac_maps = [_huff_encode_map(*_AC_LUMA)]
+    if ncomp == 3:
+        dc_maps += [_huff_encode_map(*_DC_CHROMA)] * 2
+        ac_maps += [_huff_encode_map(*_AC_CHROMA)] * 2
+    else:
+        dc_maps *= 1
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                plane = planes[ci]
+                block = [
+                    plane[(by + y) * pw + (bx + x)] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                coefs = _fdct_quant(block, qts[comp_qt[ci]])
+                zz = [coefs[_ZIGZAG[i]] for i in range(64)]
+                dcm = dc_maps[ci if ncomp == 3 else 0]
+                acm = ac_maps[ci if ncomp == 3 else 0]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                cat = _category(diff)
+                code, ln = dcm[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+                run = 0
+                for i in range(1, 64):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = acm[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    cat = _category(zz[i])
+                    code, ln = acm[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << cat) - 1, cat)
+                    run = 0
+                if run:
+                    code, ln = acm[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (0xFF xx, xx != 0) and reports it."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                return False
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def receive(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and byte-align (DC predictors are the
+        caller's to reset)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = br.read_bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _idct_block(coefs: list[int]) -> list[int]:
+    """Float separable IDCT of one dequantized natural-order block;
+    returns 64 level-shifted, clamped samples."""
+    # rows (u over columns), then columns — direct O(8*8*8) per pass
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = 8 * y
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _C[v] * _COS[y][v]
+                inner = 0.0
+                row = 8 * v
+                for u in range(8):
+                    inner += _C[u] * coefs[row + u] * _COS[x][u]
+                s += cv * inner
+            tmp[base + x] = 0.25 * s
+    return [max(0, min(255, round(t + 128))) for t in tmp]
+
+
+def parse_jpeg(raw: bytes) -> dict | None:
+    """Decode a baseline (SOF0) JPEG: marker walk, canonical Huffman,
+    dequantize + dezigzag, float IDCT, nearest-neighbor chroma
+    upsample, integer YCbCr->RGB.  Returns {width, height, pixels}
+    with (b, g, r) row-major tuples (the parse_bmp convention), or
+    pixels=None for header-only decodes (progressive SOF2, missing
+    tables, over-cap dims, truncated streams), or None if the blob is
+    not a JPEG at all."""
+    if len(raw) < 4 or raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+    width = height = 0
+    restart_interval = 0
+    sof_ok = False
+    data_pos = -1
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack_from(">H", raw, pos + 2)[0]
+        body = raw[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq != 0 or i + 64 > len(body):
+                    return {"width": width, "height": height, "pixels": None}
+                zz = list(body[i : i + 64])
+                nat = [0] * 64
+                for j in range(64):
+                    nat[_ZIGZAG[j]] = zz[j]
+                qts[tq] = nat
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    return {"width": width, "height": height, "pixels": None}
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                return None
+            height, width = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof_ok = True
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            # non-baseline frame: header-only (dims still useful)
+            if len(body) >= 5:
+                height, width = struct.unpack_from(">HH", body, 1)
+            return {"width": width, "height": height, "pixels": None}
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tabs = body[1 + 2 * s], body[2 + 2 * s]
+                idx = next((i for i, c in enumerate(comps) if c[0] == cs), None)
+                if idx is None:
+                    return {"width": width, "height": height, "pixels": None}
+                scan.append((idx, tabs >> 4, tabs & 0x0F))
+            data_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if not sof_ok or width == 0 or height == 0:
+        return None if not sof_ok else {"width": width, "height": height, "pixels": None}
+    out = {"width": width, "height": height, "pixels": None}
+    if data_pos < 0 or not scan or width * height > _JPEG_MAX_PIXELS:
+        return out
+    for idx, td, ta in scan:
+        if td not in dc_tabs or ta not in ac_tabs or comps[idx][3] not in qts:
+            return out
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        return out
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, h, v, tq in comps:
+        planes.append([0] * (mcux * h * 8 * mcuy * v * 8))
+    br = _BitReader(raw, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for si, (ci, td, ta) in enumerate(scan):
+                _, ch, cv, tq = comps[ci]
+                qt = qts[tq]
+                pw = mcux * ch * 8
+                for by in range(cv):
+                    for bx in range(ch):
+                        cat = _huff_read(br, dc_tabs[td])
+                        if cat is None:
+                            return out  # truncated: header-only
+                        bits_v = br.receive(cat)
+                        if bits_v is None:
+                            return out
+                        pred[ci] += _extend(bits_v, cat)
+                        zz = [0] * 64
+                        zz[0] = pred[ci] * qt[0]
+                        i = 1
+                        while i < 64:
+                            rs = _huff_read(br, ac_tabs[ta])
+                            if rs is None:
+                                return out
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, cat = rs >> 4, rs & 0x0F
+                            i += run
+                            if i > 63:
+                                return out
+                            bits_v = br.receive(cat)
+                            if bits_v is None:
+                                return out
+                            zz[_ZIGZAG[i]] = _extend(bits_v, cat) * qt[_ZIGZAG[i]]
+                            i += 1
+                        block = _idct_block(zz)
+                        ox = (mx * ch + bx) * 8
+                        oy = (my * cv + by) * 8
+                        plane = planes[ci]
+                        for y in range(8):
+                            dst = (oy + y) * pw + ox
+                            src = 8 * y
+                            plane[dst : dst + 8] = block[src : src + 8]
+
+    pixels: list[tuple[int, int, int]] = []
+    if len(comps) == 1:
+        pw = mcux * comps[0][1] * 8
+        plane = planes[0]
+        for y in range(height):
+            base = y * pw
+            for x in range(width):
+                g = plane[base + x]
+                pixels.append((g, g, g))
+    elif len(comps) == 3:
+        for y in range(height):
+            for x in range(width):
+                smp = []
+                for ci, (cid, ch, cv, tq) in enumerate(comps):
+                    pw = mcux * ch * 8
+                    sx = x * ch // hmax
+                    sy = y * cv // vmax
+                    smp.append(planes[ci][sy * pw + sx])
+                yy, cb, cr = smp
+                r = max(0, min(255, round(yy + 1.402 * (cr - 128))))
+                g = max(
+                    0,
+                    min(255, round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+                )
+                b = max(0, min(255, round(yy + 1.772 * (cb - 128))))
+                pixels.append((b, g, r))
+    else:
+        return out
+    out["pixels"] = pixels
+    return out

@@ -7,13 +7,15 @@ Design (what is REAL vs STUBBED here):
   ``mapInPandas`` UDF signatures and batch shapes, partition-preserving
   per-row transforms, deterministic outputs, and the metadata model
   (``struct<modality,format,width,height,duration_ms>``) — AND the
-  BMP/PNG/GIF/WAV codecs: ``operators.codecs`` decodes BMP headers +
-  24-bit pixels, PNG (zlib inflate + full scanline unfilter for 8-bit
-  gray/RGB/RGBA), GIF (real LZW inflate + palette lookup), and
+  BMP/PNG/GIF/JPEG/WAV codecs: ``operators.codecs`` decodes BMP
+  headers + 24-bit pixels, PNG (zlib inflate + full scanline unfilter
+  for 8-bit gray/RGB/RGBA), GIF (real LZW inflate + palette lookup),
+  baseline JPEG (canonical Huffman + dequantize + IDCT + YCbCr, any
+  sampling factors; progressive falls back to header-only), and
   RIFF/WAV headers + 16-bit PCM samples with stdlib only (no external
   libs), producing real pixel/sample features
-  (``decoder='bmp'``/``'png'``/``'gif'``/``'wav'``).
-- STUBBED: every OTHER format (jpeg/mp3/...).  Their codec libs
+  (``decoder='bmp'``/``'png'``/``'gif'``/``'jpeg'``/``'wav'``).
+- STUBBED: every OTHER format (mp3/mp4/...).  Their codec libs
   are not in this container, so ``decode`` dispatches to Pillow when
   importable and otherwise produces a DETERMINISTIC FAKE derived from
   the md5 of the bytes (flagged by ``decoder='stub'`` in the output).
@@ -129,9 +131,9 @@ def _try_real_image_decode(raw: bytes):
 
 def _decode_one(raw: bytes) -> dict:
     """Dispatch one blob through the decoder chain:
-    PNG (stdlib zlib) -> GIF (stdlib LZW) -> BMP (stdlib) -> WAV
-    (stdlib) -> Pillow (if importable) -> stub.  Signatures are
-    disjoint, so order is cosmetic."""
+    PNG (stdlib zlib) -> GIF (stdlib LZW) -> BMP (stdlib) -> JPEG
+    (stdlib baseline) -> WAV (stdlib) -> Pillow (if importable) ->
+    stub.  Signatures are disjoint, so order is cosmetic."""
     png = codecs.parse_png(raw)
     if png is not None:
         # pixel features are codec-agnostic: parse_png emits the same
@@ -164,6 +166,16 @@ def _decode_one(raw: bytes) -> dict:
             "decoder": "bmp" if feats is not None else "bmp-header",
             "width": bmp["width"],
             "height": bmp["height"],
+            "duration_ms": None,
+            "features": feats if feats is not None else _stub_features(raw),
+        }
+    jpg = codecs.parse_jpeg(raw)
+    if jpg is not None:
+        feats = codecs.bmp_features(jpg, FEATURE_DIM)
+        return {
+            "decoder": "jpeg" if feats is not None else "jpeg-header",
+            "width": jpg["width"],
+            "height": jpg["height"],
             "duration_ms": None,
             "features": feats if feats is not None else _stub_features(raw),
         }

@@ -374,3 +374,97 @@ def q_snm_near_dup_blockslice(spark, sf_dir):
     return snm_near_dup_frame(
         load(spark, sf_dir, "documents"), slice_mod=_SNM_SLICE_MOD
     )
+
+
+# ===========================================================================
+# JPEG decode under the value gate (round-10 verdict item 5)
+# ===========================================================================
+
+_JPEG_DV = (
+    "least(greatest(2 * (CASE WHEN a >= 0 THEN (a + 1) // 2 "
+    "ELSE -((-a + 1) // 2) END) + 128, 0), 255)"
+)
+
+_MEDIA_JPEG_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id,
+             16 + 8 * (doc_id % 3) AS w,
+             8 + 8 * (doc_id % 2) AS h
+      FROM documents
+    ),
+    bx AS (SELECT doc_id, w, h,
+                  unnest(generate_series(0, w // 8 - 1)) AS bx FROM g),
+    bxy AS (SELECT doc_id, w, h, bx,
+                   unnest(generate_series(0, h // 8 - 1)) AS by FROM bx),
+    d AS (
+      SELECT doc_id, w, h, {_JPEG_DV} AS dv
+      FROM (SELECT doc_id, w, h,
+                   ((doc_id * 31 + bx * 7 + by * 13) % 256) - 128 AS a
+            FROM bxy)
+    )
+    SELECT doc_id AS media_id,
+           'jpeg' AS decoder,
+           w::INT AS width,
+           h::INT AS height,
+           floor((sum(dv) * 64)::DOUBLE / (w * h) / 255.0 * 1000000)
+               / 1000000 AS mean_r
+    FROM d GROUP BY doc_id, w, h
+"""
+
+
+@register(
+    "media_decode_jpeg",
+    _MEDIA_JPEG_ORACLE,
+    survey_ids=(),
+    doc="Real baseline-JPEG decode at the engine surface — the last "
+    "codec stub closed: one grayscale JPEG per document (stdlib "
+    "encoder, Annex K tables, deterministic from doc_id), decoded by "
+    "operators/codecs.parse_jpeg — a real marker walk, canonical "
+    "Huffman decode with byte-unstuffing, dequantize + dezigzag, "
+    "float IDCT, clamp — through the Arrow-batched decode_media "
+    "chain.  The oracle replays the decode CLOSED-FORM: blobs are "
+    "constant per 8x8 block, so the only nonzero coefficient is the "
+    "DC, whose quantize (PORTABLE away-from-zero _div_round, step 16) "
+    "-> dequantize -> DC-only IDCT collapses to integer arithmetic "
+    "v' = clamp(2 * div_round(v-128, 2) + 128) — exact in both "
+    "engines, while the engine side still runs the full entropy/IDCT "
+    "machinery (the AC path, non-8-multiple dims, color transform, "
+    "and truncation handling are pinned by tests/test_round11.py "
+    "golden constants — AC output is cosine-basis floats no SQL "
+    "engine replays bit-exactly, honestly out of the gate's scope).  "
+    "Scale shape: per-row mapInPandas, partition-preserving, no "
+    "shuffle before the final projection.",
+)
+def q_media_decode_jpeg(spark, sf_dir):
+    from ..operators import codecs
+    from ..operators.multimodal import decode_media
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for i in batch["doc_id"]:
+                i = int(i)
+                w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+                raw = codecs.make_jpeg(
+                    w,
+                    h,
+                    lambda x, y, i=i: (i * 31 + (x // 8) * 7 + (y // 8) * 13) % 256,
+                )
+                rows.append({"media_id": i, "content": raw})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.mapInPandas(gen, "media_id long, content binary")
+    out = decode_media(media)
+    return out.select(
+        "media_id",
+        "decoder",
+        "width",
+        "height",
+        (
+            F.floor(F.element_at("features", 1) * F.lit(1000000.0)) / F.lit(1000000.0)
+        ).alias("mean_r"),
+    )
