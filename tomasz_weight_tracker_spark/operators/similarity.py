@@ -98,21 +98,36 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max dot product,
-    deterministic tiebreak on centroid id).  Centroids are broadcast;
-    one map-side pass, no shuffle."""
+    deterministic tiebreak on centroid id).
+
+    Shuffle posture: the scoring join is map-side (broadcast
+    centroids) over a NARROW (id, score, -cid) projection, and the
+    argmax is ``max(struct(score, -cid))`` — a combinable aggregate,
+    so the shuffle carries one pre-combined row per id per input
+    partition instead of the N x C full-vector rows a row_number
+    window would move (ascending-max over the lexicographic struct ==
+    score DESC then centroid_id ASC, the same total order).  The
+    vectors rejoin on id afterwards — N narrow rows, never N x C."""
     c = centroids.select(
         F.col(centroid_id), F.col(vec_col).cast("array<double>").alias("cent_vec")
     )
-    scored = df.withColumn("__vec", F.col(vec_col).cast("array<double>")).join(
-        F.broadcast(c)
+    narrow = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("__vec"))
+        .join(F.broadcast(c))
+        .select(
+            id_col,
+            F.struct(
+                dot(F.col("__vec"), F.col("cent_vec")).alias("s"),
+                (-F.col(centroid_id)).alias("n"),
+            ).alias("__sc"),
+        )
     )
-    scored = scored.withColumn("__score", dot(F.col("__vec"), F.col("cent_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col(centroid_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__score", "__vec", "cent_vec")
+    best = (
+        narrow.groupBy(id_col)
+        .agg(F.max("__sc").alias("__b"))
+        .select(id_col, (-F.col("__b.n")).alias(centroid_id))
     )
+    return df.join(best, id_col)
 
 
 def ivf_train(

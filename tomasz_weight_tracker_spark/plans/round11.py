@@ -199,24 +199,39 @@ _Q_TOKS = (
     "'\\s+')) END"
 )
 
+# The closure runs on the REP graph only (near edges).  Star members
+# inherit their rep's component through one join: rep = cluster MIN by
+# construction (operators/dedup.py:lsh_dedup_edges), so min-doc-id
+# reachable == min REP id in the rep-component — the same label the
+# full-graph closure yields.  This is what keeps the oracle feasible
+# on verbatim-duplicated corpora: a naive (id, reach) transitive-
+# closure walk is sum-of-cluster^2 rows and OOM'd DuckDB at sf1
+# (duplication multiplies cluster sizes), while the rep graph does
+# not grow with duplication at all.
 _KEEP_BEST_LSH_ORACLE = (
     _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + D.sql_lsh_star_edges(LSH_K, LSH_BANDS, LSH_CAP, LSH_THRESH)
     + f""",
-    sym AS (SELECT src_id AS u, dst_id AS v FROM edges
-            UNION SELECT dst_id, src_id FROM edges),
+    sym AS (SELECT src_id AS u, dst_id AS v FROM edges WHERE kind = 'near'
+            UNION
+            SELECT dst_id, src_id FROM edges WHERE kind = 'near'),
     nodes AS (SELECT DISTINCT u AS id FROM sym),
     walk AS (
       SELECT id, id AS reach FROM nodes
       UNION
       SELECT w.id, s.v AS reach FROM walk w JOIN sym s ON s.u = w.reach
     ),
-    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+    comp_rep AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+    rep_of AS (SELECT dst_id AS doc_id, src_id AS rep
+               FROM edges WHERE kind = 'exact'),
     q AS (SELECT doc_id, len({_Q_TOKS})::BIGINT AS quality FROM documents),
     memb AS (
       SELECT q.doc_id, q.quality,
-             coalesce(c.component, q.doc_id) AS component
-      FROM q LEFT JOIN comp c ON c.id = q.doc_id
+             coalesce(cr.component, r.rep, cr2.component, q.doc_id) AS component
+      FROM q
+      LEFT JOIN rep_of r ON r.doc_id = q.doc_id
+      LEFT JOIN comp_rep cr ON cr.id = r.rep
+      LEFT JOIN comp_rep cr2 ON cr2.id = q.doc_id
     ),
     ranked AS (
       SELECT *, row_number() OVER (
@@ -270,8 +285,16 @@ def q_dup_cluster_keep_best_lsh(spark, sf_dir):
         bands=LSH_BANDS,
         max_bucket=LSH_CAP,
         verify_min=LSH_THRESH,
+    ).localCheckpoint(eager=True)  # near + exact both consumed below
+    # Close over the REP graph only: star members inherit their rep's
+    # component (rep == cluster MIN, so the label is identical to the
+    # full-graph closure) — the propagation loop never touches the
+    # duplicated mass, only distinct-signature reps.
+    near = edges.filter(F.col("kind") == "near")
+    comps = connected_components(near, src="src_id", dst="dst_id")
+    rep_of = edges.filter(F.col("kind") == "exact").select(
+        F.col("dst_id").alias("m_doc"), F.col("src_id").alias("rep")
     )
-    comps = connected_components(edges, src="src_id", dst="dst_id")
     quality = d.select(
         "doc_id",
         F.size(
@@ -280,12 +303,16 @@ def q_dup_cluster_keep_best_lsh(spark, sf_dir):
         .cast("long")
         .alias("quality"),
     )
+    cr = comps.select(F.col("id").alias("cr_id"), F.col("component").alias("cr_c"))
+    cr2 = comps.select(F.col("id").alias("cr2_id"), F.col("component").alias("cr2_c"))
     memb = (
-        quality.join(comps, quality.doc_id == comps.id, "left")
+        quality.join(rep_of, quality.doc_id == rep_of.m_doc, "left")
+        .join(cr, F.col("rep") == F.col("cr_id"), "left")
+        .join(cr2, quality.doc_id == F.col("cr2_id"), "left")
         .select(
             "doc_id",
             "quality",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            F.coalesce("cr_c", "rep", "cr2_c", "doc_id").alias("component"),
         )
     )
     best = F.max(
