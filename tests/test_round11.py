@@ -258,3 +258,41 @@ class TestJpegCodec:
         assert rec["decoder"] == "jpeg"
         assert (rec["width"], rec["height"]) == (16, 8)
         assert abs(rec["features"][0] - 100 / 255.0) < 1e-9
+
+
+class TestIvfAssignPlanShape:
+    def test_no_window_in_assign(self, spark):
+        """ivf_assign's argmax must be the combinable max(struct) agg,
+        never a row_number window over the N x C scored join — the
+        window shuffles every (vector, centroid) pair wide."""
+        from tomasz_weight_tracker_spark.operators import similarity as S
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        out = S.ivf_assign(e, cents)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+        # determinism + correctness vs the brute-force argmax
+        from tomasz_weight_tracker_spark.operators.similarity import dot
+
+        got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+        brute = e.join(
+            F.broadcast(cents.select(F.col("centroid_id").alias("cid"),
+                                     F.col("embedding").alias("cv")))
+        ).select(
+            "vec_id", "cid",
+            dot(F.col("embedding").cast("array<double>"),
+                F.col("cv").cast("array<double>")).alias("s"),
+        )
+        import collections
+
+        best: dict = {}
+        for r in brute.collect():
+            k = r["vec_id"]
+            cand = (r["s"], -r["cid"])
+            if k not in best or cand > best[k]:
+                best[k] = cand
+        assert got == {k: -v[1] for k, v in best.items()}
