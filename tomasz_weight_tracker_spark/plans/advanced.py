@@ -264,25 +264,36 @@ def _snm_oracle(slice_mod: int | None = None) -> str:
     )
     from ..functions import md5_long_sql
 
-    blk_where = (
-        f"WHERE {md5_long_sql(f'substr(skey, 1, {_SNM_BLK_LEN})')} "
-        f"% {slice_mod} = 0"
-        if slice_mod
-        else ""
-    )
-    return f"""
-    WITH k0 AS (
+    # The slice must apply BEFORE the per-character relabel explode
+    # (__chars is |docs| x head_len rows — the memory hog at sf10):
+    # k00 computes the keys for everyone, k0 keeps only the sliced
+    # blocks, and everything downstream (relabel, run-cap windows,
+    # neighbor leads) runs on the 1/slice_mod subset.
+    k0_body = (
+        f"""k00 AS (
         SELECT doc_id,
                substr({head_norm}, 1, {_SNM_HEAD}) AS head,
                substr({skey_norm}, 1, {_SNM_KEY_LEN}) AS skey
         FROM documents
-    ){sql_codepoint_relabel("k0", "k", carry=("skey",))}, r AS (
+    ), k0 AS (
+        SELECT * FROM k00
+        WHERE {md5_long_sql(f'substr(skey, 1, {_SNM_BLK_LEN})')} % {slice_mod} = 0
+    )"""
+        if slice_mod
+        else f"""k0 AS (
+        SELECT doc_id,
+               substr({head_norm}, 1, {_SNM_HEAD}) AS head,
+               substr({skey_norm}, 1, {_SNM_KEY_LEN}) AS skey
+        FROM documents
+    )"""
+    )
+    return f"""
+    WITH {k0_body}{sql_codepoint_relabel("k0", "k", carry=("skey",))}, r AS (
         SELECT doc_id, head, skey,
                row_number() OVER win AS rn,
                CASE WHEN lag(skey) OVER win IS DISTINCT FROM skey
                     THEN 1 ELSE 0 END AS flag
         FROM k
-        {blk_where}
         WINDOW win AS (PARTITION BY substr(skey, 1, {_SNM_BLK_LEN})
                        ORDER BY skey, doc_id)
     ), p AS (

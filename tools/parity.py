@@ -121,18 +121,28 @@ def main():
     # rows at sf10) exceed the 1g default maxResultSize — a harness
     # limit, not an engine one, so raise it for the parity session.
     spark = get_spark("parity", extra_conf={"spark.driver.maxResultSize": "6g"})
-    con = duck_connection(sf_dir)
 
     todo = names or list(REGISTRY)
     failures = 0
     for name in todo:
         q = REGISTRY[name]
         try:
+            # Fresh connection per query: DuckDB's buffer pool is
+            # per-connection, and one heavy oracle (a 10-minute
+            # closure CTE at sf10) can leave the pool pinned near the
+            # 24 GB cap — every later query in the batch then dies on
+            # kilobyte allocations ("bad allocation").  Views are
+            # cheap to re-register.
+            con = duck_connection(sf_dir)
             res = compare_one(spark, con, q, sf_dir)
         except Exception as e:  # noqa: BLE001
             res = {"name": name, "status": "ERROR", "error": str(e)[:500]}
         finally:
             release_caches()  # per-query caches must not outlive the query
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001 — already closed / never opened
+                pass
         ok = res["status"] in ("OK", "rows_only")
         if not ok:
             failures += 1

@@ -192,8 +192,16 @@ def build_soak(spark, base: str, out: str, n: int) -> None:
             # basename from that layout, so a directory-of-part-files
             # replica made the sf10 row a corpus-shape artifact
             # (PARITY_r10_sf10).  500k docs is a one-task write.
+            # SMALL row groups are load-bearing: both engines
+            # parallelize parquet scans by row group, and coalesce(1)
+            # under the default 128 MB block size wrote ONE group —
+            # which made every documents scan single-threaded at sf10
+            # (measured: boilerplate_ngrams' oracle 45 s -> stuck >15
+            # min before this option).
             tmp = f"{out}/__documents_tmp"
-            union.coalesce(1).write.mode("overwrite").parquet(tmp)
+            union.coalesce(1).write.option(
+                "parquet.block.size", str(4 * 1024 * 1024)
+            ).mode("overwrite").parquet(tmp)
             part = glob.glob(f"{tmp}/part-*.parquet")[0]
             dst = f"{out}/documents.parquet"
             if os.path.isdir(dst):
