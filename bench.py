@@ -262,6 +262,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_QUERIES_FULL", "1") != "0":
         import duckdb
 
+        # Fresh JVM for the sidecar: by this point the session has run
+        # ~150 headline executions, and the sidecar itself compiles
+        # ~470 more plan shapes — a single long-lived driver JVM
+        # accumulates codegen classes/GC pressure that inflated the
+        # late-alphabet tail ~50% (pq_recall_audit 6.9 s standalone vs
+        # 16.4 s at position ~400 of the round-11 run).  Production
+        # runs one query shape per job; the restart measures that.
+        spark.stop()
+        spark = get_spark("bench-sidecar")
+
         con = duckdb.connect()
         for t in (
             "region nation customer supplier part orders lineitem events "
