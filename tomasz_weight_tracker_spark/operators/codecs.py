@@ -802,7 +802,9 @@ def _category(v: int) -> int:
     return n
 
 
-def make_jpeg(width: int, height: int, pixel_fn, gray: bool = True) -> bytes:
+def make_jpeg(
+    width: int, height: int, pixel_fn, gray: bool = True, restart_interval: int = 0
+) -> bytes:
     """Serialize a baseline JFIF JPEG.  ``gray=True``: one component,
     ``pixel_fn(x, y) -> int`` (a tuple's first element is accepted).
     ``gray=False``: 4:4:4 color, ``pixel_fn(x, y) -> (r, g, b)``.
@@ -810,7 +812,9 @@ def make_jpeg(width: int, height: int, pixel_fn, gray: bool = True) -> bytes:
     away-from-zero (``_div_round``), so a per-8x8-block CONSTANT image
     quantizes to a DC-only stream whose decode is closed-form:
     value' = clamp(2 * _div_round(value - 128, 2) + 128) under the
-    Annex K luminance table's DC step of 16."""
+    Annex K luminance table's DC step of 16.  ``restart_interval > 0``
+    emits a DRI segment and byte-aligned RSTn markers every that many
+    MCUs with DC predictors reset (the camera-output shape)."""
 
     def sample(x: int, y: int):
         px = pixel_fn(min(x, width - 1), min(y, height - 1))
@@ -860,6 +864,8 @@ def make_jpeg(width: int, height: int, pixel_fn, gray: bool = True) -> bytes:
     for (bits, vals), tc_th in huffs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         tabs = 0x00 if ci == 0 else 0x11
@@ -875,8 +881,16 @@ def make_jpeg(width: int, height: int, pixel_fn, gray: bool = True) -> bytes:
         dc_maps *= 1
     bw = _BitWriter()
     pred = [0] * ncomp
+    mcu_count = 0
+    rst_n = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 plane = planes[ci]
                 block = [
@@ -969,12 +983,23 @@ class _BitReader:
 
     def restart(self) -> None:
         """Consume an RSTn marker and byte-align (DC predictors are the
-        caller's to reset)."""
+        caller's to reset).  In a well-formed stream the reader stops at
+        the interval boundary BEFORE _fill() ever touches the marker, so
+        self.marker is usually still None here — peek the raw bytes
+        directly rather than relying on the marker having been latched."""
         self.acc = 0
         self.nbits = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+            return
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
             self.pos += 2
-            self.marker = None
 
 
 def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -1085,6 +1110,8 @@ def parse_jpeg(raw: bytes) -> dict | None:
                 return None
             height, width = struct.unpack_from(">HH", body, 1)
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                return {"width": width, "height": height, "pixels": None}
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -1099,6 +1126,9 @@ def parse_jpeg(raw: bytes) -> dict | None:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                # truncated scan header: header-only, never IndexError
+                return {"width": width, "height": height, "pixels": None}
             ns = body[0]
             scan = []
             for s in range(ns):

@@ -39,6 +39,7 @@ computing features over 100 TB of images reads only (id, content).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from . import codecs
@@ -169,7 +170,12 @@ def _decode_one(raw: bytes) -> dict:
             "duration_ms": None,
             "features": feats if feats is not None else _stub_features(raw),
         }
-    jpg = codecs.parse_jpeg(raw)
+    try:
+        jpg = codecs.parse_jpeg(raw)
+    except (IndexError, ValueError, struct.error):
+        # a corrupt entropy stream must degrade to the stub, never
+        # crash the mapInPandas task (one bad crawl blob != job failure)
+        jpg = {"width": 0, "height": 0, "pixels": None}
     if jpg is not None:
         feats = codecs.bmp_features(jpg, FEATURE_DIM)
         return {

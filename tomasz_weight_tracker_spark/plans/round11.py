@@ -178,9 +178,14 @@ def mine_bitext_ivf(e, n_cent: int, nprobe: int, k: int):
     )
     mutual = r.filter((F.col("rs") <= k) & (F.col("rt") <= k))
     margin = (F.col("qdot") * F.lit(2 * k)) / (F.col("sx") + F.col("sy"))
+    # kx/ky are one row per src_id/tgt_id — O(corpus)-sized, so no
+    # broadcast hint (ADVICE r11: a forced broadcast here would exhaust
+    # the driver at 100 TB).  Both join inputs are already bounded to
+    # <= k rows per key; the equi-joins shuffle on the id keys and AQE
+    # is free to pick broadcast when the ACTUAL size is small.
     return (
-        mutual.join(F.broadcast(kx), "src_id")
-        .join(F.broadcast(ky), "tgt_id")
+        mutual.join(kx, "src_id")
+        .join(ky, "tgt_id")
         .withColumn("margin", margin)
         .filter(F.col("margin") > 1.0)
         .select("src_id", "tgt_id", "qdot", "margin")
