@@ -1,0 +1,115 @@
+"""Round-12 additions: trained-quantizer bitext mining and the
+IVF-vs-brute pair recall audit.
+
+The catalog queries are hash-checked against DuckDB by tools/parity.py
+/ the driver gate; these tests pin the PLAN SHAPE of the trained miner
+(no corpus cartesian — training must not reintroduce one) and the
+audit's arithmetic invariants on the real testdata.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tomasz_weight_tracker_spark.plans.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_has_round12_entries():
+    for name in ("bitext_mine_margin_ivf_trained", "bitext_recall_audit"):
+        q = REGISTRY[name]
+        assert q.oracle is not None
+        assert q.build.__name__ == f"q_{name}"
+
+
+class TestTrainedMinerPlanShape:
+    def test_no_corpus_cartesian(self, spark):
+        """Same invariant as the untrained twin (round 11): no
+        CartesianProduct; the candidate cut is an equi-join on
+        centroid_id; every unkeyed join builds on a bounded
+        (IdentityBroadcastMode) centroid exchange.  ivf_train's Lloyd
+        rounds run eagerly (localCheckpoint) before this plan, so the
+        mining plan itself is what we inspect."""
+        df = REGISTRY["bitext_mine_margin_ivf_trained"].build(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[centroid_id",
+            plan,
+        ), "candidate generation must equi-join on centroid_id"
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        n_ident = plan.count("IdentityBroadcastMode")
+        assert n_bnlj <= n_ident, (
+            f"{n_bnlj} nested-loop joins but only {n_ident} bounded "
+            "broadcast builds — a corpus-sized unkeyed join crept in"
+        )
+        from tomasz_weight_tracker_spark.caching import release_caches
+
+        release_caches()
+
+    def test_no_forced_corpus_broadcast(self, spark):
+        """ADVICE r11: the kx/ky top-k sum relations are O(corpus) and
+        must not carry a broadcast HINT.  The candidate stage's bounded
+        centroid broadcasts live inside the cached pair subtree, so the
+        OPTIMIZED plan of the margin tail must print zero join hints —
+        a forced broadcast on kx/ky renders as 'rightHint=(strategy=
+        broadcast)' (verified: F.broadcast on a join side produces
+        exactly that marker)."""
+        from tomasz_weight_tracker_spark.caching import release_caches
+        from tomasz_weight_tracker_spark.plans.round11 import mine_bitext_ivf
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        df = mine_bitext_ivf(e, n_cent=8, nprobe=2, k=4)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "hint" not in optimized.lower(), (
+            "forced broadcast hint on a margin-tail join — kx/ky are "
+            "O(corpus)-sized and must shuffle on their keys"
+        )
+        release_caches()
+
+
+class TestTrainedMinerSemantics:
+    def test_centroids_param_matches_default(self, spark):
+        """mine_bitext_ivf(centroids=first-8) must equal the default
+        first-8 path bit-for-bit — the centroids parameter only swaps
+        the quantizer, never the mining semantics."""
+        from tomasz_weight_tracker_spark.caching import release_caches
+        from tomasz_weight_tracker_spark.plans.round11 import mine_bitext_ivf
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        default = sorted(
+            mine_bitext_ivf(e, n_cent=8, nprobe=2, k=4).collect(),
+            key=lambda r: (r.src_id, r.tgt_id),
+        )
+        explicit = sorted(
+            mine_bitext_ivf(e, n_cent=8, nprobe=2, k=4, centroids=cents).collect(),
+            key=lambda r: (r.src_id, r.tgt_id),
+        )
+        assert default == explicit
+        release_caches()
+
+
+class TestRecallAudit:
+    def test_audit_invariants(self, spark):
+        """Count consistency: hits bound by both pair sets, ppm is the
+        exact integer division, and the sampled universe is bounded by
+        _BAUD_N."""
+        from tomasz_weight_tracker_spark.caching import release_caches
+        from tomasz_weight_tracker_spark.plans.round12 import _BAUD_N
+
+        row = REGISTRY["bitext_recall_audit"].build(spark, SF).collect()[0]
+        assert row.n_vecs <= _BAUD_N
+        assert 0 <= row.n_hit_ivf <= min(row.n_ivf, row.n_brute)
+        assert 0 <= row.n_hit_trained <= min(row.n_ivf_trained, row.n_brute)
+        if row.n_brute > 0:
+            assert row.recall_ivf_ppm == row.n_hit_ivf * 1000000 // row.n_brute
+            assert (
+                row.recall_trained_ppm == row.n_hit_trained * 1000000 // row.n_brute
+            )
+        release_caches()

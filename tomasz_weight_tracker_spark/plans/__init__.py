@@ -21,3 +21,4 @@ from . import round9  # noqa: F401  (maximal passage spans, IVFADC autotune)
 from . import round10  # noqa: F401  (S2/S8/S12 gate closure, URL dedup)
 from . import round10b  # noqa: F401  (keep-best dedup, line scrub, bitext mining, JSONL)
 from . import round11  # noqa: F401  (IVF bitext mining, LSH keep-best)
+from . import round12  # noqa: F401  (trained-quantizer bitext, IVF recall audit)

@@ -122,13 +122,17 @@ def q_bitext_mine_margin_ivf(spark, sf_dir):
     return mine_bitext_ivf(e, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K)
 
 
-def ivf_candidate_pairs(e, n_cent: int, nprobe: int):
+def ivf_candidate_pairs(e, n_cent: int, nprobe: int, centroids=None):
     """The IVF candidate stage alone: (src_id, tgt_id, qdot) from
     probe-bucket equi-joins — exposed so the soak can measure the pair
-    relation's volume/wall separately from the margin tail."""
-    centroids = e.filter(F.col("vec_id") < n_cent).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    relation's volume/wall separately from the margin tail.  Pass
+    ``centroids`` (centroid_id, embedding) to mine against an external
+    quantizer (e.g. ivf_train's — the balanced-bucket 100 TB shape);
+    the default keeps the oracle-replayable first-``n_cent`` rule."""
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < n_cent).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
     src = e.filter(F.col("vec_id") % 2 == 0)
     tgt = e.filter(F.col("vec_id") % 2 == 1)
     atgt = S.ivf_assign(tgt, centroids).select(
@@ -149,14 +153,13 @@ def ivf_candidate_pairs(e, n_cent: int, nprobe: int):
     )
 
 
-def mine_bitext_ivf(e, n_cent: int, nprobe: int, k: int):
-    """IVF-candidate margin miner over an embeddings frame (vec_id,
-    embedding).  Parameterized so the soak can hold bucket occupancy
-    constant (C grown with the corpus) while the catalog entry pins
-    C=8/nprobe=2 for the oracle replay."""
+def margin_mine(pairs, k: int):
+    """Mutual-kNN + ratio-margin tail over a (src_id, tgt_id, qdot)
+    candidate relation — shared by the IVF miner, the trained-quantizer
+    variant, and the recall audit's brute twin so the margin arithmetic
+    cannot drift between them."""
     from ..caching import track_cache
 
-    pairs = ivf_candidate_pairs(e, n_cent=n_cent, nprobe=nprobe)
     ws = Window.partitionBy("src_id").orderBy(F.col("qdot").desc(), "tgt_id")
     wt = Window.partitionBy("tgt_id").orderBy(F.col("qdot").desc(), "src_id")
     # Ranked candidates feed THREE consumers (kx, ky, mutual); Catalyst
@@ -190,6 +193,16 @@ def mine_bitext_ivf(e, n_cent: int, nprobe: int, k: int):
         .filter(F.col("margin") > 1.0)
         .select("src_id", "tgt_id", "qdot", "margin")
     )
+
+
+def mine_bitext_ivf(e, n_cent: int, nprobe: int, k: int, centroids=None):
+    """IVF-candidate margin miner over an embeddings frame (vec_id,
+    embedding).  Parameterized so the soak can hold bucket occupancy
+    constant (C grown with the corpus) while the catalog entry pins
+    C=8/nprobe=2 for the oracle replay; ``centroids`` routes mining
+    through an external (e.g. trained) quantizer."""
+    pairs = ivf_candidate_pairs(e, n_cent=n_cent, nprobe=nprobe, centroids=centroids)
+    return margin_mine(pairs, k)
 
 
 # ===========================================================================
