@@ -783,6 +783,43 @@ def q_dup_passage_rebuild_maximal(spark, sf_dir):
 _STREAM_URL_BATCHES = 3
 
 
+def make_url_dedup_batch(log):
+    """The streaming_url_dedup foreachBatch sink, as a module-level
+    factory so the chaos-replay test (tests/test_streaming_replay.py)
+    drives the EXACT production sink twice with the same batch id."""
+
+    def apply_batch(batch_df, _batch_id):
+        canon = batch_df.select(
+            "doc_id", _url_gen_spark(F.col("doc_id")).alias("url")
+        ).select("doc_id", url_canonicalize(F.col("url")).alias("curl"))
+        partial = canon.groupBy("curl").agg(
+            F.min("doc_id").alias("min_doc"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        # Deterministic per-batch path + overwrite = IDEMPOTENT sink:
+        # foreachBatch is only at-least-once, and a batch replayed
+        # after a successful append but before the checkpoint commit
+        # would double its cnt partials under a flat append log (the
+        # min leg absorbs replay; the sum leg does not — round-10
+        # ADVICE).  Overwriting batch=<id> makes replay a no-op.
+        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
+
+    return apply_batch
+
+
+def url_dedup_fold(spark, log):
+    """Drain fold for the url-dedup state log (min/sum per canonical
+    key) — shared by the catalog query and the replay test."""
+    return (
+        spark.read.parquet(log)
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.min("min_doc").cast("long").alias("kept_doc_id"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+        )
+    )
+
+
 @register(
     "streaming_url_dedup",
     _URL_CTES
@@ -825,21 +862,7 @@ def q_streaming_url_dedup(spark, sf_dir):
         ).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    def apply_batch(batch_df, _batch_id):
-        canon = batch_df.select(
-            "doc_id", _url_gen_spark(F.col("doc_id")).alias("url")
-        ).select("doc_id", url_canonicalize(F.col("url")).alias("curl"))
-        partial = canon.groupBy("curl").agg(
-            F.min("doc_id").alias("min_doc"),
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-        )
-        # Deterministic per-batch path + overwrite = IDEMPOTENT sink:
-        # foreachBatch is only at-least-once, and a batch replayed
-        # after a successful append but before the checkpoint commit
-        # would double its cnt partials under a flat append log (the
-        # min leg absorbs replay; the sum leg does not — round-10
-        # ADVICE).  Overwriting batch=<id> makes replay a no-op.
-        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
+    apply_batch = make_url_dedup_batch(log)
 
     q = (
         spark.readStream.schema(schema)
@@ -853,11 +876,4 @@ def q_streaming_url_dedup(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming_url_dedup drain timed out")
-    return (
-        spark.read.parquet(log)
-        .groupBy(F.col("curl").alias("canonical_url"))
-        .agg(
-            F.min("min_doc").cast("long").alias("kept_doc_id"),
-            F.sum("cnt").cast("long").alias("n_docs"),
-        )
-    )
+    return url_dedup_fold(spark, log)

@@ -527,6 +527,52 @@ _STREAM_LINE_ORACLE = f"""
 """
 
 
+def make_line_dedup_batch(log):
+    """The streaming_line_dedup foreachBatch sink, as a module-level
+    factory so the chaos-replay test (tests/test_streaming_replay.py)
+    drives the EXACT production sink twice with the same batch id."""
+
+    def apply_batch(batch_df, _batch_id):
+        chunks = _doc_line_chunks(batch_df)
+        partial = (
+            chunks.withColumn("h", md5_long("line"))
+            .groupBy("h")
+            .agg(
+                F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .select(
+                "h",
+                F.col("first_occ.doc_id").alias("min_doc"),
+                F.col("first_occ.idx").alias("min_idx"),
+                "cnt",
+            )
+        )
+        # Deterministic per-batch path + overwrite = IDEMPOTENT sink
+        # (foreachBatch is at-least-once; a replayed batch would
+        # double cnt under a flat append log — round-10 ADVICE).
+        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
+
+    return apply_batch
+
+
+def line_dedup_fold(spark, log):
+    """Drain fold for the line-dedup state log — shared by the catalog
+    query and the replay test."""
+    folded = (
+        spark.read.parquet(log)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("min_doc", "min_idx")).alias("first_occ"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return folded.groupBy(F.col("first_occ.min_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+    )
+
+
 @register(
     "streaming_line_dedup",
     _STREAM_LINE_ORACLE,
@@ -569,26 +615,7 @@ def q_streaming_line_dedup(spark, sf_dir):
         ).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    def apply_batch(batch_df, _batch_id):
-        chunks = _doc_line_chunks(batch_df)
-        partial = (
-            chunks.withColumn("h", md5_long("line"))
-            .groupBy("h")
-            .agg(
-                F.min(F.struct("doc_id", "idx")).alias("first_occ"),
-                F.count(F.lit(1)).cast("long").alias("cnt"),
-            )
-            .select(
-                "h",
-                F.col("first_occ.doc_id").alias("min_doc"),
-                F.col("first_occ.idx").alias("min_idx"),
-                "cnt",
-            )
-        )
-        # Deterministic per-batch path + overwrite = IDEMPOTENT sink
-        # (foreachBatch is at-least-once; a replayed batch would
-        # double cnt under a flat append log — round-10 ADVICE).
-        partial.write.mode("overwrite").parquet(f"{log}/batch={_batch_id}")
+    apply_batch = make_line_dedup_batch(log)
 
     q = (
         spark.readStream.schema(schema)
@@ -602,15 +629,4 @@ def q_streaming_line_dedup(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming_line_dedup drain timed out")
-    folded = (
-        spark.read.parquet(log)
-        .groupBy("h")
-        .agg(
-            F.min(F.struct("min_doc", "min_idx")).alias("first_occ"),
-            F.sum("cnt").cast("long").alias("cnt"),
-        )
-    )
-    return folded.groupBy(F.col("first_occ.min_doc").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("cnt").cast("long").alias("n_occurrences"),
-    )
+    return line_dedup_fold(spark, log)

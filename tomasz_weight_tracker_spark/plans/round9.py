@@ -278,6 +278,67 @@ def _streaming_lsh_oracle() -> str:
     return _inc_assign_oracle()
 
 
+def make_lsh_assign_batch(sig_state, upd_state):
+    """The streaming_lsh_assign foreachBatch sink, as a module-level
+    factory so the chaos-replay test (tests/test_streaming_replay.py)
+    drives the EXACT production sink twice with the same batch id.
+    Replay safety here is by ABSORPTION, not overwrite: a replayed
+    batch re-appends updates (every one a true verified smaller-id
+    neighbor — the min-fold erases duplicates) and re-appends its
+    signatures (the probe reconstructs per-doc with dropDuplicates,
+    and duplicate store rows only produce duplicate candidates the
+    same min erases)."""
+
+    def apply_batch(batch_df, _batch_id):
+        sess = batch_df.sparkSession
+        new_sigs = (
+            D.minhash_signature(
+                batch_df.select("doc_id", "text"), "text", k=LSH_K
+            )
+            .drop("text")
+            .withColumn("is_new", F.lit(True))
+            .localCheckpoint(eager=True)  # sign once: probe + append reuse
+        )
+        # Band-partitioned store probe: partition-prune + broadcast
+        # band-hash semi-join, so the refresh reads/shuffles O(batch x
+        # touched buckets), never the whole store (round-10 fix of the
+        # round-9 store-rescan weak).  None == genuinely-empty store
+        # (no parquet files yet); real read errors propagate.
+        store = D.lsh_store_probe_read(
+            sess, sig_state, new_sigs, k=LSH_K, bands=LSH_BANDS
+        )
+        if store is None:
+            all_sigs = new_sigs
+        else:
+            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
+                new_sigs
+            )
+        updates = D.lsh_probe_assign(
+            all_sigs, "is_new", "doc_id",
+            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+        )
+        # Update log BEFORE the store append (the update plan reads the
+        # store lazily; this batch's signatures must not probe
+        # themselves as history).  An empty batch still appends a
+        # schema-bearing empty file, so the final read never 404s.
+        updates.write.mode("append").parquet(upd_state)
+        D.lsh_store_append(
+            new_sigs.drop("is_new"), sig_state, k=LSH_K, bands=LSH_BANDS
+        )
+
+    return apply_batch
+
+
+def lsh_assign_fold(spark, upd_state):
+    """Drain fold for the assignment log (keyed MIN-merge) — shared by
+    the catalog query and the replay test."""
+    return (
+        spark.read.parquet(upd_state)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
 @register(
     "streaming_lsh_assign",
     _streaming_lsh_oracle(),
@@ -324,42 +385,7 @@ def q_streaming_lsh_assign(spark, sf_dir):
         ).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    def apply_batch(batch_df, _batch_id):
-        sess = batch_df.sparkSession
-        new_sigs = (
-            D.minhash_signature(
-                batch_df.select("doc_id", "text"), "text", k=LSH_K
-            )
-            .drop("text")
-            .withColumn("is_new", F.lit(True))
-            .localCheckpoint(eager=True)  # sign once: probe + append reuse
-        )
-        # Band-partitioned store probe: partition-prune + broadcast
-        # band-hash semi-join, so the refresh reads/shuffles O(batch x
-        # touched buckets), never the whole store (round-10 fix of the
-        # round-9 store-rescan weak).  None == genuinely-empty store
-        # (no parquet files yet); real read errors propagate.
-        store = D.lsh_store_probe_read(
-            sess, sig_state, new_sigs, k=LSH_K, bands=LSH_BANDS
-        )
-        if store is None:
-            all_sigs = new_sigs
-        else:
-            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
-                new_sigs
-            )
-        updates = D.lsh_probe_assign(
-            all_sigs, "is_new", "doc_id",
-            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
-        )
-        # Update log BEFORE the store append (the update plan reads the
-        # store lazily; this batch's signatures must not probe
-        # themselves as history).  An empty batch still appends a
-        # schema-bearing empty file, so the final read never 404s.
-        updates.write.mode("append").parquet(upd_state)
-        D.lsh_store_append(
-            new_sigs.drop("is_new"), sig_state, k=LSH_K, bands=LSH_BANDS
-        )
+    apply_batch = make_lsh_assign_batch(sig_state, upd_state)
 
     q = (
         spark.readStream.schema(schema)
@@ -373,11 +399,7 @@ def q_streaming_lsh_assign(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming_lsh_assign drain timed out")
-    return (
-        spark.read.parquet(upd_state)
-        .groupBy("doc_id")
-        .agg(F.min("dup_of").alias("dup_of"))
-    )
+    return lsh_assign_fold(spark, upd_state)
 
 
 # ===========================================================================

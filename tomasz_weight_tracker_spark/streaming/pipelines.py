@@ -243,6 +243,27 @@ def stream_upsert(
     strictly newer — so the final table is identical however the
     input batches (round-5 advice).
     """
+    return (
+        df.writeStream.foreachBatch(
+            make_upsert_batch(path, keys, partition_by, prepare, order_by)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def make_upsert_batch(
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    prepare=None,
+    order_by: Sequence[str] | None = None,
+):
+    """:func:`stream_upsert`'s foreachBatch sink as a module-level
+    factory, so the chaos-replay test (tests/test_streaming_replay.py)
+    drives the EXACT production sink twice with the same batch id.
+    Replay-safe because the MERGE itself is idempotent: re-upserting
+    rows that already won produces the identical table."""
     from ..sources.writers import upsert_by_key
 
     part = list(partition_by) if partition_by else None
@@ -255,11 +276,7 @@ def stream_upsert(
             batch_df.sparkSession, batch_df, path, list(keys), part, order
         )
 
-    return (
-        df.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-    )
+    return apply_batch
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
