@@ -19,7 +19,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_registry_has_round12_entries():
-    for name in ("bitext_mine_margin_ivf_trained", "bitext_recall_audit"):
+    for name in (
+        "bitext_mine_margin_ivf_trained",
+        "bitext_recall_audit",
+        "weight_txt_parse_fileslice",
+    ):
         q = REGISTRY[name]
         assert q.oracle is not None
         assert q.build.__name__ == f"q_{name}"

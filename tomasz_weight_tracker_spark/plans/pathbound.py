@@ -157,7 +157,11 @@ _DAY_LIST_SQL = "[" + ", ".join(f"'{d}'" for d in _DAY_NAMES) + "]"
 # Degenerates exercise the parser's rejection rules: h%97==0 -> <3
 # lines (dropped), h%89==0 -> line 2 without 'Time:' (dropped).
 
-_WEIGHT_ORACLE = f"""
+def _weight_oracle(source: str = "events") -> str:
+    """The weight-txt EAV oracle, parameterized by its events source so
+    the sf10 bounded-slice twin (round12: weight_txt_parse_fileslice)
+    can apply its file-slice predicate BEFORE the EAV union."""
+    return f"""
 WITH e AS (
   SELECT event_id AS h,
          lpad((event_id % 24)::VARCHAR, 2, '0') || ':' ||
@@ -167,7 +171,7 @@ WITH e AS (
          ((event_id % 50) + 50)::VARCHAR || '.' || (event_id % 10)::VARCHAR AS w,
          ((event_id % 15) + 18)::VARCHAR || '.' || (event_id % 10)::VARCHAR AS b,
          ((event_id % 30) + 10)::VARCHAR || '.' || (event_id % 10)::VARCHAR AS f
-  FROM events
+  FROM {source}
   WHERE event_id % 97 <> 0 AND event_id % 89 <> 0),
 rows_ AS (
   SELECT day_name, dt, tm, 'Weight' AS attribute, w AS value,
@@ -182,21 +186,15 @@ FROM rows_
 """
 
 
-@register(
-    "weight_txt_parse",
-    _WEIGHT_ORACLE,
-    survey_ids=("F1", "G1", "G2"),
-    doc="The W1 native array-expression blob parser run on generated "
-    "six-line scale-app exports (one per event row; the reference's "
-    "format requires a >=3-line minimum): header split, "
-    "EAV explode, kg/%-unit stripping, info-token split, and the "
-    "two rejection rules (<3 lines, missing 'Time:'). Oracle "
-    "recomputes the EAV rows closed-form.",
-)
-def q_weight_txt_parse(spark, sf_dir):
+_WEIGHT_ORACLE = _weight_oracle()
+
+
+def weight_parse_frame(spark, ev):
+    """The W1 parse chain over an (event_id, ts) frame — shared by
+    weight_txt_parse and its sf10 file-slice twin so the blob
+    synthesis and parser cannot drift between them."""
     # Same single-row-group spread as block_capture: the parse is all
     # codegen'd string work, but 300k blobs on one core still serialize.
-    ev = load(spark, sf_dir, "events").select("event_id", "ts")
     ev = ev.repartition(spark.sparkContext.defaultParallelism)
     h = F.col("event_id")
     day = F.element_at(
@@ -229,6 +227,22 @@ def q_weight_txt_parse(spark, sf_dir):
         content.alias("content"),
     )
     return parse_weight_txt(blobs)
+
+
+@register(
+    "weight_txt_parse",
+    _WEIGHT_ORACLE,
+    survey_ids=("F1", "G1", "G2"),
+    doc="The W1 native array-expression blob parser run on generated "
+    "six-line scale-app exports (one per event row; the reference's "
+    "format requires a >=3-line minimum): header split, "
+    "EAV explode, kg/%-unit stripping, info-token split, and the "
+    "two rejection rules (<3 lines, missing 'Time:'). Oracle "
+    "recomputes the EAV rows closed-form.",
+)
+def q_weight_txt_parse(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    return weight_parse_frame(spark, ev)
 
 
 # ===========================================================================

@@ -31,6 +31,7 @@ from ..functions import md5_long
 from ..operators import similarity as S
 from ..operators.similarity import dot
 from .catalog import load, register
+from .pathbound import _weight_oracle, weight_parse_frame
 from .round11 import _BITEXT_K, _IVF_NCENT, _IVF_NPROBE, margin_mine, mine_bitext_ivf
 
 # ===========================================================================
@@ -199,6 +200,47 @@ _BITEXT_AUDIT_ORACLE = (
            ELSE 1000000 END::BIGINT AS recall_trained_ppm
 """
 )
+
+
+# ===========================================================================
+# weight_txt_parse's sf10 bounded-slice twin (verdict r11 item 3)
+# ===========================================================================
+
+_WEIGHT_SLICE_MOD = 32
+_WEIGHT_SLICE_REM = 3
+
+
+@register(
+    "weight_txt_parse_fileslice",
+    _weight_oracle(
+        source=(
+            "(SELECT * FROM events "
+            f"WHERE event_id % {_WEIGHT_SLICE_MOD} = {_WEIGHT_SLICE_REM})"
+        )
+    ),
+    survey_ids=(),
+    doc="weight_txt_parse's sf10 value-check twin: the identical blob "
+    "synthesis + native array-expression parse over the deterministic "
+    f"1/{_WEIGHT_SLICE_MOD} FILE slice (event_id % {_WEIGHT_SLICE_MOD} "
+    f"= {_WEIGHT_SLICE_REM}).  event_id IS the file key — each event "
+    "becomes exactly one scale-app export and the parser is strictly "
+    "per-file (header split, EAV explode, rejection rules all within "
+    "one blob) — so a whole-file slice is exact, not approximate: "
+    "each kept file's EAV rows are bit-identical to its rows in the "
+    "full run (the electricity_15min_userslice argument on the F1 "
+    "key).  The full-scale run's check moves to tools/engine_only.py "
+    "(stable xor-hash), same as electricity/snm; the slice keeps the "
+    "family value-checked at sf10 without the 16g-driver, 22-minute "
+    "full compare.  Shares weight_parse_frame with the parent, so "
+    "synthesis and parser cannot drift.",
+)
+def q_weight_txt_parse_fileslice(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .filter(F.col("event_id") % _WEIGHT_SLICE_MOD == _WEIGHT_SLICE_REM)
+    )
+    return weight_parse_frame(spark, ev)
 
 
 @register(
