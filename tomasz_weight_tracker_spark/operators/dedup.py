@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import md5_long, md5_long_sql, tokens
 
@@ -238,7 +239,19 @@ def lsh_store_probe_read(
     touched = sorted({r.pb for r in keys.select("pb").distinct().collect()})
     if not touched:
         return None
-    store = spark.read.parquet(path).filter(F.col("pb").isin(touched))
+    # Explicit schema: the store layout is fixed by lsh_store_append,
+    # and schema inference re-reads parquet footers across the growing
+    # bucket tree on EVERY per-batch probe (pure replay floor).
+    store_schema = T.StructType(
+        [T.StructField("__bh", T.LongType()), T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+        + [T.StructField("pb", T.IntegerType())]
+    )
+    store = (
+        spark.read.schema(store_schema)
+        .parquet(path)
+        .filter(F.col("pb").isin(touched))
+    )
     pruned = store.join(
         F.broadcast(keys.select("__bh").distinct()), "__bh", "leftsemi"
     )
