@@ -463,11 +463,18 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — the probe must not kill the line
         oracle_probe = {"error": str(e)[:120]}
     full_ratio = None
+    full_totals = None
     if queries_full:
         ts = sum(v.get("t_spark", 0.0) for v in queries_full.values() if isinstance(v, dict))
         td = sum(v.get("t_duck", 0.0) for v in queries_full.values() if isinstance(v, dict))
         if td:
             full_ratio = round(ts / td, 3)
+            # Both totals, not just the ratio: DuckDB's in-process walls
+            # compress much more than Spark's on a quiet host (r11's
+            # loaded record read 249 s where a quiet host reads ~141 s
+            # for the SAME oracles), so the ratio alone conflates
+            # engine floors with host load.
+            full_totals = {"spark_s": round(ts, 1), "duck_s": round(td, 1)}
     headline = {
         "metric": "headline_queries_wall_sec",
         "value": total,
@@ -475,6 +482,7 @@ def main() -> None:
         "loadavg": [round(la_start, 2), round(os.getloadavg()[0], 2)],
         "oracle_probe": oracle_probe,
         "full_catalog_ratio_sf001": full_ratio,
+        "full_catalog_totals_sf001": full_totals,
         "queries": timings,
         # Measured-boundary exhibits (not in the headline total):
         # same oracle as a headline twin, slower path by design.
