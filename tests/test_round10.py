@@ -102,14 +102,21 @@ def test_store_probe_exact_retention(spark, store_dir):
 
 def test_store_probe_empty_and_errors(spark, tmp_path):
     """No parquet files yet -> None (first refresh); a CORRUPT store
-    must RAISE, not masquerade as empty (round-9 advice fix)."""
+    must RAISE when consumed, not masquerade as empty (round-9 advice
+    fix).  Since round 12 the store read carries an explicit schema
+    (no footer inference), so the raise moved from plan time to
+    execution time — and partition pruning means a corrupt file in an
+    UNTOUCHED bucket is never read at all (by design: untouched
+    buckets cannot affect the batch).  Corrupt files are planted in
+    EVERY bucket here so the batch's touched buckets must hit one."""
     empty = str(tmp_path / "nothing")
     batch = _sigs(spark, ["any text at all"]).localCheckpoint(eager=True)
     assert D.lsh_store_probe_read(spark, empty, batch, k=K, bands=BANDS) is None
 
-    corrupt = tmp_path / "bad" / "pb=0"
-    corrupt.mkdir(parents=True)
-    (corrupt / "part-0.parquet").write_bytes(b"this is not parquet")
+    for pb in range(D.LSH_STORE_BUCKETS):
+        corrupt = tmp_path / "bad" / f"pb={pb}"
+        corrupt.mkdir(parents=True)
+        (corrupt / "part-0.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         D.lsh_store_probe_read(
             spark, str(tmp_path / "bad"), batch, k=K, bands=BANDS

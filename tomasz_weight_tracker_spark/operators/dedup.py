@@ -216,7 +216,10 @@ def lsh_store_probe_read(
     semi-join on the exact band hash, reconstruct one signature row per
     store doc.  Returns None when the store holds no files yet (the
     genuinely-empty first refresh — a corrupt or unreadable store
-    PROPAGATES its real error instead of masquerading as empty).
+    PROPAGATES its real error instead of masquerading as empty; since
+    the read carries an explicit schema the error surfaces when the
+    probe result is CONSUMED, and only for files in touched buckets —
+    untouched buckets are never read, by design).
 
     ``batch_sigs`` should be materialized (checkpointed) by the caller:
     its band keys are evaluated twice (bucket collect + semi-join)."""
