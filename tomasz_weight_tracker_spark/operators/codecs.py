@@ -803,18 +803,28 @@ def _category(v: int) -> int:
 
 
 def make_jpeg(
-    width: int, height: int, pixel_fn, gray: bool = True, restart_interval: int = 0
+    width: int,
+    height: int,
+    pixel_fn,
+    gray: bool = True,
+    restart_interval: int = 0,
+    subsample_420: bool = False,
 ) -> bytes:
     """Serialize a baseline JFIF JPEG.  ``gray=True``: one component,
     ``pixel_fn(x, y) -> int`` (a tuple's first element is accepted).
-    ``gray=False``: 4:4:4 color, ``pixel_fn(x, y) -> (r, g, b)``.
-    Planes pad to 8-multiples by edge replication; coefficients round
+    ``gray=False``: 4:4:4 color, ``pixel_fn(x, y) -> (r, g, b)``;
+    ``subsample_420=True`` additionally emits 4:2:0 chroma (luma 2x2
+    sampling, chroma planes averaged over 2x2 pixel quads — the
+    dominant shape in real crawls/cameras).  Planes pad to 8-multiples
+    (16 for 4:2:0 luma) by edge replication; coefficients round
     away-from-zero (``_div_round``), so a per-8x8-block CONSTANT image
     quantizes to a DC-only stream whose decode is closed-form:
     value' = clamp(2 * _div_round(value - 128, 2) + 128) under the
     Annex K luminance table's DC step of 16.  ``restart_interval > 0``
     emits a DRI segment and byte-aligned RSTn markers every that many
     MCUs with DC predictors reset (the camera-output shape)."""
+    if subsample_420 and not gray:
+        return _make_jpeg_420(width, height, pixel_fn, restart_interval)
 
     def sample(x: int, y: int):
         px = pixel_fn(min(x, width - 1), min(y, height - 1))
@@ -929,6 +939,113 @@ def make_jpeg(
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _make_jpeg_420(width: int, height: int, pixel_fn, restart_interval: int) -> bytes:
+    """4:2:0 color JPEG: luma 2x2 sampling, chroma averaged over 2x2
+    pixel quads, MCU = four Y blocks (raster order) + Cb + Cr.  Split
+    out of :func:`make_jpeg` because the MCU geometry differs (16-px
+    tiles, interleave order); entropy coding and tables are shared."""
+
+    def sample(x: int, y: int):
+        return pixel_fn(min(x, width - 1), min(y, height - 1))
+
+    pw, ph = (width + 15) & ~15, (height + 15) & ~15
+    ys = [0] * (pw * ph)
+    cbf = [0.0] * (pw * ph)
+    crf = [0.0] * (pw * ph)
+    for y in range(ph):
+        for x in range(pw):
+            r, g, b = sample(x, y)
+            ys[y * pw + x] = max(0, min(255, round(0.299 * r + 0.587 * g + 0.114 * b)))
+            cbf[y * pw + x] = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            crf[y * pw + x] = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cw, chh = pw // 2, ph // 2
+    cbs = [0] * (cw * chh)
+    crs = [0] * (cw * chh)
+    for y in range(chh):
+        for x in range(cw):
+            quad = [(2 * y) * pw + 2 * x, (2 * y) * pw + 2 * x + 1,
+                    (2 * y + 1) * pw + 2 * x, (2 * y + 1) * pw + 2 * x + 1]
+            cbs[y * cw + x] = max(0, min(255, round(sum(cbf[i] for i in quad) / 4)))
+            crs[y * cw + x] = max(0, min(255, round(sum(crf[i] for i in quad) / 4)))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(qt[_ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for (bits, vals), tc_th in (
+        (_DC_LUMA, 0x00), (_AC_LUMA, 0x10), (_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+
+    dc_maps = [_huff_encode_map(*_DC_LUMA), _huff_encode_map(*_DC_CHROMA)]
+    ac_maps = [_huff_encode_map(*_AC_LUMA), _huff_encode_map(*_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit(plane, stride, bx, by, ci):
+        block = [
+            plane[(by + y) * stride + (bx + x)] - 128
+            for y in range(8)
+            for x in range(8)
+        ]
+        coefs = _fdct_quant(block, _JPEG_QT_LUMA if ci == 0 else _JPEG_QT_CHROMA)
+        zz = [coefs[_ZIGZAG[i]] for i in range(64)]
+        dcm = dc_maps[0] if ci == 0 else dc_maps[1]
+        acm = ac_maps[0] if ci == 0 else ac_maps[1]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        cat = _category(diff)
+        code, ln = dcm[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for i in range(1, 64):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = acm[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(zz[i])
+            code, ln = acm[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = acm[0x00]
+            bw.write(code, ln)
+
+    mcu_count = 0
+    rst_n = 0
+    for my in range(0, ph, 16):
+        for mx in range(0, pw, 16):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for by in (0, 8):
+                for bx in (0, 8):
+                    emit(ys, pw, mx + bx, my + by, 0)
+            emit(cbs, cw, mx // 2, my // 2, 1)
+            emit(crs, cw, mx // 2, my // 2, 2)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 

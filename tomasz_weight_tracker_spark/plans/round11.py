@@ -474,9 +474,12 @@ _MEDIA_JPEG_ORACLE = f"""
     "v' = clamp(2 * div_round(v-128, 2) + 128) — exact in both "
     "engines, while the engine side still runs the full entropy/IDCT "
     "machinery (the AC path, non-8-multiple dims, color transform, "
-    "and truncation handling are pinned by tests/test_round11.py "
-    "golden constants — AC output is cosine-basis floats no SQL "
-    "engine replays bit-exactly, honestly out of the gate's scope).  "
+    "DRI/RST restart intervals, 4:2:0 chroma subsampling, and "
+    "truncation handling are pinned by tests/test_round11.py + "
+    "test_round12.py golden/round-trip constants — AC output is "
+    "cosine-basis floats no SQL engine replays bit-exactly, honestly "
+    "out of the gate's scope; progressive SOF2 remains header-only, "
+    "the one remaining codec asterisk).  "
     "Scale shape: per-row mapInPandas, partition-preserving, no "
     "shuffle before the final projection.",
 )
