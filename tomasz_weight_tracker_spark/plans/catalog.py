@@ -263,7 +263,14 @@ def q_pricing_summary(spark, sf_dir):
     GROUP BY n.n_name, r.r_name
     """,
     survey_ids=("J1", "A1"),
-    doc="Star join: fact joined to broadcast dims (customer/nation/region).",
+    doc="Star join: fact joined to broadcast dims (customer/nation/"
+    "region).  Scale shape: lineitem pre-aggregates to one DECIMAL "
+    "partial + count per l_orderkey BEFORE the orders join (map-side "
+    "combinable — order lines are key-adjacent in the layout), so the "
+    "one real shuffle carries |orders| narrow rows instead of "
+    "|lineitem| wide ones (rollup_revenue's sf100 measurement: "
+    "185 s -> 110 s for the same shape).  Exact: the decimal partials "
+    "are re-aggregable — the final sum regroups identical addends.",
 )
 def q_revenue_by_nation(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
@@ -271,15 +278,23 @@ def q_revenue_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("__po"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__po").cast("double").alias("revenue"),
+            F.sum("__n").cast("long").alias("n_items"),
         )
     )
 
