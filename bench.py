@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from tomasz_weight_tracker_spark.caching import release_caches
 from tomasz_weight_tracker_spark.plans import REGISTRY
-from tomasz_weight_tracker_spark.session import get_spark
+from tomasz_weight_tracker_spark.session import get_spark, tune_for_scale
 
 # Headline set: the flagship pipeline + one representative per operator
 # family, weighted toward the shuffle/explode-heavy queries that
@@ -152,6 +152,10 @@ def main() -> None:
     # committed BENCH_rN.json needs no forensic BASELINE.md footnote.
     la_start = os.getloadavg()[0]
     spark = get_spark("bench")
+    # Partitions follow data (session.tune_for_scale): the fixed
+    # 32-partition default over-splits the small test corpora and the
+    # scheduler floor dominates small-query walls.
+    tune_for_scale(spark, sf_dir)
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the operators, not session startup.
@@ -271,6 +275,7 @@ def main() -> None:
         # runs one query shape per job; the restart measures that.
         spark.stop()
         spark = get_spark("bench-sidecar")
+        tune_for_scale(spark, full_sf_dir)
 
         con = duckdb.connect()
         for t in (

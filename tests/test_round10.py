@@ -224,3 +224,62 @@ def test_rebuild_maximal_doubled_offset(spark, doubled_dup_dir):
     }
     assert old == {1: g.kept_text}
     con.close()
+
+
+def test_store_probe_pinned_snapshot(spark, tmp_path):
+    """Round-12 replay floor: ``pin_files=True`` makes the probe plan a
+    SNAPSHOT of the store as-of-build — later appends must not leak
+    into it even when it is evaluated only afterwards (that isolation
+    is what lets the replay harnesses defer every batch's output to
+    one final job instead of eagerly checkpointing each probe)."""
+    store = str(tmp_path / "store")
+    twin = "shared alpha beta gamma delta epsilon zeta"
+    D.lsh_store_append(
+        _sigs(spark, [twin]), store, k=K, bands=BANDS, n_buckets=NB
+    )
+    batch = _sigs(spark, [twin], start_id=1000).localCheckpoint(eager=True)
+
+    pinned = D.lsh_store_probe_read(
+        spark, store, batch, k=K, bands=BANDS, n_buckets=NB, pin_files=True
+    )
+    # Append a SECOND verbatim twin AFTER the pinned plan is built.
+    D.lsh_store_append(
+        _sigs(spark, [twin], start_id=500), store, k=K, bands=BANDS, n_buckets=NB
+    )
+    # Deferred evaluation: the pinned plan still sees only doc 0 ...
+    assert [r.doc_id for r in pinned.collect()] == [0]
+    # ... while a fresh (unpinned) probe sees both store docs.
+    fresh = D.lsh_store_probe_read(
+        spark, store, batch, k=K, bands=BANDS, n_buckets=NB
+    )
+    assert sorted(r.doc_id for r in fresh.collect()) == [0, 500]
+
+
+def test_store_precomputed_bha_matches_derived(spark, tmp_path):
+    """A precomputed ``__bha`` band-hash array column (the replay
+    harnesses compute it once on the checkpointed batch) must be
+    consumed by append/probe with results identical to the derived
+    path, and must never enter the store schema."""
+    texts = ["shared alpha beta gamma delta epsilon zeta",
+             "another quite different document body here"]
+    sigs = _sigs(spark, texts)
+    with_bha = sigs.withColumn("__bha", D._band_hash_array(K, BANDS))
+
+    s_plain = str(tmp_path / "plain")
+    s_bha = str(tmp_path / "bha")
+    D.lsh_store_append(sigs, s_plain, k=K, bands=BANDS, n_buckets=NB)
+    D.lsh_store_append(with_bha, s_bha, k=K, bands=BANDS, n_buckets=NB)
+    assert "__bha" not in spark.read.parquet(s_bha).columns
+    canon = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(p).drop("pb").collect())
+    )
+    assert canon(s_plain) == canon(s_bha)
+
+    batch = _sigs(spark, [texts[0]], start_id=1000)
+    batch_bha = batch.withColumn(
+        "__bha", D._band_hash_array(K, BANDS)
+    ).localCheckpoint(eager=True)
+    got = D.lsh_store_probe_read(
+        spark, s_plain, batch_bha, k=K, bands=BANDS, n_buckets=NB
+    )
+    assert [r.doc_id for r in got.collect()] == [0]

@@ -166,3 +166,41 @@ class TestRecallAudit:
                 row.recall_trained_ppm == row.n_hit_trained * 1000000 // row.n_brute
             )
         release_caches()
+
+
+class TestTuneForScale:
+    """Partitions-follow-data (session.tune_for_scale): the local
+    mirror of shuffle_partitions_for — small corpora must not pay a
+    32-empty-reduce-task scheduler floor per exchange, big local
+    corpora must keep the machine wide."""
+
+    def test_proportionality_and_bounds(self, tmp_path):
+        from tomasz_weight_tracker_spark.session import (
+            _DEFAULT_CPUS,
+            data_bytes,
+        )
+
+        rule = lambda b: max(8, min(4 * _DEFAULT_CPUS, (b >> 19) + 1))  # noqa: E731
+        assert rule(0) == 8                      # empty -> floor
+        assert rule(2 << 20) == 8                # sf0.01-ish -> floor
+        assert rule(17 << 20) == 35              # sf0.1-ish -> ~cores
+        assert rule(10 << 30) == 4 * _DEFAULT_CPUS  # sf1+ -> cap
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        (d / "t.parquet").write_bytes(b"x" * 1024)
+        (d / "sub").mkdir()
+        (d / "sub" / "u.parquet").write_bytes(b"y" * 2048)
+        (d / "notes.txt").write_bytes(b"z" * 4096)  # non-parquet ignored
+        assert data_bytes(str(d)) == 3072
+
+    def test_sets_session_conf(self, spark, tmp_path):
+        from tomasz_weight_tracker_spark.session import tune_for_scale
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n = tune_for_scale(spark, str(tmp_path))
+            assert n == 8  # empty dir -> floor
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -189,9 +189,17 @@ def lsh_store_append(
 ) -> None:
     """Append a batch's signatures to the band-partitioned store: one
     row per (doc, band), carrying the full signature for reconstruction
-    and partitioned by ``pb`` so future probes prune at file level."""
+    and partitioned by ``pb`` so future probes prune at file level.
+
+    If ``sigs`` carries a precomputed ``__bha`` band-hash array column
+    (the replay harnesses compute it once on the checkpointed batch so
+    probe and append share the materialized hashes instead of each
+    re-deriving ``bands`` xxhash chains), it is consumed here and does
+    NOT enter the store schema."""
+    bha = F.col("__bha") if "__bha" in sigs.columns else _band_hash_array(k, bands)
     rows = (
-        sigs.withColumn("__bh", F.explode(_band_hash_array(k, bands)))
+        sigs.withColumn("__bh", F.explode(bha))
+        .drop("__bha")
         .withColumn("pb", F.pmod(F.col("__bh"), F.lit(n_buckets)).cast("int"))
     )
     # Partition-ALIGNED write: cluster rows by pb first so each bucket
@@ -210,6 +218,8 @@ def lsh_store_probe_read(
     k: int = 16,
     bands: int = 4,
     n_buckets: int = LSH_STORE_BUCKETS,
+    touched: Sequence[int] | None = None,
+    pin_files: bool = False,
 ) -> DataFrame | None:
     """Read the slice of the signature store a batch's probe can touch:
     partition-prune to the batch's band-hash buckets, broadcast
@@ -222,24 +232,53 @@ def lsh_store_probe_read(
     untouched buckets are never read, by design).
 
     ``batch_sigs`` should be materialized (checkpointed) by the caller:
-    its band keys are evaluated twice (bucket collect + semi-join)."""
+    its band keys are evaluated twice (bucket collect + semi-join);
+    a precomputed ``__bha`` band-hash array column is reused when
+    present (see :func:`lsh_store_append`).
+
+    ``touched`` — optional pre-collected bucket list for this batch
+    (round-12 replay floor: the driver loop collects every batch's
+    DISTINCT buckets in ONE job up front instead of one collect per
+    refresh; the list is at most ``n_buckets`` ints either way).
+
+    ``pin_files`` — when True the returned plan reads an EXPLICIT list
+    of the store files present *now* (still only the touched buckets),
+    so it stays correct even if evaluated after later appends: the
+    replay harnesses defer every batch's probe output to one final job
+    (verdict r11 item 6 — batch the per-micro-batch actions), and the
+    pinned listing is what makes deferral sound, replacing the eager
+    per-batch checkpoint that materialized each probe before its
+    append.  At scale the pinned listing is the same file-level prune
+    the partition filter performs; it is driver-side metadata either
+    way."""
     import glob
     import os
 
     if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         return None
-    keys = (
-        batch_sigs.select(
-            F.explode(_band_hash_array(k, bands)).alias("__bh")
-        )
-        .distinct()
-        .withColumn("pb", F.pmod(F.col("__bh"), F.lit(n_buckets)).cast("int"))
+    bha = (
+        F.col("__bha")
+        if "__bha" in batch_sigs.columns
+        else _band_hash_array(k, bands)
     )
-    # Bounded collect: DISTINCT partition values only — at most
-    # n_buckets longs, independent of batch or store size.  Inlining
-    # them as literals is what turns the scan's listing into
-    # PartitionFilters (static pruning; no join needed to plan it).
-    touched = sorted({r.pb for r in keys.select("pb").distinct().collect()})
+    keys = batch_sigs.select(F.explode(bha).alias("__bh")).distinct()
+    if touched is None:
+        # Bounded collect: DISTINCT partition values only — at most
+        # n_buckets longs, independent of batch or store size.  Inlining
+        # them as literals is what turns the scan's listing into
+        # PartitionFilters (static pruning; no join needed to plan it).
+        touched = sorted(
+            {
+                r.pb
+                for r in keys.withColumn(
+                    "pb", F.pmod(F.col("__bh"), F.lit(n_buckets)).cast("int")
+                )
+                .select("pb")
+                .distinct()
+                .collect()
+            }
+        )
+    touched = sorted(set(touched))
     if not touched:
         return None
     # Explicit schema: the store layout is fixed by lsh_store_append,
@@ -250,14 +289,26 @@ def lsh_store_probe_read(
         + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
         + [T.StructField("pb", T.IntegerType())]
     )
-    store = (
-        spark.read.schema(store_schema)
-        .parquet(path)
-        .filter(F.col("pb").isin(touched))
-    )
-    pruned = store.join(
-        F.broadcast(keys.select("__bh").distinct()), "__bh", "leftsemi"
-    )
+    if pin_files:
+        files = sorted(
+            f
+            for pb in touched
+            for f in glob.glob(os.path.join(path, f"pb={pb}", "*.parquet"))
+        )
+        if not files:
+            return None
+        store = (
+            spark.read.schema(store_schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+    else:
+        store = (
+            spark.read.schema(store_schema)
+            .parquet(path)
+            .filter(F.col("pb").isin(list(touched)))
+        )
+    pruned = store.join(F.broadcast(keys), "__bh", "leftsemi")
     # Every (doc, band) row carries the full signature; any one row
     # reconstructs the doc.
     return pruned.select(

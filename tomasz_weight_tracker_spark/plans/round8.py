@@ -341,25 +341,59 @@ def _inc_lsh_oracle() -> str:
     "rule is a pure pairwise predicate, hence BATCHING-INVARIANT "
     "(operators/dedup.py:lsh_probe_pairs): the union of the batch "
     "emissions equals the one-shot uncapped run on the union corpus "
-    "— which is exactly what the oracle computes.  Each batch output "
-    "is materialized before its signatures join the store (the state "
-    "append must not feed back into the in-flight probe plan).",
+    "— which is exactly what the oracle computes.  Each batch's probe "
+    "plan reads a file listing of the store PINNED as-of-its-turn "
+    "(lsh_store_probe_read pin_files), so later appends never feed "
+    "back into an earlier batch's probe and all batch outputs can "
+    "evaluate together in one final job (_inc_lsh_replay).",
 )
 def q_incremental_lsh_dedup(spark, sf_dir):
+    out, _sigs = _inc_lsh_replay(spark, sf_dir, "inc_lsh", D.lsh_probe_pairs)
+    return out
+
+
+def _inc_lsh_replay(spark, sf_dir, tag, probe_fn):
+    """The shared crawl-refresh driver loop (dedup pairs + assign
+    variants differ only in the probe primitive).  Round-12 replay
+    floor (verdict r11 item 6 — batch the per-micro-batch actions):
+
+    - signatures AND band hashes are computed once on the union corpus
+      and checkpointed (minhash is a pure per-doc function; the
+      replay's subject is STORE interaction, not re-signing);
+    - every batch's touched store buckets are collected in ONE job up
+      front (they are pure functions of the checkpointed hashes, at
+      most batches x n_buckets ints);
+    - each refresh's probe reads a PINNED file listing of the store
+      as-of-its-turn (lsh_store_probe_read pin_files), so the batch
+      outputs stay correct when deferred — the union of all refresh
+      emissions evaluates in ONE final job instead of one eager
+      checkpoint per refresh.  The store appends themselves remain
+      sequential real writes: they ARE the state machinery under test.
+    """
     from ..session import scratch_dir
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    state = f"{scratch_dir('inc_lsh')}/sig_state"
-    # Sign the union corpus ONCE (minhash is a pure per-doc function —
-    # per-batch signing re-pays the 16-hash codegen + a job per batch
-    # for identical results; the replay's subject is STORE interaction,
-    # not re-signing).  One eager checkpoint; batches are cheap filters
-    # over the materialized signatures.
+    state = f"{scratch_dir(tag)}/sig_state"
     sigs_all = (
         D.minhash_signature(docs, "text", k=LSH_K)
         .drop("text")
+        .withColumn("__bha", D._band_hash_array(LSH_K, LSH_BANDS))
         .localCheckpoint(eager=True)
     )
+    touched: dict[int, set[int]] = {r: set() for r in range(_INC_BATCHES)}
+    for row in (
+        sigs_all.select(
+            (F.col("doc_id") % _INC_BATCHES).alias("r"),
+            F.explode("__bha").alias("__bh"),
+        )
+        .select(
+            "r",
+            F.pmod(F.col("__bh"), F.lit(D.LSH_STORE_BUCKETS)).cast("int").alias("pb"),
+        )
+        .distinct()
+        .collect()
+    ):
+        touched[int(row.r)].add(int(row.pb))
     outs = []
     for r in range(_INC_BATCHES):
         new_sigs = sigs_all.filter(
@@ -369,29 +403,28 @@ def q_incremental_lsh_dedup(spark, sf_dir):
         # the batch's band-hash buckets + broadcast semi-join, so the
         # refresh never scans or shuffles untouched store history.
         store = D.lsh_store_probe_read(
-            spark, state, new_sigs, k=LSH_K, bands=LSH_BANDS
+            spark, state, new_sigs, k=LSH_K, bands=LSH_BANDS,
+            touched=sorted(touched[r]), pin_files=True,
         )
         if store is None:  # genuinely-empty first refresh
-            all_sigs = new_sigs
+            all_sigs = new_sigs.drop("__bha")
         else:
             all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
-                new_sigs
+                new_sigs.drop("__bha")
             )
-        pairs = D.lsh_probe_pairs(
-            all_sigs, "is_new", "doc_id",
-            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+        outs.append(
+            probe_fn(
+                all_sigs, "is_new", "doc_id",
+                k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
+            )
         )
-        # Materialize BEFORE the store append: the pair plan reads the
-        # store lazily, and parquet files appended below must not leak
-        # into this batch's probe.
-        outs.append(pairs.localCheckpoint(eager=True))
         D.lsh_store_append(
             new_sigs.drop("is_new"), state, k=LSH_K, bands=LSH_BANDS
         )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    return out, sigs_all
 
 
 def _inc_assign_oracle() -> str:
@@ -437,44 +470,16 @@ def _inc_assign_oracle() -> str:
 def q_incremental_lsh_assign(spark, sf_dir):
     from ..session import scratch_dir
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    root = scratch_dir("inc_assign")
-    sig_state = f"{root}/sig_state"
-    upd_state = f"{root}/assign_updates"
-    # Sign once on the union corpus (see q_incremental_lsh_dedup) —
-    # batches are filters over the eager checkpoint.
-    sigs_all = (
-        D.minhash_signature(docs, "text", k=LSH_K)
-        .drop("text")
-        .localCheckpoint(eager=True)
+    # Shared replay driver (see _inc_lsh_replay): pinned-store probes,
+    # deferred batch outputs — the per-refresh update relations land
+    # in the append log in ONE write instead of one eager job per
+    # refresh, then fold through the keyed MIN-merge exactly as
+    # before (associative + commutative, so batching is irrelevant).
+    updates, _sigs = _inc_lsh_replay(
+        spark, sf_dir, "inc_assign", D.lsh_probe_assign
     )
-    for r in range(_INC_BATCHES):
-        new_sigs = sigs_all.filter(
-            F.col("doc_id") % _INC_BATCHES == r
-        ).withColumn("is_new", F.lit(True))
-        # Band-partitioned store probe (round-10): partition filter on
-        # the batch's band-hash buckets + broadcast semi-join, so the
-        # refresh never scans or shuffles untouched store history.
-        store = D.lsh_store_probe_read(
-            spark, sig_state, new_sigs, k=LSH_K, bands=LSH_BANDS
-        )
-        if store is None:  # genuinely-empty first refresh
-            all_sigs = new_sigs
-        else:
-            all_sigs = store.withColumn("is_new", F.lit(False)).unionByName(
-                new_sigs
-            )
-        updates = D.lsh_probe_assign(
-            all_sigs, "is_new", "doc_id",
-            k=LSH_K, bands=LSH_BANDS, verify_min=LSH_THRESH,
-        )
-        # Materialize the batch's updates BEFORE the store append (the
-        # update plan reads the store lazily), then min-merge them into
-        # the assignment state via the append log.
-        updates.write.mode("append").parquet(upd_state)
-        D.lsh_store_append(
-            new_sigs.drop("is_new"), sig_state, k=LSH_K, bands=LSH_BANDS
-        )
+    upd_state = f"{scratch_dir('inc_assign_log')}/assign_updates"
+    updates.write.mode("append").parquet(upd_state)
     return (
         spark.read.parquet(upd_state)
         .groupBy("doc_id")

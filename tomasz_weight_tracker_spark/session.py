@@ -99,3 +99,37 @@ def shuffle_partitions_for(input_bytes: int, target_partition_bytes: int = 128 <
     ~800k partitions pre-AQE; AQE coalesces the small ones.
     """
     return max(_DEFAULT_CPUS, input_bytes // target_partition_bytes)
+
+
+def data_bytes(sf_dir: str) -> int:
+    """Total parquet bytes under a test-corpus directory (tables may be
+    single files or Spark-written directories)."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def tune_for_scale(spark: SparkSession, sf_dir: str) -> int:
+    """Apply the :func:`shuffle_partitions_for` proportionality rule to
+    a LOCAL test corpus: one shuffle partition per ~512 KiB of source
+    parquet, floored at 8 and capped at 4x the local cores.
+
+    This is the same partitions-follow-data discipline scaled down —
+    a fixed count is wrong in both directions.  Measured on the
+    sf0.01 catalog sidecar: 32 fixed partitions over a 1.8 MB corpus
+    schedule ~30 empty reduce tasks per exchange, and that scheduler
+    floor (not compute) was 2-3x the wall of every small query; at
+    sf1+ the cap keeps exchanges wide enough to use the machine and
+    AQE coalesces any over-split.  ``spark.sql.shuffle.partitions``
+    is runtime-settable, so catalog runners call this per scale
+    factor on a shared session.
+    """
+    n = max(8, min(4 * _DEFAULT_CPUS, (data_bytes(sf_dir) >> 19) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

@@ -114,13 +114,14 @@ def main():
 
     from tomasz_weight_tracker_spark.caching import release_caches
     from tomasz_weight_tracker_spark.plans import REGISTRY
-    from tomasz_weight_tracker_spark.session import get_spark
+    from tomasz_weight_tracker_spark.session import get_spark, tune_for_scale
 
     # The compare collects FULL results on both sides; wide-output
     # queries at sf1/sf10 (electricity's per-minute explode is ~12M
     # rows at sf10) exceed the 1g default maxResultSize — a harness
     # limit, not an engine one, so raise it for the parity session.
     spark = get_spark("parity", extra_conf={"spark.driver.maxResultSize": "6g"})
+    tune_for_scale(spark, sf_dir)
 
     todo = names or list(REGISTRY)
     failures = 0
