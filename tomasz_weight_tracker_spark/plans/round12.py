@@ -293,50 +293,59 @@ def q_bitext_recall_audit(spark, sf_dir):
         .cast("long")
         .alias("qdot"),
     )
-    # Checkpoint each mined pair frame: the count/overlap tail references
-    # them repeatedly and the frames are sample-bounded (tiny), while
-    # re-inlining three miners' plan trees per reference blows up plan
-    # construction (the lsh_recall_audit lesson).
-    brute = (
-        margin_mine(brute_pairs, _BITEXT_K)
-        .select("src_id", "tgt_id")
-        .localCheckpoint(eager=True)
-    )
+    brute = margin_mine(brute_pairs, _BITEXT_K).select("src_id", "tgt_id")
     cent_u = e.filter(F.col("vec_id") < _IVF_NCENT).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     cent_t = S.ivf_train(e, n_centroids=_IVF_NCENT, iterations=2)
-    ivf_u = (
-        mine_bitext_ivf(
-            samp, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cent_u
+    ivf_u = mine_bitext_ivf(
+        samp, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cent_u
+    ).select("src_id", "tgt_id")
+    ivf_t = mine_bitext_ivf(
+        samp, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cent_t
+    ).select("src_id", "tgt_id")
+
+    # Round-12 restructure: the count/overlap tail was five aggregate
+    # subtrees over three eager checkpoints; a tagged union keyed on
+    # the pair folds it into one pair-keyed max + one scalar aggregate
+    # (n_hit_ivf == |ivf_u INTERSECT brute| == sum(u*b), etc.).  Each
+    # miner is referenced exactly ONCE, so nothing needs materializing
+    # (the lsh_recall_audit TreeNode blowup came from re-inlining per
+    # reference) and the whole audit evaluates in one job.
+    def _tag(df, b, u, t):
+        return df.select(
+            "src_id",
+            "tgt_id",
+            F.lit(b).alias("b"),
+            F.lit(u).alias("u"),
+            F.lit(t).alias("t"),
         )
-        .select("src_id", "tgt_id")
-        .localCheckpoint(eager=True)
+
+    per_pair = (
+        _tag(brute, 1, 0, 0)
+        .unionByName(_tag(ivf_u, 0, 1, 0))
+        .unionByName(_tag(ivf_t, 0, 0, 1))
+        .groupBy("src_id", "tgt_id")
+        .agg(
+            F.max("b").alias("b"),
+            F.max("u").alias("u"),
+            F.max("t").alias("t"),
+        )
     )
-    ivf_t = (
-        mine_bitext_ivf(
-            samp, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cent_t
-        )
-        .select("src_id", "tgt_id")
-        .localCheckpoint(eager=True)
+    zero = F.lit(0)  # empty pair relation: sum() is NULL, count() was 0
+    scalars = per_pair.agg(
+        F.coalesce(F.sum("b"), zero).cast("long").alias("n_brute"),
+        F.coalesce(F.sum("u"), zero).cast("long").alias("n_ivf"),
+        F.coalesce(F.sum(F.col("u") * F.col("b")), zero)
+        .cast("long")
+        .alias("n_hit_ivf"),
+        F.coalesce(F.sum("t"), zero).cast("long").alias("n_ivf_trained"),
+        F.coalesce(F.sum(F.col("t") * F.col("b")), zero)
+        .cast("long")
+        .alias("n_hit_trained"),
     )
     nv = samp.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    nb = brute.agg(F.count(F.lit(1)).cast("long").alias("n_brute"))
-    nu = ivf_u.agg(F.count(F.lit(1)).cast("long").alias("n_ivf"))
-    hu = ivf_u.join(brute, ["src_id", "tgt_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit_ivf")
-    )
-    nt = ivf_t.agg(F.count(F.lit(1)).cast("long").alias("n_ivf_trained"))
-    ht = ivf_t.join(brute, ["src_id", "tgt_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit_trained")
-    )
-    out = (
-        nv.crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(hu))
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(ht))
-    )
+    out = nv.crossJoin(F.broadcast(scalars))
     ppm_u = (
         F.when(F.col("n_brute") > 0, F.expr("(n_hit_ivf * 1000000) div n_brute"))
         .otherwise(F.lit(1000000))

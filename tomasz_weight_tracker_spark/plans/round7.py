@@ -927,56 +927,80 @@ def q_lsh_recall_audit(spark, sf_dir):
 
     samp, truth = _lsh_audit_sample_truth(spark, sf_dir)
     sig = D.minhash_signature(samp, "text", k=LSH_K).drop("text")
-    # Checkpoint the pair frames BEFORE the downstream aggregates: the
-    # final stats reference each frame twice, and re-inlining the
-    # signature expression trees (16 md5 terms x 4 band branches) per
-    # reference blows up plan CONSTRUCTION (driver OOM in TreeNode) —
-    # the sample-bounded pair set is tiny, so materializing it first
-    # costs nothing and caps the plan size.  sig_matches comes from
-    # the band-shuffled signature array (emit_sig_matches), the same
-    # verify the production lsh_near_dup runs.
-    pairs = D.lsh_candidate_pairs(
-        sig,
-        "doc_id",
-        k=LSH_K,
-        bands=LSH_BANDS,
-        max_bucket=LSH_CAP,
-        emit_sig_matches=True,
-        verify_min=LSH_THRESH,
-    ).localCheckpoint(eager=True)
-    cand = pairs.filter(F.col("sig_matches") >= LSH_THRESH).select("id_a", "id_b")
-
+    # sig_matches comes from the band-shuffled signature array
+    # (emit_sig_matches), the same verify the production lsh_near_dup
+    # runs.  Neither pair frame is checkpointed any more: the round-12
+    # tagged-union restructure below references each exactly ONCE, so
+    # the TreeNode blowup that forced eager materialization (16-wide
+    # signature trees re-inlined per downstream reference) cannot
+    # occur, and the whole audit evaluates in one job.
+    cand = (
+        D.lsh_candidate_pairs(
+            sig,
+            "doc_id",
+            k=LSH_K,
+            bands=LSH_BANDS,
+            max_bucket=LSH_CAP,
+            emit_sig_matches=True,
+            verify_min=LSH_THRESH,
+        )
+        .filter(F.col("sig_matches") >= LSH_THRESH)
+        .select("id_a", "id_b")
+    )
     # The uncapped twin isolates the bucket-handling recall cost
     # (sample-bounded: at most N*(N-1)/2 pairs, safe without the cap).
-    pairs_nocap = D.lsh_candidate_pairs(
-        sig,
-        "doc_id",
-        k=LSH_K,
-        bands=LSH_BANDS,
-        max_bucket=None,
-        emit_sig_matches=True,
-    ).localCheckpoint(eager=True)
-    nocap = pairs_nocap.filter(F.col("sig_matches") >= LSH_THRESH).select(
-        "id_a", "id_b"
+    nocap = (
+        D.lsh_candidate_pairs(
+            sig,
+            "doc_id",
+            k=LSH_K,
+            bands=LSH_BANDS,
+            max_bucket=None,
+            emit_sig_matches=True,
+        )
+        .filter(F.col("sig_matches") >= LSH_THRESH)
+        .select("id_a", "id_b")
     )
 
-    hit = cand.join(truth, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit")
+    # Tagged union -> one pair-keyed fold -> one scalar aggregate:
+    # n_hit == |cand INTERSECT truth| == sum(c*t) etc., replacing five
+    # independent aggregate subtrees + two joins (each a separate AQE
+    # job at toy scale) with two exchanges total.  Every frame holds
+    # DISTINCT pairs, so max() per tag is exact.
+    def _tag(df, t, c, n):
+        return df.select(
+            "id_a",
+            "id_b",
+            F.lit(t).alias("t"),
+            F.lit(c).alias("c"),
+            F.lit(n).alias("n"),
+        )
+
+    per_pair = (
+        _tag(truth, 1, 0, 0)
+        .unionByName(_tag(cand, 0, 1, 0))
+        .unionByName(_tag(nocap, 0, 0, 1))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("t").alias("t"),
+            F.max("c").alias("c"),
+            F.max("n").alias("n"),
+        )
     )
-    hitn = nocap.join(truth, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit_nocap")
+    zero = F.lit(0)  # empty pair relation: sum() is NULL, count() was 0
+    scalars = per_pair.agg(
+        F.coalesce(F.sum("t"), zero).cast("long").alias("n_true"),
+        F.coalesce(F.sum("c"), zero).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("c") * F.col("t")), zero)
+        .cast("long")
+        .alias("n_hit"),
+        F.coalesce(F.sum("n"), zero).cast("long").alias("n_cand_nocap"),
+        F.coalesce(F.sum(F.col("n") * F.col("t")), zero)
+        .cast("long")
+        .alias("n_hit_nocap"),
     )
-    tr = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    cn = nocap.agg(F.count(F.lit(1)).cast("long").alias("n_cand_nocap"))
     sz = samp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    out = (
-        sz.crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(c))
-        .crossJoin(F.broadcast(hit))
-        .crossJoin(F.broadcast(cn))
-        .crossJoin(F.broadcast(hitn))
-    )
+    out = sz.crossJoin(F.broadcast(scalars))
     return out.select(
         "n_docs",
         "n_true",

@@ -482,7 +482,6 @@ def q_pq_recall_audit(spark, sf_dir):
             ),
         )
         .filter(F.col("rnk") <= PQA_TOPK)
-        .localCheckpoint(eager=True)
     )
 
     # ADC side: the production path — trained codebook, packed codes,
@@ -537,23 +536,33 @@ def q_pq_recall_audit(spark, sf_dir):
             ),
         )
         .filter(F.col("rnk") <= PQA_TOPK)
-        .localCheckpoint(eager=True)
     )
 
-    hit = exact.join(adc, ["q_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit")
+    # Round-12 restructure: n_true / n_hit / n_top1_hit were three
+    # aggregate subtrees over two eager checkpoints (exact, adc); a
+    # single left join from the exact top-k to the ADC top-k (both
+    # unique on (q_id, neighbor_id) by their rnk filters) folds them
+    # into ONE aggregate, and each side is now referenced exactly
+    # once, so neither needs materializing.
+    per = exact.join(
+        adc.select(
+            "q_id", "neighbor_id", F.lit(1).alias("in_adc")
+        ),
+        ["q_id", "neighbor_id"],
+        "left",
     )
-    hit1 = (
-        exact.filter(F.col("rnk") == 1)
-        .join(adc, ["q_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_top1_hit"))
+    scalars = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("in_adc"), F.lit(0)).cast("long").alias("n_hit"),
+        F.coalesce(
+            F.sum(F.when(F.col("rnk") == 1, F.col("in_adc"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_top1_hit"),
     )
-    tr = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     nq = samp.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     return (
-        nq.crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(hit))
-        .crossJoin(F.broadcast(hit1))
+        nq.crossJoin(F.broadcast(scalars))
         .select(
             "n_queries",
             F.lit(PQA_TOPK).cast("long").alias("k"),

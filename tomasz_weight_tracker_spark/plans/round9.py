@@ -530,11 +530,6 @@ def q_lsh_band_autotune(spark, sf_dir):
             F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
-        # Sample-bounded pair frame, referenced by three aggregates —
-        # checkpoint before fan-out (the lsh_recall_audit TreeNode
-        # lesson: re-inlining 16-wide signature trees per reference
-        # blows up plan construction, not execution).
-        .localCheckpoint(eager=True)
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
@@ -547,32 +542,41 @@ def q_lsh_band_autotune(spark, sf_dir):
     matches = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k)
     )
-    ver = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(matches >= LSH_THRESH)
-        .select("nb", "id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
     nbs = spark.createDataFrame(
         [(int(nb),) for nb in _LSH_BAND_SWEEP], "nb long"
     )
-    cc = cand.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    vc = ver.groupBy("nb").agg(
-        F.count(F.lit(1)).cast("long").alias("n_verified")
-    )
-    # truth is sample-bounded but localCheckpointed (no stats) —
-    # broadcast it explicitly so the static plan skips the sort-merge.
-    hc = (
-        ver.join(F.broadcast(truth), ["id_a", "id_b"])
+    # Round-12 restructure: n_cand / n_verified / n_hit were three
+    # aggregate subtrees over two eager checkpoints (cand, ver); fold
+    # them into ONE grouped pass over the flagged candidate relation
+    # (verified as an int flag instead of a filter; truth membership
+    # via a broadcast left join — truth is sample-bounded but
+    # localCheckpointed/stat-less, hence the explicit hint).  The
+    # per-arm stat frame is |_LSH_BAND_SWEEP| rows, so checkpoint THAT
+    # (the tail references it three times) instead of the pair frames.
+    arm_stats = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("v", (matches >= LSH_THRESH).cast("int"))
+        .join(
+            F.broadcast(truth.withColumn("in_t", F.lit(1))),
+            ["id_a", "id_b"],
+            "left",
+        )
         .groupBy("nb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum("v").cast("long").alias("n_verified"),
+            F.coalesce(
+                F.sum(F.col("v") * F.coalesce(F.col("in_t"), F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hit"),
+        )
     )
     tr = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     rec = (
-        nbs.join(cc, "nb", "left")
-        .join(vc, "nb", "left")
-        .join(hc, "nb", "left")
+        nbs.join(arm_stats, "nb", "left")
         .crossJoin(F.broadcast(tr))
         .select(
             "nb",
@@ -583,6 +587,7 @@ def q_lsh_band_autotune(spark, sf_dir):
             .cast("long")
             .alias("recall_ppm"),
         )
+        .localCheckpoint(eager=True)  # |sweep| rows; tail reads it 3x
     )
     fullr = rec.filter(F.col("nb") == loosest).select(
         F.col("recall_ppm").alias("full_ppm")
