@@ -111,7 +111,24 @@ _load_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 # splits the condition is false and this is a no-op.  The exchange
 # carries only the pruned columns (Catalyst keeps projection/filter
 # pushdown below the repartition).
-_WIDEN_MIN_ROWS_TABLES = {"lineitem", "orders"}
+#
+# ``documents`` is in the set because its queries do heavy PER-ROW
+# compute (shingling, minhash, tokenization, n-gram explosion) before
+# the first natural exchange; measured same-window at sf0.1 the widen
+# is x1.3-x3.9 on those plans (lexical_cosine_pairs 3.52->0.91 s,
+# minhash_signature x2.9, doc_repetition x2.4, dup_passage_spans x1.9).
+# ``events``/``embeddings`` are NOT: their per-row work is trivial, so
+# the extra exchange only costs (measured x0.2-x0.7).  Four cheap
+# documents plans opt out at their load site (widen=False) for the
+# same measured reason.
+_WIDEN_MIN_ROWS_TABLES = {"lineitem", "orders", "documents"}
+# Below this total input size the exchange can't pay for itself even on
+# compute-heavy plans (the per-task work after the split is smaller
+# than the task-scheduling + shuffle-write floor): measured at sf0.01
+# (65 KiB documents) widening is a wash-to-loss, at sf0.1 (581 KiB) it
+# wins.  Scale-adaptive by construction — a production input is far
+# above the floor AND has many natural splits (nparts gate false).
+_WIDEN_MIN_BYTES = 256 * 1024
 _scan_partitions: dict[str, int] = {}
 
 
@@ -121,7 +138,7 @@ def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
     if not files:
         return df
     key = ",".join(files)
-    nparts = _scan_partitions.get(key)
+    nparts, nbytes = _scan_partitions.get(key, (None, 0))
     if nparts is None:
         # File-split math (ceil(bytes / maxPartitionBytes) per file) —
         # the same arithmetic FilePartition uses, without the RDD
@@ -137,7 +154,7 @@ def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
             )
         except ValueError:
             max_bytes = 134217728
-        nparts = 0
+        nparts, nbytes = 0, 0
         for f in files:
             local = unquote(urlparse(f).path) if "://" in f else f
             try:
@@ -145,8 +162,13 @@ def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
             except OSError:
                 size = max_bytes  # unknown scheme: assume one full split
             nparts += max(1, -(-size // max_bytes))
-        _scan_partitions[key] = nparts
-    if nparts * 4 <= cores and any(t in key for t in _WIDEN_MIN_ROWS_TABLES):
+            nbytes += size
+        _scan_partitions[key] = (nparts, nbytes)
+    if (
+        nparts * 4 <= cores
+        and nbytes >= _WIDEN_MIN_BYTES
+        and any(t in key for t in _WIDEN_MIN_ROWS_TABLES)
+    ):
         return df.repartition(cores)
     return df
 

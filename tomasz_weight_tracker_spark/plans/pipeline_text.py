@@ -163,4 +163,7 @@ def q_corpus_curation(spark, sf_dir):
     "float log in the ranking.",
 )
 def q_salient_terms(spark, sf_dir):
-    return PT.salient_terms(load(spark, sf_dir, "documents"))
+    # widen=False: the plan's cost sits in the post-explode tf/idf
+    # joins, not the scan stage — measured x0.53 WITH the widen
+    # exchange at sf0.1 (0.71 -> 1.35 s), so keep the serial scan.
+    return PT.salient_terms(load(spark, sf_dir, "documents", widen=False))

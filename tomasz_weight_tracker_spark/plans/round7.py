@@ -297,7 +297,10 @@ _PERCEPTRON_ROUNDS = 8
 def q_ngram_lm_score(spark, sf_dir):
     from ..operators.lm import lm_score
 
-    return lm_score(load(spark, sf_dir, "documents"))
+    # widen=False: lm_score is dominated by the model-join tail, not
+    # per-row scan work — measured x0.59 with the widen exchange at
+    # sf0.1 (0.75 -> 1.26 s).
+    return lm_score(load(spark, sf_dir, "documents", widen=False))
 
 
 @register(

@@ -863,7 +863,10 @@ def q_cumulative_daily_revenue(spark, sf_dir):
     "verifies the extraction per row, not the listing.",
 )
 def q_doc_provenance(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # widen=False is CORRECTNESS here, not tuning: input_file_name()
+    # only resolves inside the scan stage — after a repartition
+    # exchange it returns '' for every row.
+    d = load(spark, sf_dir, "documents", widen=False)
     return d.select(
         "doc_id",
         F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("src_file"),
