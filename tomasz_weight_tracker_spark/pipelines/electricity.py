@@ -120,79 +120,121 @@ def fifteen_minute_usage(
         # is s0 + 60k (the sub-second fraction of the start can never
         # move a point across a bucket or minute boundary), while the
         # emitted timestamps keep the exact µs offset.
+        #
+        # Everything here is flat long/decimal arithmetic on purpose:
+        # the previous shape (transform() building an array of structs
+        # + an aggregate() fold) ran through Catalyst's HIGHER-ORDER
+        # functions, which are interpreted per element outside
+        # whole-stage codegen — measured at sf0.1 they dominated the
+        # post-window wall.  The closed forms below compute identical
+        # values (integer counts and the same probe-minute category),
+        # entirely inside codegen.
         u0 = F.unix_micros(start)
         s0 = F.floor(u0 / 1_000_000)
         k_total = F.floor((F.unix_micros(end) - u0) / 60_000_000).cast("long")
-        first_bucket = F.timestamp_seconds(F.floor(s0 / bucket_secs) * bucket_secs)
-        last_bucket = F.timestamp_seconds(
+        first_bucket = (F.floor(s0 / bucket_secs) * bucket_secs).cast("long")
+        last_bucket = (
             F.floor((s0 + (k_total - 1) * 60) / bucket_secs) * bucket_secs
-        )
+        ).cast("long")
         df = (
             df.withColumn("__u0", u0)
             .withColumn("__s0", s0)
             .withColumn("__K", k_total)
+            .withColumn("__b0", first_bucket)
+            .withColumn("__bN", last_bucket)
         )
 
-        def bucket_struct(bts):
-            # Grid points k in bucket B, end-labeled: B <= s0+60(k-1) < B+W.
-            b = F.unix_seconds(bts)
-            k_lo = F.greatest(
-                F.lit(1).cast("long"),
-                (F.ceil((b - F.col("__s0")) / 60) + 1).cast("long"),
-            )
-            k_hi = F.least(
-                F.col("__K"),
-                F.ceil((b + bucket_secs - F.col("__s0")) / 60).cast("long"),
-            )
-            min_ts = F.timestamp_micros(F.col("__u0") + k_lo * 60_000_000)
-            return F.struct(
-                bts.alias("bucket"),
-                (k_hi - k_lo + 1).alias("n"),
-                min_ts.alias("min_ts"),
-                F.timestamp_micros(F.col("__u0") + k_hi * 60_000_000).alias("max_ts"),
-                # Buckets are category-homogeneous (docstring): one probe
-                # minute classifies the whole bucket.
-                (peak_category(min_ts) == "P").alias("is_p"),
+        # Per-interval P/OP minute counts, closed form (replaces the
+        # array fold AND the reference's self-join J2,
+        # utils/duckdb_electricity_1-minute.py:112-143).  Grid minute k
+        # lives at epoch second s0+60k, so its minute-of-day under the
+        # engine's pinned-UTC session is (s0 div 60 + k) mod 1440, and
+        # the number of peak minutes in [1..K] telescopes through
+        # cum(x) = #{y in [0..x] : y mod 1440 in (390, 1410]}:
+        m0 = F.floor(F.col("__s0") / 60)
+
+        def peak_cum(x):
+            return F.floor(x / 1440) * 1020 + F.least(
+                F.greatest(F.pmod(x, 1440) - 390, F.lit(0)), F.lit(1020)
             )
 
-        step = F.expr(f"INTERVAL {bucket_minutes} MINUTES")
         df = df.withColumn(
-            "__buckets",
-            F.transform(F.sequence(first_bucket, last_bucket, step), bucket_struct),
-        )
-        # Per-interval P/OP minute counts via array folds on the
-        # PRE-explode array — no shuffle, no window (replaces the
-        # reference's self-join J2, utils/duckdb_electricity_1-minute.py:112-143).
-        df = df.withColumn(
-            "P_Mins",
-            F.aggregate(
-                F.col("__buckets"),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + F.when(x["is_p"], x["n"]).otherwise(F.lit(0)),
-            ),
+            "P_Mins", (peak_cum(m0 + F.col("__K")) - peak_cum(m0)).cast("long")
         ).withColumn("OP_Mins", F.col("__K") - F.col("P_Mins"))
 
-        df = df.withColumn("__b", F.explode("__buckets")).drop("__buckets")
         # T6 + A1: each bucket contributes n x the decimal-quantized
         # per-minute rate — bit-identical to summing n quantized minutes.
-        is_p = F.col("__b.is_p")
+        # Rates are constant per interval, so they are projected BEFORE
+        # the explode (once per interval, not once per bucket row).
+        df = df.withColumn(
+            "__p_rate",
+            F.when(
+                F.col("P_Mins") > 0, F.col("Delta_P") / F.col("P_Mins")
+            ).cast("decimal(18,12)"),
+        ).withColumn(
+            "__op_rate",
+            F.when(
+                F.col("OP_Mins") > 0, F.col("Delta_OP") / F.col("OP_Mins")
+            ).cast("decimal(18,12)"),
+        )
+
+        df = df.withColumn(
+            "__bsec", F.explode(F.sequence("__b0", "__bN", F.lit(bucket_secs)))
+        )
+        # Grid points k in bucket B, end-labeled: B <= s0+60(k-1) < B+W.
+        b = F.col("__bsec")
+        k_lo = F.greatest(
+            F.lit(1).cast("long"),
+            (F.ceil((b - F.col("__s0")) / 60) + 1).cast("long"),
+        )
+        k_hi = F.least(
+            F.col("__K"),
+            F.ceil((b + bucket_secs - F.col("__s0")) / 60).cast("long"),
+        )
+        df = df.withColumn("__k_lo", k_lo).withColumn("__k_hi", k_hi)
+        min_ts = F.timestamp_micros(F.col("__u0") + F.col("__k_lo") * 60_000_000)
+        max_ts = F.timestamp_micros(F.col("__u0") + F.col("__k_hi") * 60_000_000)
+        # Buckets are category-homogeneous (docstring): one probe minute
+        # classifies the whole bucket.  Same probe as peak_category on
+        # min_ts, in minute-of-day arithmetic.
+        probe_md = F.pmod(m0 + F.col("__k_lo"), 1440)
+        is_p = (probe_md > 390) & (probe_md <= 1410)
         # n <= bucket width in minutes: decimal(4,0) keeps the product at
         # decimal(23,12) — no precision loss (18,12 x bigint would exceed
         # precision 38 and silently drop to scale 11).
-        n = F.col("__b.n").cast("decimal(4,0)")
-        p_rate = (F.col("Delta_P") / F.col("P_Mins")).cast("decimal(18,12)")
-        op_rate = (F.col("Delta_OP") / F.col("OP_Mins")).cast("decimal(18,12)")
-        df = df.withColumn(
-            "P_Usage_part", F.when(is_p & (F.col("P_Mins") > 0), p_rate * n)
-        ).withColumn(
-            "OP_Usage_part", F.when((~is_p) & (F.col("OP_Mins") > 0), op_rate * n)
+        n_long = F.col("__k_hi") - F.col("__k_lo") + 1
+        n = n_long.cast("decimal(4,0)")
+        df = (
+            df.withColumn("__n", n_long)
+            .withColumn("__min_ts", min_ts)
+            .withColumn("__max_ts", max_ts)
+            .withColumn(
+                "P_Usage_part",
+                F.when(is_p & (F.col("P_Mins") > 0), F.col("__p_rate") * n),
+            )
+            .withColumn(
+                "OP_Usage_part",
+                F.when((~is_p) & (F.col("OP_Mins") > 0), F.col("__op_rate") * n),
+            )
         )
-        out = df.groupBy(*keys, F.col("__b.bucket").alias("Bucket")).agg(
-            F.min("__b.min_ts").alias("MinDateTime"),
-            F.max("__b.max_ts").alias("MaxDateTime"),
-            F.sum("__b.n").alias("Minutes"),
-            F.sum("P_Usage_part").cast("double").alias("P_Usage"),
-            F.sum("OP_Usage_part").cast("double").alias("OP_Usage"),
+        out = (
+            df.groupBy(*keys, F.col("__bsec"))
+            .agg(
+                F.min("__min_ts").alias("MinDateTime"),
+                F.max("__max_ts").alias("MaxDateTime"),
+                F.sum("__n").alias("Minutes"),
+                F.sum("P_Usage_part").cast("double").alias("P_Usage"),
+                F.sum("OP_Usage_part").cast("double").alias("OP_Usage"),
+            )
+            .select(
+                *keys,
+                F.timestamp_seconds(F.col("__bsec")).alias("Bucket"),
+                "MinDateTime",
+                "MaxDateTime",
+                "Minutes",
+                "P_Usage",
+                "OP_Usage",
+            )
         )
     else:
         # Generic path (bucket width not dividing the peak boundaries):
