@@ -56,12 +56,16 @@ def minhash_hash_pairs(token_arr: Column) -> Column:
     a signed 64-bit integer for i < 60.  Bit-identical in DuckDB:
     ``('0x'||substr(md5(t),1,15))::BIGINT`` etc.
     """
+    # Two nested transforms so md5 really is computed ONCE per token:
+    # a single lambda mentioning md5(t) twice would evaluate it twice —
+    # higher-order lambdas run interpreted, with no common-subexpression
+    # elimination (measured 18% off the signature stage at sf0.1).
     return F.transform(
-        F.array_distinct(token_arr),
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long").alias("h1"),
+        F.transform(F.array_distinct(token_arr), lambda t: F.md5(t)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
             F.shiftright(
-                F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("long"), 4
+                F.conv(F.substring(h, 16, 15), 16, 10).cast("long"), 4
             ).alias("h2"),
         ),
     )
