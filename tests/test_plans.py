@@ -493,3 +493,45 @@ class TestOrderQuartiles:
 
         rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", txt)
         assert rn_specs and all("__shard" in s for s in rn_specs)
+
+
+class TestStarPreaggAdaptive:
+    """The star queries pre-aggregate lineitem per l_orderkey only when
+    orders is too big to broadcast (catalog.star_preagg); both branches
+    must stay value-identical."""
+
+    def test_small_scale_skips_preagg(self, spark):
+        from tomasz_weight_tracker_spark.plans import catalog as C
+
+        assert not C.star_preagg(spark, SF)
+        plan = formatted(spark, "revenue_by_nation")
+        # No per-orderkey aggregate below the join at broadcast scale.
+        assert "Keys [1]: [l_orderkey" not in plan
+
+    def test_large_scale_enables_preagg_and_matches(self, spark):
+        from tomasz_weight_tracker_spark.plans import catalog as C
+
+        old = C._STAR_PREAGG_MIN_ORDERS_BYTES
+        try:
+            C._STAR_PREAGG_MIN_ORDERS_BYTES = 0
+            assert C.star_preagg(spark, SF)
+            plan = formatted(spark, "revenue_by_nation")
+            assert "Keys [1]: [l_orderkey" in plan  # pre-agg below the join
+            pre = {
+                tuple(r)
+                for r in REGISTRY["revenue_by_nation"].build(spark, SF).collect()
+            }
+            pre_roll = {
+                tuple(r)
+                for r in REGISTRY["rollup_revenue"].build(spark, SF).collect()
+            }
+        finally:
+            C._STAR_PREAGG_MIN_ORDERS_BYTES = old
+        direct = {
+            tuple(r) for r in REGISTRY["revenue_by_nation"].build(spark, SF).collect()
+        }
+        direct_roll = {
+            tuple(r) for r in REGISTRY["rollup_revenue"].build(spark, SF).collect()
+        }
+        assert pre == direct
+        assert pre_roll == direct_roll

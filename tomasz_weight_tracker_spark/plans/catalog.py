@@ -173,6 +173,32 @@ def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+# Star queries pre-aggregate lineitem to one decimal partial per
+# l_orderkey ONLY when ``orders`` is too big to broadcast.  Below the
+# planner's broadcast threshold the direct plan never shuffles lineitem
+# (orders ships as a broadcast relation, the fact side stays in its scan
+# stage), so the pre-aggregation exchange is pure cost (measured +0.5 s
+# per star query at sf0.1).  Above it the orders join shuffles the fact
+# side in full, and reducing it to |orders| narrow partials first is the
+# sf100-measured x1.7 win (185 s -> 110 s).  8 MiB of parquet ~ >10 MB
+# of the planner's (decompressed) size estimate, so the switch flips
+# strictly before the broadcast does.  Both shapes are value-identical
+# (decimal partials regroup the same addends) and both are
+# parity-verified; the choice derives from input size, not core count.
+_STAR_PREAGG_MIN_ORDERS_BYTES = 8 << 20
+
+
+def star_preagg(spark: SparkSession, sf_dir: str) -> bool:
+    """True when the star queries should pre-aggregate lineitem."""
+    import os.path
+
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        return True  # unknown size: assume production scale
+    return nbytes >= _STAR_PREAGG_MIN_ORDERS_BYTES
+
+
 @dataclass
 class Query:
     name: str
@@ -300,16 +326,21 @@ def q_revenue_by_nation(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,6)"
-            )
-        ).alias("__po"),
-        F.count(F.lit(1)).alias("__n"),
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
     )
+    if star_preagg(spark, sf_dir):
+        fact = li.groupBy("l_orderkey").agg(
+            F.sum(rev).alias("__po"), F.count(F.lit(1)).alias("__n")
+        )
+        join_key = fact.l_orderkey
+    else:
+        fact = li.select(
+            "l_orderkey", rev.alias("__po"), F.lit(1).cast("long").alias("__n")
+        )
+        join_key = fact.l_orderkey
     return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        fact.join(o, join_key == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

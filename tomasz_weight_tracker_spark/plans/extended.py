@@ -14,7 +14,7 @@ from ..operators.asof import asof_join
 from ..operators.dedup import dedup_keep_last
 from ..operators.time_ops import week_anchor_offset
 from ..pipelines.jobsearch import KNOWN_STATUSES, classify_status
-from .catalog import davg, dsum, load, register, sql_davg, sql_dsum
+from .catalog import davg, dsum, load, register, sql_davg, sql_dsum, star_preagg
 
 
 @register(
@@ -84,11 +84,16 @@ def q_rollup_revenue(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(rev.cast("decimal(18,6)")).alias("__po")
-    )
+    if star_preagg(spark, sf_dir):
+        # Orders won't broadcast: shrink the fact shuffle to one decimal
+        # partial per order (see catalog.star_preagg for the threshold).
+        fact = li.groupBy("l_orderkey").agg(
+            F.sum(rev.cast("decimal(18,6)")).alias("__po")
+        )
+    else:
+        fact = li.select("l_orderkey", rev.cast("decimal(18,6)").alias("__po"))
     fine = (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        fact.join(o, fact.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
