@@ -192,12 +192,13 @@ class TestRound4PlanShape:
         back to the signature table with BOTH sides broadcast — a
         corpus-cardinality broadcast that OOMs at scale.  The fix
         computes sig_matches from the band-shuffled signature array
-        itself, so the plan contains exactly FOUR joins — the
-        rep-level band self-join, the two expansion left-joins onto
-        the multi-member subset, and the within-cluster self-join
-        (round-8 collapse-first semantics) — and no broadcast HINT
-        anywhere: a verify-stage join back to the full signature
-        table would make a fifth."""
+        itself, so the plan contains exactly THREE joins — the two
+        expansion left-joins onto the multi-member subset and the
+        within-cluster self-join (round-8 collapse-first semantics;
+        the rep-level band self-join became a bucket collect_list
+        aggregation in round 12) — and no broadcast HINT anywhere: a
+        verify-stage join back to the full signature table would make
+        a fourth."""
         import re
 
         df = REGISTRY["lsh_near_dup"].build(spark, SF)
@@ -211,7 +212,7 @@ class TestRound4PlanShape:
             r"BroadcastNestedLoopJoin|CartesianProduct)",
             plan,
         )
-        assert len(joins) == 4, f"expected band + 2 expansion + cluster joins, got {joins}"
+        assert len(joins) == 3, f"expected 2 expansion + cluster joins, got {joins}"
 
     def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
         """The 100 TB semi-join-reduction lever: with a selective filter
@@ -535,3 +536,25 @@ class TestStarPreaggAdaptive:
         }
         assert pre == direct
         assert pre_roll == direct_roll
+
+
+class TestLshBucketAggregation:
+    """Round-12 restructure of the split-level cascade: one explicit
+    exchange + one within-partition sort serve all split windows, and
+    rep pairs come from a bucket collect_list aggregation (buckets are
+    <= max_bucket by construction) instead of a band self-join."""
+
+    def test_cascade_single_sort_no_join(self, spark):
+        import re
+
+        df = REGISTRY["lsh_dup_star_edges"].build(spark, SF)
+        plan = formatted(spark, "lsh_dup_star_edges")
+        # Whole plan: collapse-window sort + cascade sort (+1 distinct
+        # internal) — the 12 per-level sorts of the slice-chain design
+        # are gone.
+        sorts = re.findall(r"\(\d+\) Sort", plan)
+        assert len(sorts) <= 3, f"cascade re-grew sorts: {len(sorts)}"
+        assert "SortMergeJoin" not in plan
+        # The pair stage is an object-hash collect_list aggregation.
+        assert "ObjectHashAggregate" in plan
+        assert "collect_list" in plan

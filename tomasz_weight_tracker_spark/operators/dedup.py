@@ -371,15 +371,17 @@ def lsh_candidate_pairs(
     for the clusters rather than quadratic within-cluster pairs.
 
     Shuffle posture: the rep-banded frame is exchanged ONCE on
-    (band_id, first prefix); every finer split count is a window
-    whose partition keys include the full chain of coarser prefixes,
-    so Catalyst proves the existing hash partitioning satisfies each
-    window's required distribution and inserts sorts, not exchanges.
-    The self-joins are equi-joins on (band_id, level, prefix-array) so
-    AQE splits skewed buckets.  The collapse window shuffles the
-    signature table once on the signature itself; the expansion joins
-    touch only the rep-pair set and the multi-member subset
-    (duplicated docs), never the full corpus.
+    (band_id, first prefix) and sorted ONCE to full signature depth;
+    every split-level window partitions by a flat element prefix, so
+    Catalyst proves the existing hash partitioning satisfies each
+    window's distribution AND the existing sort order satisfies each
+    window's required sort (prefix rule) — no further exchange or sort.
+    Rep pairs come from a bucket collect_list aggregation on the same
+    partitioning (buckets are <= max_bucket rows by construction), not
+    a band self-join.  The collapse window shuffles the signature
+    table once on the signature itself; the expansion joins touch only
+    the rep-pair set and the multi-member subset (duplicated docs),
+    never the full corpus.
 
     ``carry`` lists signature columns to thread THROUGH the band join,
     emitted as ``a_<col>`` / ``b_<col>`` on each pair.  This is how a
@@ -570,25 +572,44 @@ def _lsh_rep_pairs(
         )
         for b in range(bands)
     ]
-    banded = reps.select(
-        F.col(id_col).alias("rid"),
-        *carry,
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select("rid", *carry, "band.band_id", "band.skey")
+    banded = (
+        reps.select(
+            F.col(id_col).alias("rid"),
+            *carry,
+            F.explode(F.array(*band_structs)).alias("band"),
+        )
+        .select("rid", *carry, "band.band_id", "band.skey")
+        .select(
+            "*", *[F.element_at("skey", i + 1).alias(f"__e{i}") for i in range(k)]
+        )
+    )
 
-    # Nested bucket counts: window l partitions by the CHAIN of prefix
-    # slices up to length rows_per_band+l.  The chain (not just the
-    # finest slice) is what lets every window after the first reuse the
-    # level-0 exchange — HashPartitioning(band_id, first slice) is a
-    # subset of each finer window's partition expressions.  The chain
-    # stops one short of full depth: distinct signatures mean the
-    # full-signature bucket always has exactly one row, so level
-    # ``levels`` needs no count and the recursion always terminates.
-    chain: list[Column] = [F.col("band_id")]
+    # ONE exchange + ONE within-partition sort serve the whole split
+    # cascade AND the bucket aggregation below.  The split-level windows
+    # partition by FLAT element prefixes (band_id, __e0..__e{rpb+l-1}):
+    # the explicit hash partitioning on the coarsest prefix satisfies
+    # every finer window's clustered distribution (partitioning exprs
+    # are a subset of each window's partition keys), and each window's
+    # required sort is a PREFIX of the explicit full-depth sort, so
+    # Catalyst inserts no further exchange or sort.  The earlier
+    # slice-array chain had the same exchange reuse but paid one
+    # within-partition sort PER LEVEL (12 at k=16/bands=4 — measured
+    # 0.77 s of lsh_near_dup's 2.6 s sf0.1 wall).
+    banded = banded.repartition(
+        "band_id", *[f"__e{i}" for i in range(rows_per_band)]
+    ).sortWithinPartitions("band_id", *[f"__e{i}" for i in range(k)])
+
+    # Nested bucket counts: window l partitions by the element chain up
+    # to prefix length rows_per_band+l.  The chain stops one short of
+    # full depth: distinct signatures mean the full-signature bucket
+    # always has exactly one row, so level ``levels`` needs no count
+    # and the recursion always terminates.
+    part_cols = ["band_id"] + [f"__e{i}" for i in range(rows_per_band)]
     counts: list[Column] = []
     for l in range(levels):
-        chain = chain + [F.slice(F.col("skey"), 1, rows_per_band + l)]
-        counts.append(F.count(F.lit(1)).over(Window.partitionBy(*chain)))
+        if l > 0:
+            part_cols = part_cols + [f"__e{rows_per_band + l - 1}"]
+        counts.append(F.count(F.lit(1)).over(Window.partitionBy(*part_cols)))
     lvl = F.lit(levels)
     for l in reversed(range(levels)):
         lvl = F.when(counts[l] <= max_bucket, F.lit(l)).otherwise(lvl)
@@ -596,43 +617,74 @@ def _lsh_rep_pairs(
         "rid",
         *carry,
         "band_id",
+        *[f"__e{i}" for i in range(rows_per_band)],
         lvl.alias("__lvl"),
         F.slice(F.col("skey"), F.lit(1), F.lit(rows_per_band) + lvl).alias("__eff"),
-        # Full signature in band order, for the verify column: both
-        # join sides share a band, hence the same position permutation,
+        # Full signature in band order, for the verify column: bucket
+        # members share a band, hence the same position permutation,
         # so the zip_with agreement COUNT equals agreement over mh0..k.
         *([F.col("skey").alias("__sig")] if need_sig else []),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+
+    # Pair formation WITHOUT the self-join: every effective bucket is
+    # <= max_bucket rows by construction (an over-cap bucket keeps
+    # splitting; the full-depth fallback is a singleton since reps are
+    # signature-distinct), so collect the bucket members and expand the
+    # i<j pairs locally.  The group keys extend (band_id, __lvl, __eff)
+    # with the coarsest element prefix — functionally redundant (__eff
+    # starts with it) but it lets the aggregation reuse the SAME hash
+    # partitioning as the windows: zero exchanges where the self-join
+    # paid two full ones plus its own sorts (measured: the join half of
+    # lsh_near_dup was 1.4 s of the 2.6 s sf0.1 wall).
+    m_struct = F.struct(
+        F.col("rid").alias("rid"),
+        *([F.col("__sig").alias("sig")] if need_sig else []),
+        *[F.col(c).alias(c) for c in carry],
+    )
+    buckets = keyed.groupBy(
+        "band_id", *[f"__e{i}" for i in range(rows_per_band)], "__lvl", "__eff"
+    ).agg(F.collect_list(m_struct).alias("__ms"))
+    ms = F.col("__ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    exploded = buckets.select(F.explode(pair_structs).alias("p"))
+    flip = F.col("p.x.rid") > F.col("p.y.rid")
     sm_cols = []
     if need_sig:
         zip_matches = F.size(
             F.filter(
-                F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+                F.zip_with(
+                    F.col("p.x.sig"), F.col("p.y.sig"), lambda x, y: x == y
+                ),
                 lambda m: m,
             )
         )
         sm_cols = [zip_matches.cast("long").alias("sig_matches")]
-    rep_pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.__lvl") == F.col("b.__lvl"))
-            & (F.col("a.__eff") == F.col("b.__eff"))
-            & (F.col("a.rid") < F.col("b.rid")),
-        )
-        .select(
-            F.col("a.rid").alias("ra"),
-            F.col("b.rid").alias("rb"),
-            *sm_cols,
-            *[F.col(f"a.{c}").alias(f"ra_{c}") for c in carry],
-            *[F.col(f"b.{c}").alias(f"rb_{c}") for c in carry],
-        )
-        .distinct()
+
+    def _oriented_carry(c: str):
+        a_val = F.when(flip, F.col(f"p.y.{c}")).otherwise(F.col(f"p.x.{c}"))
+        b_val = F.when(flip, F.col(f"p.x.{c}")).otherwise(F.col(f"p.y.{c}"))
+        return a_val.alias(f"ra_{c}"), b_val.alias(f"rb_{c}")
+
+    carry_cols = [col for c in carry for col in _oriented_carry(c)]
+    rep_pairs = exploded.select(
+        F.when(flip, F.col("p.y.rid")).otherwise(F.col("p.x.rid")).alias("ra"),
+        F.when(flip, F.col("p.x.rid")).otherwise(F.col("p.y.rid")).alias("rb"),
+        *sm_cols,
+        *carry_cols,
     )
     if verify_min is not None:
+        # Pre-distinct: the filter is a function of (ra, rb), so
+        # filtering before the distinct drops the same pairs cheaper.
         rep_pairs = rep_pairs.filter(F.col("sig_matches") >= verify_min)
-    return rep_pairs, multi
+    return rep_pairs.distinct(), multi
 
 
 def lsh_dedup_edges(
