@@ -317,12 +317,24 @@ class TestRound4PlanShapes:
         assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id", plan)
         assert "BroadcastHashJoin" in plan
 
-    def test_snapshot_diff_no_corpus_broadcast(self, spark):
-        # Both sides are table-sized snapshots: the join must be a
-        # keyed shuffle join (SMJ full outer), never a broadcast.
+    def test_snapshot_diff_single_aggregate_alignment(self, spark):
+        # Both sides are table-sized snapshots aligned by a side-tagged
+        # union + keyed aggregate: ONE keyed exchange (shared by both
+        # sides), no join operator at all — and never a broadcast of a
+        # table-sized side.  (The previous shape was a full-outer SMJ:
+        # two keyed exchanges plus two full sorts for the same bytes.
+        # max-over-struct buffers aren't hash-aggregable, so the
+        # aggregate plans as SortAggregate: one sort, not the join's
+        # two.)
+        import re
+
         plan = formatted(spark, "snapshot_diff")
-        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Union" in plan and "SortAggregate" in plan
+        assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # one exchange for the alignment aggregate, none besides
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
     def test_bitmap_distinct_partial_aggregates(self, spark):
         # Map-side combine on (event_type, word) is the point: raw ids

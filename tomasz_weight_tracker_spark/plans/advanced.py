@@ -511,15 +511,18 @@ def _diff_new_sql() -> str:
        OR o.o_totalprice <> n.o_totalprice
     """,
     survey_ids=("J3", "U3"),
-    doc="Table-version reconciliation (CDC diff): full-outer join two "
-    "snapshots on the key, classify each row added/removed/changed, "
-    "and name the changed columns.  The audit primitive behind "
-    "incremental syncs and MERGE validation: ONE keyed shuffle join "
-    "however wide the table, column comparison stays in codegen, and "
-    "unchanged rows are filtered before they leave the join — output "
-    "is proportional to the DELTA, not the table.  The 'new' snapshot "
-    "is derived in-query (delete/update/insert by key residues) so "
-    "both engines construct it identically.",
+    doc="Table-version reconciliation (CDC diff): align two snapshots "
+    "on the key, classify each row added/removed/changed, and name "
+    "the changed columns.  The audit primitive behind incremental "
+    "syncs and MERGE validation: ONE keyed shuffle however wide the "
+    "table (side-tagged union + hash aggregate — same bytes moved as "
+    "a full-outer join's two exchanges, minus the join's sorts; "
+    "sound because the key is unique within each snapshot), column "
+    "comparison stays in codegen, and unchanged rows are filtered "
+    "before leaving the aggregate — output is proportional to the "
+    "DELTA, not the table.  The 'new' snapshot is derived in-query "
+    "(delete/update/insert by key residues) so both engines "
+    "construct it identically.",
 )
 def q_snapshot_diff(spark, sf_dir):
     # orders feeds three branches (old side, the delete/update arm, the
@@ -528,7 +531,61 @@ def q_snapshot_diff(spark, sf_dir):
     # cache reads (measured 1.45 -> 1.20 s at sf0.1), and at 100 TB a
     # table-sized cache would spill outright (guide-§5 trade: cache
     # only when recompute beats the memory pressure — it doesn't here).
-    orders = load(spark, sf_dir, "orders").select(
+    # widen=False: the per-row work before the union's exchange is a
+    # couple of modulo filters — the round-robin widen exchange of the
+    # payload costs more than it parallelizes (measured median 1.87 ->
+    # 0.74 s at sf0.1 on the join shape, identical checksum).
+    old, new_snap = _diff_sides(spark, sf_dir)
+    return (
+        _diff_aligned(old, new_snap)
+        .filter(
+            F.col("o").isNull()
+            | F.col("n").isNull()
+            | _diff_status_ne()
+            | _diff_price_ne()
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o").isNull(), "added")
+            .when(F.col("n").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            F.concat_ws(
+                ",",
+                F.when(_diff_both() & _diff_status_ne(), "o_orderstatus"),
+                F.when(_diff_both() & _diff_price_ne(), "o_totalprice"),
+            ).alias("changed_cols"),
+        )
+    )
+
+
+# Shared by snapshot_diff / snapshot_patch_apply: the two snapshot
+# sides, and their key alignment as ONE side-tagged union + keyed
+# aggregate instead of a full-outer SortMergeJoin.  Equivalent because
+# o_orderkey is unique WITHIN each side (orders' key; the new side is a
+# residue-filtered copy plus negated insert keys), so max(when(side))
+# picks each side's single row and (o IS NULL / n IS NULL / both) are
+# exactly the full-outer join's row classes.  Same shuffle bytes (both
+# sides move once, keyed), but ONE exchange serves both sides and the
+# aggregate pays one sort where the SMJ paid an exchange + sort PER
+# side (struct max buffers aren't hash-aggregable, so this plans as
+# SortAggregate — still strictly less work than the join).  Measured
+# 0.74 -> 0.52 s at sf0.1, checksum-identical.
+# (Lazy functions, not module constants: F.col needs a live session.)
+def _diff_both():
+    return F.col("o").isNotNull() & F.col("n").isNotNull()
+
+
+def _diff_status_ne():
+    return F.col("o.o_orderstatus") != F.col("n.o_orderstatus")
+
+
+def _diff_price_ne():
+    return F.col("o.o_totalprice") != F.col("n.o_totalprice")
+
+
+def _diff_sides(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders", widen=False).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     new_snap = (
@@ -546,28 +603,21 @@ def q_snapshot_diff(spark, sf_dir):
             )
         )
     )
-    o = orders.alias("o")
-    n = new_snap.alias("n")
-    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
-    both = F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
-    status_diff = F.col("o.o_orderstatus") != F.col("n.o_orderstatus")
-    price_diff = F.col("o.o_totalprice") != F.col("n.o_totalprice")
-    return joined.filter(
-        F.col("o.o_orderkey").isNull()
-        | F.col("n.o_orderkey").isNull()
-        | status_diff
-        | price_diff
-    ).select(
-        F.coalesce("o.o_orderkey", "n.o_orderkey").alias("o_orderkey"),
-        F.when(F.col("o.o_orderkey").isNull(), "added")
-        .when(F.col("n.o_orderkey").isNull(), "removed")
-        .otherwise("changed")
-        .alias("status"),
-        F.concat_ws(
-            ",",
-            F.when(both & status_diff, "o_orderstatus"),
-            F.when(both & price_diff, "o_totalprice"),
-        ).alias("changed_cols"),
+    return orders, new_snap
+
+
+def _diff_aligned(old, new_snap):
+    side = F.struct("o_orderstatus", "o_totalprice")
+    tagged = old.select(
+        "o_orderkey", F.lit(0).alias("__side"), side.alias("__row")
+    ).unionByName(
+        new_snap.select(
+            "o_orderkey", F.lit(1).alias("__side"), side.alias("__row")
+        )
+    )
+    return tagged.groupBy("o_orderkey").agg(
+        F.max(F.when(F.col("__side") == 0, F.col("__row"))).alias("o"),
+        F.max(F.when(F.col("__side") == 1, F.col("__row"))).alias("n"),
     )
 
 
@@ -591,52 +641,29 @@ def q_snapshot_diff(spark, sf_dir):
     "the exact value hash PROVES the round-trip identity "
     "apply(old, diff(old, new)) == new — the correctness contract "
     "every incremental sync and MERGE pipeline rests on, checked "
-    "end-to-end rather than assumed.  Plan shape: one full-outer "
-    "keyed join to extract the patch (output ∝ delta), one left-anti "
-    "+ union to apply it — both shuffles on the key; at 100 TB the "
-    "patch is delta-sized and the apply is the partition-pruned "
-    "upsert_by_key path.",
+    "end-to-end rather than assumed.  Plan shape: one side-tagged "
+    "union + hash aggregate to extract the patch (the snapshot_diff "
+    "alignment — output ∝ delta), one left-anti + union to apply it "
+    "— keyed shuffles only; at 100 TB the patch is delta-sized and "
+    "the apply is the partition-pruned upsert_by_key path.",
 )
 def q_snapshot_patch_apply(spark, sf_dir):
     # Un-cached for the same measured reason as q_snapshot_diff: the
     # pruned scan is cheaper to repeat than the cache is to build, and
-    # a table-sized cache is the wrong 100 TB shape.
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    new_snap = (
-        orders.filter(F.col("o_orderkey") % _DIFF_DELETE != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderkey") % _DIFF_CHANGE == 0,
-                F.col("o_totalprice") + 1.0,
-            ).otherwise(F.col("o_totalprice")),
-        )
-        .unionByName(
-            orders.filter(F.col("o_orderkey") % _DIFF_INSERT == 0).withColumn(
-                "o_orderkey", -(F.col("o_orderkey") + 1)
-            )
-        )
-    )
-    o = orders.alias("o")
-    n = new_snap.alias("n")
-    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
-    both = F.col("o.o_orderkey").isNotNull() & F.col("n.o_orderkey").isNotNull()
-    changed = both & (
-        (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
-        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
-    )
+    # a table-sized cache is the wrong 100 TB shape.  Patch extraction
+    # shares snapshot_diff's union+aggregate alignment (same
+    # equivalence argument, same measured win over the full-outer SMJ).
+    orders, new_snap = _diff_sides(spark, sf_dir)
+    aligned = _diff_aligned(orders, new_snap)
+    changed = _diff_both() & (_diff_status_ne() | _diff_price_ne())
     # Value-carrying patch: upserts carry the NEW row; deletes carry
     # only the key.  Everything downstream uses ONLY old + patch.
-    upserts = joined.filter(F.col("o.o_orderkey").isNull() | changed).select(
-        F.col("n.o_orderkey").alias("o_orderkey"),
+    upserts = aligned.filter(F.col("o").isNull() | changed).select(
+        "o_orderkey",
         F.col("n.o_orderstatus").alias("o_orderstatus"),
         F.col("n.o_totalprice").alias("o_totalprice"),
     )
-    deletes = joined.filter(F.col("n.o_orderkey").isNull()).select(
-        F.col("o.o_orderkey").alias("o_orderkey")
-    )
+    deletes = aligned.filter(F.col("n").isNull()).select("o_orderkey")
     touched = upserts.select("o_orderkey").unionByName(deletes)
     return orders.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
 

@@ -164,7 +164,15 @@ def q_bucketed_join_orders(spark, sf_dir):
     from ..session import fixed_scratch_dir
 
     d = fixed_scratch_dir("bucketed")
-    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # widen=False: the load feeds a bucketed WRITE, not per-row compute.
+    # A round-robin widen exchange would shuffle the payload an extra
+    # time AND multiply the output files (each writer task emits one
+    # file per bucket it holds: 32 tasks x 16 buckets = 512 files where
+    # one scan task writes 16) — the opposite of guide §6's fewer,
+    # larger files.  Measured: write_s 2.7-2.9 -> 1.5-1.7 s at sf0.1.
+    orders = load(spark, sf_dir, "orders", widen=False).select(
+        "o_custkey", "o_totalprice"
+    )
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     t_ord, t_cust = "b_ord_gate", "b_cust_gate"
     t0 = time.time()

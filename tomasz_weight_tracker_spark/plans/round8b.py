@@ -1381,7 +1381,13 @@ def q_training_shard_write(spark, sf_dir):
 
     d = fixed_scratch_dir("shards")
     assigned = _shuffled_docs(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen=False: the text payload goes straight into the shard join
+    # and then the range exchange — a round-robin widen exchange would
+    # shuffle the heavy text bytes an EXTRA time to parallelize a scan
+    # that does no per-row compute (guide §2.3: move payload bytes
+    # once).  Measured a wash at sf0.1 (write_s ~1.5 s both ways);
+    # kept OFF because at scale the extra payload pass only costs.
+    docs = load(spark, sf_dir, "documents", widen=False).select("doc_id", "text")
     payload = assigned.join(docs, "doc_id").select(
         "shard_id", "gs", "doc_id", "n_tokens", "h", "text"
     )
