@@ -175,6 +175,95 @@ class TestHtmlTables:
         assert by_key[(1, 0)].row_text == "solo"
 
 
+class TestFastPartsEquivalence:
+    """The round-13 header fast path must agree byte-for-byte with the
+    email.BytesParser path on everything it accepts, and must decline
+    (return None) anything unusual so the stdlib parser decides."""
+
+    H = (
+        "<html><body><p>Your recent activity</p><p>Job 1 - X</p>"
+        "<p>Viewed 2 days ago</p><p>Updated on latest</p>"
+        "<p>Show deleted jobs</p></body></html>"
+    )
+
+    def _old_lines(self, raw: bytes):
+        from email import policy
+        from email.parser import BytesParser
+
+        from tomasz_weight_tracker_spark.pipelines.jobsearch import _TextExtractor
+
+        msg = BytesParser(policy=policy.default).parsebytes(raw)
+        lines = []
+        for part in msg.walk():
+            if part.get_content_type() == "text/html":
+                payload = part.get_payload(decode=True)
+                if payload:
+                    parser = _TextExtractor()
+                    parser.feed(
+                        payload.decode(part.get_content_charset() or "utf-8", errors="replace")
+                    )
+                    text = "\n".join(parser.chunks)
+                    lines.extend(ln.strip() for ln in text.splitlines() if ln.strip())
+        return lines
+
+    ZOO = [
+        # fast-path accepts
+        f"MIME-Version: 1.0\r\nContent-Type: text/html; charset=utf-8\r\n\r\n{H}".encode(),
+        f"MIME-Version: 1.0\nContent-Type: text/html; charset=utf-8\n\n{H}".encode(),
+        f"Content-Type: text/html\r\n\r\n{H}".encode(),
+        f'Content-Type: text/html; charset="UTF-8"\r\n\r\n{H}'.encode(),
+        "Content-Type: text/html; charset=iso-8859-1\r\n\r\n<p>caf\xe9</p>".encode("latin-1"),
+        f"Content-Type: text/html\r\nContent-Transfer-Encoding: 8bit\r\n\r\n{H}".encode(),
+        f"CONTENT-TYPE: TEXT/HTML; CHARSET=utf-8\r\n\r\n{H}".encode(),
+        f"Content-Type: text/html\r\n\n{H}".encode(),  # mixed \r\n\n split
+        b"Content-Type: text/plain\r\n\r\nhello world",
+        b"X-Whatever: 1\r\n\r\n<p>not html by default</p>",
+        b"Content-Type: text/html\r\n\r\n",
+        # simple-HTML gate fallbacks (fast MIME, HTMLParser for the body)
+        b"Content-Type: text/html\r\n\r\n<p>a &amp; b</p><p>x &lt; y</p>",
+        b"Content-Type: text/html\r\n\r\n<p>a</p><!-- hidden <p>no</p> --><p>b</p>",
+        b"Content-Type: text/html\r\n\r\n<head><title>t</title><script>var x=1;</script></head><p>keep</p>",
+        b'Content-Type: text/html\r\n\r\n<p class="a>b">text</p>',
+        b"Content-Type: text/html\r\n\r\n<!DOCTYPE html><p>dt</p>",
+        b"Content-Type: text/html\r\n\r\n<p>text</p><p",
+        b"Content-Type: text/html\r\n\r\n<p>a > b</p>",
+        b"Content-Type: text/html\r\n\r\nleading<p>mid</p>trailing",
+        # slow-path declines (None -> BytesParser decides)
+        b"Content-Type: text/html\r\nContent-Transfer-Encoding: quoted-printable\r\n\r\n<p>caf=C3=A9</p>",
+        (
+            "MIME-Version: 1.0\nContent-Type: multipart/related; boundary=\"B\"\n\n"
+            "--B\nContent-Type: text/html; charset=utf-8\n"
+            "Content-Transfer-Encoding: 8bit\n\n" + H + "\n--B--\n"
+        ).encode(),
+        f"Content-Type: text/html;\r\n charset=utf-8\r\n\r\n{H}".encode(),  # folded
+        f"Garbage line\r\nContent-Type: text/html\r\n\r\n{H}".encode(),  # no colon
+        b"Content-Type: text/html",  # no blank line
+        f'Content-Type: text/html; charset="utf 8"\r\n\r\n{H}'.encode(),
+        f"Content-Type: text/plain\r\nContent-Type: text/html\r\n\r\n{H}".encode(),
+        b"Content-Type: message/rfc822\r\n\r\nContent-Type: text/html\r\n\r\n<p>inner</p>",
+    ]
+
+    def test_zoo_equivalence(self):
+        from tomasz_weight_tracker_spark.pipelines.jobsearch import mhtml_text_lines
+
+        for raw in self.ZOO:
+            assert mhtml_text_lines(raw) == self._old_lines(raw), raw[:80]
+
+    def test_declines_return_none(self):
+        from tomasz_weight_tracker_spark.pipelines.jobsearch import _fast_parts
+
+        for raw in self.ZOO[-8:]:
+            assert _fast_parts(raw) is None, raw[:80]
+
+    def test_accepts_single_part(self):
+        from tomasz_weight_tracker_spark.pipelines.jobsearch import _fast_parts
+
+        got = _fast_parts(self.ZOO[0])
+        assert got is not None and len(got) == 1
+        payload, charset = got[0]
+        assert payload == self.H.encode() and charset == "utf-8"
+
+
 class TestCorruptDocuments:
     def test_corrupt_snapshot_skipped(self, spark, tmp_path):
         """A malformed document must not fail the scan (the reference

@@ -112,17 +112,29 @@ def lm_model(
 
 
 def lm_apply(
-    held_docs: DataFrame, uni: DataFrame, big: DataFrame, vocab: DataFrame
+    held_docs: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    vocab: DataFrame,
+    broadcast_bigrams: bool = False,
 ) -> DataFrame:
     """Score (doc_id, text) rows with an already-trained model — the
     per-batch body of the streaming filter and the second half of
-    :func:`lm_score`."""
+    :func:`lm_score`.
+
+    ``broadcast_bigrams=True`` ships the bigram-count table as a
+    broadcast relation instead of the keyed join, removing the exchange
+    that carries the exploded held-out corpus — correct whenever the
+    model fits (the caller gates on input size,
+    plans/catalog.py:lm_broadcast_model); values are identical either
+    way (same left join, same rows).
+    """
     pos = _toked(held_docs).select(
         "doc_id", F.explode(_bigrams(F.col("t"))).alias("bg")
     ).withColumn("w1", F.split("bg", " ")[0])
 
     scored = (
-        pos.join(big, "bg", "left")
+        pos.join(F.broadcast(big) if broadcast_bigrams else big, "bg", "left")
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
@@ -150,7 +162,11 @@ def lm_apply(
     )
 
 
-def lm_score(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
+def lm_score(
+    docs: DataFrame,
+    train_mod: int = LM_TRAIN_MOD,
+    broadcast_bigrams: bool = False,
+) -> DataFrame:
     """Score held-out documents with a bigram LM trained on the
     ``doc_id % train_mod == 0`` reference split.
 
@@ -160,7 +176,7 @@ def lm_score(docs: DataFrame, train_mod: int = LM_TRAIN_MOD) -> DataFrame:
     """
     uni, big, vocab = lm_model(docs, train_mod)
     held = docs.filter(F.col("doc_id") % train_mod != 0)
-    return lm_apply(held, uni, big, vocab)
+    return lm_apply(held, uni, big, vocab, broadcast_bigrams=broadcast_bigrams)
 
 
 def sql_lm_chain(

@@ -77,6 +77,85 @@ def classify_status(line: Column) -> Column:
 # Per-document imperative parsing (inside the mapInPandas UDF).
 
 
+# Header/body split of a MIME message: first blank line in either CRLF
+# or bare-LF convention (leftmost alternation = earliest occurrence).
+_HDR_END_RE = re.compile(rb"\r\n\r\n|\n\n")
+# Transfer encodings under which get_payload(decode=True) returns the
+# body bytes verbatim.
+_IDENTITY_CTE = (b"", b"7bit", b"8bit", b"binary")
+_CHARSET_TOKEN_RE = re.compile(r"[A-Za-z0-9_.:+-]+\Z")
+# HTML whose text extraction is provably a tag-split: only plain
+# begin/end tags (no quotes or '&' anywhere, so no charrefs, comments,
+# doctypes, processing instructions, or attribute values that could
+# hide '<'/'>').  Both alternatives consume >=1 char and are disjoint
+# on their first char, so the match is linear-time.
+_SIMPLE_HTML_RE = re.compile(r"(?:<[a-zA-Z/][^<>\"'&]*>|[^<&]+)*\Z")
+_TAG_SPLIT_RE = re.compile(r"<[^>]*>")
+_SKIP_TAG_RE = re.compile(r"</?(?:script|style|head|title|noscript|meta)\b", re.I)
+
+
+def _fast_parts(raw: bytes) -> list[tuple[bytes, str | None]] | None:
+    """Header fast path for the overwhelmingly common case: a
+    single-part message with simple headers and an identity transfer
+    encoding.  ``email.BytesParser(policy=policy.default)`` costs
+    ~670 us per document (measured, round 13) and >99% of a crawl's
+    snapshots are plain single-part text/html, so the common case is
+    decided from the raw header block instead.
+
+    Returns the text/html parts as ``[(payload_bytes, charset)]`` (or
+    ``[]`` when the message provably has no text/html part), and
+    ``None`` whenever anything is unusual — multipart, folded or
+    defective headers, quoted-printable/base64, RFC2231 params —
+    so callers fall back to the stdlib parser.  The fast path never
+    guesses: any doubt returns None.
+    """
+    m = _HDR_END_RE.search(raw)
+    if m is None:
+        return None
+    ctype = None
+    cte = b""
+    for line in raw[: m.start()].splitlines():
+        if line[:1] in (b" ", b"\t"):
+            return None  # folded header: let email handle it
+        name, sep, value = line.partition(b":")
+        if not sep:
+            return None  # defective header line
+        lname = name.strip().lower()
+        if lname == b"content-type":
+            if ctype is not None:
+                return None  # duplicate Content-Type
+            ctype = value.strip()
+        elif lname == b"content-transfer-encoding":
+            cte = value.strip().lower()
+    if cte not in _IDENTITY_CTE:
+        return None
+    if ctype is None:
+        return []  # defaults to text/plain: no html part
+    try:
+        ctext = ctype.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+    mime, _, params = ctext.partition(";")
+    mime = mime.strip().lower()
+    if mime.startswith(("multipart/", "message/")):
+        return None
+    if mime != "text/html":
+        return []
+    charset = None
+    for piece in params.split(";"):
+        key, sep, val = piece.partition("=")
+        if sep and key.strip().lower() == "charset":
+            if charset is not None:
+                return None  # duplicate charset param
+            val = val.strip()
+            if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+                val = val[1:-1]
+            if not _CHARSET_TOKEN_RE.match(val):
+                return None  # quoting/RFC2231 oddities: slow path
+            charset = val.lower()
+    return [(raw[m.end() :], charset)]
+
+
 class _TextExtractor(HTMLParser):
     """BS4-free HTML -> text: drops script/style/head/title/noscript/meta
     content, joins remaining text nodes with newlines (the observable
@@ -104,22 +183,34 @@ class _TextExtractor(HTMLParser):
 
 
 def html_to_lines(html: bytes, charset: str | None) -> list[str]:
-    parser = _TextExtractor()
-    parser.feed(html.decode(charset or "utf-8", errors="replace"))
-    text = "\n".join(parser.chunks)
+    decoded = html.decode(charset or "utf-8", errors="replace")
+    if _SIMPLE_HTML_RE.match(decoded) and not _SKIP_TAG_RE.search(decoded):
+        # Provably-simple HTML: the parser's data events are exactly the
+        # non-empty runs between tags (~6 us vs ~315 us via HTMLParser).
+        chunks = [t for t in _TAG_SPLIT_RE.split(decoded) if t]
+    else:
+        parser = _TextExtractor()
+        parser.feed(decoded)
+        chunks = parser.chunks
+    text = "\n".join(chunks)
     return [ln.strip() for ln in text.splitlines() if ln.strip()]
 
 
 def mhtml_text_lines(raw: bytes) -> list[str]:
     """S7: MIME walk -> concatenated clean text lines of all text/html
     parts (utils/loose_thoughts.py:138-153)."""
-    msg = BytesParser(policy=policy.default).parsebytes(raw)
+    parts = _fast_parts(raw)
+    if parts is None:
+        msg = BytesParser(policy=policy.default).parsebytes(raw)
+        parts = [
+            (part.get_payload(decode=True), part.get_content_charset())
+            for part in msg.walk()
+            if part.get_content_type() == "text/html"
+        ]
     lines: list[str] = []
-    for part in msg.walk():
-        if part.get_content_type() == "text/html":
-            payload = part.get_payload(decode=True)
-            if payload:
-                lines.extend(html_to_lines(payload, part.get_content_charset()))
+    for payload, charset in parts:
+        if payload:
+            lines.extend(html_to_lines(payload, charset))
     return lines
 
 
@@ -199,8 +290,10 @@ def extract_blocks(binary: DataFrame) -> DataFrame:
 
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
-                m = FILENAME_DATE_RE.search(r["path"])
+            # zip over the raw column arrays: pandas iterrows() boxes a
+            # Series per row (~100 us each), pure overhead here.
+            for path, content in zip(batch["path"].values, batch["content"].values):
+                m = FILENAME_DATE_RE.search(path)
                 if not m:
                     continue
                 try:
@@ -208,7 +301,7 @@ def extract_blocks(binary: DataFrame) -> DataFrame:
                 except ValueError:
                     continue
                 try:
-                    lines = mhtml_text_lines(bytes(r["content"]))
+                    lines = mhtml_text_lines(bytes(content))
                 except Exception:
                     # One corrupt snapshot must not fail the whole scan —
                     # the reference logs and continues
@@ -359,35 +452,33 @@ def extract_html_tables(spark: SparkSession, path_glob: str) -> DataFrame:
 
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
-                msg = BytesParser(policy=policy.default).parsebytes(bytes(r["content"]))
-                parts = (
-                    [p for p in msg.walk() if p.get_content_type() == "text/html"]
-                    if msg.get_content_maintype() == "multipart" or msg.get_content_type() == "text/html"
-                    else []
-                )
-                if not parts and r["path"].endswith((".html", ".htm")):
+            for path, content in zip(batch["path"].values, batch["content"].values):
+                content = bytes(content)
+                payloads = _fast_parts(content)
+                if payloads is None:
+                    msg = BytesParser(policy=policy.default).parsebytes(content)
+                    payloads = (
+                        [
+                            (p.get_payload(decode=True), None)
+                            for p in msg.walk()
+                            if p.get_content_type() == "text/html"
+                        ]
+                        if msg.get_content_maintype() == "multipart"
+                        or msg.get_content_type() == "text/html"
+                        else []
+                    )
+                if not payloads and path.endswith((".html", ".htm")):
                     # Plain HTML file (no MIME wrapper).
-                    class _P:  # minimal shim
-                        @staticmethod
-                        def get_payload(decode=True):
-                            return bytes(r["content"])
-
-                        @staticmethod
-                        def get_content_charset():
-                            return "utf-8"
-
-                    parts = [_P]
+                    payloads = [(content, None)]
                 extractor = _TableExtractor()
-                for part in parts:
-                    payload = part.get_payload(decode=True)
+                for payload, _charset in payloads:
                     if payload:
                         extractor.feed(payload.decode("utf-8", errors="replace"))
                 for t_idx, table in enumerate(extractor.tables):
                     for r_idx, cells in enumerate(table):
                         rows.append(
                             {
-                                "path": r["path"],
+                                "path": path,
                                 "table_idx": t_idx,
                                 "row_idx": r_idx,
                                 "cells": cells,

@@ -515,8 +515,9 @@ def _diff_new_sql() -> str:
     "on the key, classify each row added/removed/changed, and name "
     "the changed columns.  The audit primitive behind incremental "
     "syncs and MERGE validation: ONE keyed shuffle however wide the "
-    "table (side-tagged union + hash aggregate — same bytes moved as "
-    "a full-outer join's two exchanges, minus the join's sorts; "
+    "table (side-tagged union + keyed (sort) aggregate — struct max "
+    "buffers aren't hash-aggregable — same bytes moved as a "
+    "full-outer join's two exchanges, minus the join's sorts; "
     "sound because the key is unique within each snapshot), column "
     "comparison stays in codegen, and unchanged rows are filtered "
     "before leaving the aggregate — output is proportional to the "
@@ -607,6 +608,16 @@ def _diff_sides(spark, sf_dir):
 
 
 def _diff_aligned(old, new_snap):
+    """Key-align two snapshots: one side-tagged union + keyed (sort)
+    aggregate, equivalent to a full-outer join ONLY under the
+    invariant that o_orderkey is UNIQUE and NON-NULL within each side.
+    Duplicate keys would be silently collapsed by max() where a join
+    would row-multiply; NULL keys would be grouped into one row where
+    a full-outer join never matches NULLs.  _diff_sides guarantees the
+    invariant today (orders' primary key; the new side is a
+    residue-filtered copy plus strictly-negative insert keys) — any
+    future edit to _diff_sides must preserve it or switch back to a
+    real full-outer join."""
     side = F.struct("o_orderstatus", "o_totalprice")
     tagged = old.select(
         "o_orderkey", F.lit(0).alias("__side"), side.alias("__row")
@@ -641,9 +652,12 @@ def _diff_aligned(old, new_snap):
     "the exact value hash PROVES the round-trip identity "
     "apply(old, diff(old, new)) == new — the correctness contract "
     "every incremental sync and MERGE pipeline rests on, checked "
-    "end-to-end rather than assumed.  Plan shape: one side-tagged "
-    "union + hash aggregate to extract the patch (the snapshot_diff "
-    "alignment — output ∝ delta), one left-anti + union to apply it "
+    "end-to-end rather than assumed.  Plan shape: a side-tagged "
+    "union + keyed (sort) aggregate extracts the patch (the "
+    "snapshot_diff alignment — output ∝ delta; the alignment subtree "
+    "recomputes once per consumer — upserts, deletes, final union — "
+    "by the same measured un-cached trade as snapshot_diff), then "
+    "one left-anti + union applies it "
     "— keyed shuffles only; at 100 TB the patch is delta-sized and "
     "the apply is the partition-pruned upsert_by_key path.",
 )

@@ -199,6 +199,58 @@ def star_preagg(spark: SparkSession, sf_dir: str) -> bool:
     return nbytes >= _STAR_PREAGG_MIN_ORDERS_BYTES
 
 
+# The bigram-LM scorer joins its exploded bigram stream against the
+# model's bigram-count table.  The model is vocabulary-bounded but NOT
+# corpus-bounded-small: on a 100 TB crawl the distinct-bigram table can
+# run to billions of rows, so the production shape is the keyed join
+# (AQE skew split absorbing the Zipf head).  When the corpus is small
+# enough that the bigram relation provably fits a broadcast (16 MiB of
+# documents parquet -> a 1/5 train split -> low-millions of distinct
+# bigrams at worst, well under the 8 GB broadcast cap on an 8 g
+# driver), broadcasting it removes the ONE exchange that carries the
+# exploded held-out corpus (guide §3.1: broadcast the side that fits).
+# Size-derived like star_preagg: the switch keys on input bytes, never
+# on core count.
+_LM_BROADCAST_MAX_DOCS_BYTES = 16 << 20
+
+
+def lm_broadcast_model(sf_dir: str) -> bool:
+    """True when the bigram model should be broadcast to the scorer."""
+    import os.path
+
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        return False  # unknown size: assume production scale
+    return nbytes <= _LM_BROADCAST_MAX_DOCS_BYTES
+
+
+# Five queries (embed_ivf_trained, semantic_dedup, the IVFADC trio via
+# _ivfadc_rank, bitext_mine_margin_ivf_trained, bitext_recall_audit)
+# train the IDENTICAL coarse quantizer: ivf_train on the full embeddings
+# table with the same (n_centroids, iterations).  Training is Lloyd
+# rounds with an eager localCheckpoint per round — the dominant cost of
+# the bitext pair (round-12 verdict item 4) — and the result is a pure
+# deterministic function of the input table, so one session trains it
+# ONCE and every query reuses the tiny (n_centroids-row) checkpointed
+# frame.  Session-scoped by applicationId: a new bench/oracle invocation
+# always retrains from the parquet inputs; nothing persists across runs.
+_ivf_train_memo: dict[tuple, DataFrame] = {}
+
+
+def trained_ivf_centroids(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8, iterations: int = 2
+) -> DataFrame:
+    """Memoized ``ivf_train`` over the full embeddings table."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_centroids, iterations)
+    cents = _ivf_train_memo.get(key)
+    if cents is None:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = S.ivf_train(e, n_centroids=n_centroids, iterations=iterations)
+        _ivf_train_memo[key] = cents
+    return cents
+
+
 @dataclass
 class Query:
     name: str

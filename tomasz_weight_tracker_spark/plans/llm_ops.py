@@ -15,7 +15,7 @@ from ..functions import md5_long, tokens
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text_analysis as TA
-from .catalog import load, register
+from .catalog import load, register, trained_ivf_centroids
 
 TOKS = TA.sql_tokens("lower(text)")
 
@@ -568,7 +568,7 @@ def q_embed_ivf_topk(spark, sf_dir):
 )
 def q_embed_ivf_trained(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    cents = S.ivf_train(e, n_centroids=8, iterations=2)
+    cents = trained_ivf_centroids(spark, sf_dir, 8, 2)
     assigned = S.ivf_assign(e, cents)
     queries = e.filter(F.col("vec_id") < 5)
     out = S.ivf_topk(queries, assigned, cents, k=5, nprobe=2)

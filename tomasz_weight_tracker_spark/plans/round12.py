@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import md5_long
 from ..operators import similarity as S
 from ..operators.similarity import dot
-from .catalog import load, register
+from .catalog import load, register, trained_ivf_centroids
 from .pathbound import _weight_oracle, weight_parse_frame
 from .round11 import _BITEXT_K, _IVF_NCENT, _IVF_NPROBE, margin_mine, mine_bitext_ivf
 
@@ -139,7 +139,9 @@ _BITEXT_TRAINED_ORACLE = (
 )
 def q_bitext_mine_margin_ivf_trained(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    cents = S.ivf_train(e, n_centroids=_IVF_NCENT, iterations=2)
+    # One Lloyd training per session feeds this, the recall audit, and
+    # the embed_ivf/ivfadc/semantic families (catalog.py memo).
+    cents = trained_ivf_centroids(spark, sf_dir, _IVF_NCENT, 2)
     return mine_bitext_ivf(
         e, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cents
     )
@@ -297,7 +299,7 @@ def q_bitext_recall_audit(spark, sf_dir):
     cent_u = e.filter(F.col("vec_id") < _IVF_NCENT).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    cent_t = S.ivf_train(e, n_centroids=_IVF_NCENT, iterations=2)
+    cent_t = trained_ivf_centroids(spark, sf_dir, _IVF_NCENT, 2)
     ivf_u = mine_bitext_ivf(
         samp, n_cent=_IVF_NCENT, nprobe=_IVF_NPROBE, k=_BITEXT_K, centroids=cent_u
     ).select("src_id", "tgt_id")

@@ -53,7 +53,7 @@ from ..operators.lm import (
     sql_perceptron_apply,
     sql_perceptron_chain,
 )
-from .catalog import load, register
+from .catalog import lm_broadcast_model, load, register
 
 
 @register(
@@ -296,11 +296,18 @@ _PERCEPTRON_ROUNDS = 8
 )
 def q_ngram_lm_score(spark, sf_dir):
     from ..operators.lm import lm_score
+    from .catalog import lm_broadcast_model
 
     # widen=False: lm_score is dominated by the model-join tail, not
     # per-row scan work — measured x0.59 with the widen exchange at
-    # sf0.1 (0.75 -> 1.26 s).
-    return lm_score(load(spark, sf_dir, "documents", widen=False))
+    # sf0.1 (0.75 -> 1.26 s).  The model-join tail itself is size-gated
+    # (round 13): below 16 MiB of documents the bigram table broadcasts
+    # (drops the exchange of the exploded held-out corpus); above it
+    # the keyed join + AQE skew split is the 100 TB shape.
+    return lm_score(
+        load(spark, sf_dir, "documents", widen=False),
+        broadcast_bigrams=lm_broadcast_model(sf_dir),
+    )
 
 
 @register(
@@ -1065,7 +1072,14 @@ def q_streaming_lm_filter(spark, sf_dir):
     ).select("doc_id", "text")
 
     def score(batch):
-        return lm_apply(batch, uni, big, vocab)
+        # Same size gate as the batch scorer: a small model broadcasts
+        # per micro-batch instead of shuffling the batch on bigram.
+        from .catalog import lm_broadcast_model
+
+        return lm_apply(
+            batch, uni, big, vocab,
+            broadcast_bigrams=lm_broadcast_model(sf_dir),
+        )
 
     d = scratch_dir("stream_lm")
     q = stream_upsert(
@@ -1149,9 +1163,9 @@ def q_lm_score_calibrated(spark, sf_dir):
     from ..operators.lm import lm_score
 
     docs = load(spark, sf_dir, "documents")
-    scored = lm_score(docs).drop("kept").join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    scored = lm_score(
+        docs, broadcast_bigrams=lm_broadcast_model(sf_dir)
+    ).drop("kept").join(docs.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy("lm_score_e9", "doc_id")
     rk = scored.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("source"))

@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from .catalog import load, register
+from .catalog import load, register, trained_ivf_centroids
 from .llm_ops import LSH_BANDS, LSH_CAP, LSH_K, LSH_THRESH, TOKS
 
 _SIG_CTES = (
@@ -878,7 +878,7 @@ def q_semantic_dedup(spark, sf_dir):
     from ..operators import similarity as S
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = S.ivf_train(e, n_centroids=SEM_K, iterations=SEM_ITERS)
+    cents = trained_ivf_centroids(spark, sf_dir, SEM_K, SEM_ITERS)
     assigned = S.ivf_assign(e, cents).select(
         "vec_id", "centroid_id", F.col("embedding").cast("array<double>").alias("v")
     )

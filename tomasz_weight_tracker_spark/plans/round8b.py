@@ -55,7 +55,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_long, md5_long_sql
-from .catalog import load, register
+from .catalog import load, register, trained_ivf_centroids
 
 # ===========================================================================
 # Unaligned duplicated-passage extraction (exact-substring dedup)
@@ -1070,7 +1070,10 @@ def _ivfadc_rank(spark, sf_dir, q, topk, nprobe=None, probe_rank=False):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    coarse = ivf_train(e, n_centroids=IVFADC_COARSE).localCheckpoint(eager=True)
+    # ivf_train's output is already an eager localCheckpoint; the memo
+    # shares one training across the IVFADC trio and the other
+    # trained-quantizer queries (catalog.py:trained_ivf_centroids).
+    coarse = trained_ivf_centroids(spark, sf_dir, IVFADC_COARSE)
     cv = coarse.select("centroid_id", F.col("embedding").alias("__cv"))
     af = ivf_assign(e, coarse)
     # Materialize the residual table once (eager): it feeds PQ

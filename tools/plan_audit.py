@@ -50,12 +50,16 @@ def audit(plan: str) -> dict:
     }
 
 
-def total_shuffle_write_bytes(spark) -> int | None:
-    """Sum of shuffle bytes written across every stage the app has run
-    (Spark status store, the same numbers the UI's stage table shows).
-    Sampled before/after a query execution, the delta is that query's
-    real shuffle volume — plan-string exchange counts say how MANY
-    shuffles, this says how BIG.
+def shuffle_write_by_stage(spark) -> dict | None:
+    """Per-(stageId, attemptId) shuffle bytes written, from the Spark
+    status store (the same numbers the UI's stage table shows).
+    Snapshotted before/after a query execution, the sum over stages NEW
+    in the after-snapshot is that query's real shuffle volume —
+    plan-string exchange counts say how MANY shuffles, this says how
+    BIG.  Keying by stage id (instead of diffing two whole-app totals)
+    makes the delta immune to the store evicting old stages mid-run
+    (`spark.ui.retainedStages`), which made long audits underflow to
+    NEGATIVE bytes (round-12 verdict, hll_rolling_users_7d).
 
     Returns None when the private status-store API is unreachable: the
     stageList signature is a Spark-internal py4j call, so a minor
@@ -75,24 +79,25 @@ def total_shuffle_write_bytes(spark) -> int | None:
             gw.jvm.java.util.ArrayList(),
         )
         it = stages.iterator()
-        total = 0
+        out = {}
         while it.hasNext():
-            total += it.next().shuffleWriteBytes()
-        return total
+            s = it.next()
+            out[(s.stageId(), s.attemptId())] = s.shuffleWriteBytes()
+        return out
     except Exception:  # noqa: BLE001 — private API, degrade not crash
         return None
 
 
-def settled_shuffle_bytes(spark) -> int | None:
+def settled_shuffle_by_stage(spark) -> dict | None:
     """Poll the status store until the async listener bus has drained
     (two consecutive equal samples), bounded at ~2 s — a fixed sleep
     raced a slow bus and under-reported (round-5 advice)."""
-    last = total_shuffle_write_bytes(spark)
+    last = shuffle_write_by_stage(spark)
     if last is None:
         return None
     for _ in range(20):
         time.sleep(0.1)
-        cur = total_shuffle_write_bytes(spark)
+        cur = shuffle_write_by_stage(spark)
         if cur == last:
             return cur
         last = cur
@@ -126,14 +131,16 @@ def main() -> None:
             )
         )
         facts = audit(plan)
-        before = total_shuffle_write_bytes(spark)
+        before = shuffle_write_by_stage(spark)
         df.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
         ).collect()
-        after = settled_shuffle_bytes(spark)
+        after = settled_shuffle_by_stage(spark)
         facts["shuffle_bytes"] = (
-            after - before if before is not None and after is not None else None
+            sum(b for k, b in after.items() if k not in before)
+            if before is not None and after is not None
+            else None
         )
         rows.append((name, facts))
         release_caches()  # per-query caches must not outlive the query
