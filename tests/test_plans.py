@@ -159,16 +159,21 @@ class TestRound3PlanShape:
         plan = formatted(spark, "contamination_overlap")
         assert "BroadcastHashJoin" in plan
 
-    def test_salient_terms_single_explode(self, spark):
-        # df is derived FROM tf and tf is cached: both aggregate
-        # branches read the SAME in-memory relation, so the corpus
-        # token explode is one physical node, not one per branch.
-        import re
-
-        plan = formatted(spark, "salient_terms")
-        assert plan.count("InMemoryTableScan") >= 2, plan
-        gen_ids = set(re.findall(r"\+\- Generate \((\d+)\)", plan))
-        assert len(gen_ids) == 1, plan
+    def test_salient_terms_explode_shared_via_exchange_reuse(self, spark):
+        # tf feeds the df aggregate and the join probe: the always-true
+        # tf > 0 guard keeps both branches' explode+partial-agg
+        # subtrees canonically identical, so AQE collapses them into
+        # ONE ReusedExchange at runtime and the corpus token explode
+        # executes once (disk-backed shuffle sharing — the round-13
+        # replacement for the storage cache, which was a measured wash
+        # while holding a corpus-rows relation).  Reuse is an AQE
+        # runtime decision, so assert on the EXECUTED plan.
+        df = REGISTRY["salient_terms"].build(spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final[:500]
+        assert "ReusedExchange" in final, final[:3000]
+        assert "InMemoryTableScan" not in final, final[:3000]
 
     def test_corr_single_aggregation(self, spark):
         # All six moment sums ride ONE hash aggregate: exactly one

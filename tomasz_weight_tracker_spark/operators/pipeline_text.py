@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import track_cache
+
 from ..functions import tokens
 
 # --- repetition signals (per-row, no shuffle) ------------------------------
@@ -403,16 +403,27 @@ def salient_terms(df: DataFrame, text_col: str = "text", top: int = 3) -> DataFr
     a count over tf — no second explode/scan) and BROADCAST back ->
     per-doc row_number window.  Two shuffles (tf agg, window), both on
     doc-sized keys; the df join moves no corpus data.  tf feeds both
-    the join's probe side and the df aggregate — it is cached so the
-    token explode over the corpus runs ONCE (Catalyst does not CSE
-    shared subtrees; without the cache the plan duplicates the
-    explode+aggregate, asserted in tests/test_plans.py)."""
+    the join's probe side and the df aggregate; Catalyst does not CSE
+    shared subtrees, but the duplicated explode+aggregate subtrees end
+    in IDENTICAL exchanges which AQE collapses at runtime to ONE
+    ReusedExchange (shuffle files are disk-backed and read by both
+    consumers — the scale-correct sharing; executed-plan assertion in
+    tests/test_plans.py).  A storage-level cache here was a measured
+    wash at sf0.1 (round-13 A/B: 1.20 s cached vs 1.16 s without,
+    checksum-identical) while materializing a corpus-rows relation —
+    removed per guide §5."""
     t = F.col(text_col)
     toks = df.select("doc_id", F.explode(tokens(t)).alias("term"))
-    tf = track_cache(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The always-true tf > 0 guard references the count on the df
+    # branch, so column pruning cannot strip it there — both branches'
+    # explode+partial-agg subtrees stay canonically IDENTICAL and the
+    # planner collapses them into the one ReusedExchange the docstring
+    # describes.  Without it the df branch drops the count, the
+    # exchanges differ, and the corpus tokenizes twice.
+    docfreq = (
+        tf.filter(F.col("tf") > 0).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )

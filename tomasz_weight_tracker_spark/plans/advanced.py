@@ -721,23 +721,24 @@ _PACK_SHARD = 128  # docs per prefix-sum shard
     "ORDER BY-everything window is exactly what does NOT scale.",
 )
 def q_sequence_packing(spark, sf_dir):
-    from ..caching import track_cache
-
     docs = load(spark, sf_dir, "documents")
-    # toks feeds both the within-shard window and the shard totals —
-    # cache it or the full-text tokenization runs twice (no CSE).
-    toks = track_cache(
-        docs.select(
-            "doc_id",
-            (
-                F.length("text")
-                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-                + 1
-            )
-            .cast("long")
-            .alias("n_tokens"),
-            F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+    # toks feeds both the within-shard window and the shard totals.
+    # Un-cached (round-13 A/B: cached 1.41 s vs 1.29 s without at
+    # sf0.1, checksum-identical): recomputing two cheap length
+    # projections streams from the pruned scan twice, while the cache
+    # builds a corpus-rows InMemoryRelation first — the wrong trade at
+    # any scale (guide §5: cache only when recompute beats the memory
+    # pressure).
+    toks = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
         )
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
     )
     # Within-shard running sum (shard-keyed window: bounded partitions).
     w_in = (
@@ -1566,15 +1567,16 @@ def q_source_rebalance(spark, sf_dir):
     "it must equal.",
 )
 def q_bitmap_rolling_users_7d(spark, sf_dir):
-    from ..caching import track_cache
-
     ev = load(spark, sf_dir, "events")
-    base = track_cache(
-        ev.select(
-            F.to_date("ts").alias("day"),
-            F.expr("shiftright(user_id, 6)").alias("word"),
-            F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").alias("bit"),
-        )
+    # Un-cached (round-13 A/B: cached 0.78 s vs 0.65 s without at
+    # sf0.1, checksum-identical): the three consumers (daily bitmaps,
+    # day domain, word domain) re-derive three cheap projections from
+    # the pruned scan; an events-sized cache only added build cost and
+    # memory pressure (guide §5).
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        F.expr("shiftright(user_id, 6)").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(user_id, 64) as int))").alias("bit"),
     )
     daily = base.groupBy("day", "word").agg(F.expr("bit_or(bit)").alias("bits"))
     days = base.select("day").distinct()

@@ -1005,26 +1005,28 @@ def _shuffled_docs(spark, sf_dir):
     the manifest cannot drift."""
     from pyspark.sql import Window
 
-    from ..caching import track_cache
     from ..functions import md5_long
 
     docs = load(spark, sf_dir, "documents")
     # toks feeds the within-bucket window AND the bucket totals.
-    toks = track_cache(
-        docs.select(
-            "doc_id",
-            (
-                F.length("text")
-                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-                + 1
-            )
-            .cast("long")
-            .alias("n_tokens"),
-            md5_long(
-                F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string"))
-            ).alias("h"),
-        ).withColumn("hshard", F.expr(f"h div {_HSHARD_DIV}"))
-    )
+    # Un-cached (round-13 A/B: cached 1.50 s vs 1.40 s without at
+    # sf0.1, checksum-identical): same trade as sequence_packing —
+    # two cheap md5/length projections recompute from the pruned scan,
+    # where the cache materialized a corpus-rows relation first
+    # (guide §5).
+    toks = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        md5_long(
+            F.concat(F.lit(f"{SHUF_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("hshard", F.expr(f"h div {_HSHARD_DIV}"))
     w_in = (
         Window.partitionBy("hshard")
         .orderBy("h", "doc_id")

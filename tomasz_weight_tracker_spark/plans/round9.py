@@ -677,6 +677,12 @@ def q_gopher_rule_attribution(spark, sf_dir):
     r = gopher_rules(m)
     # One projection computes every flag; cached because each rule arm
     # and the totals re-read it (Catalyst does no CSE across branches).
+    # Re-measured round 13 (A/B at sf0.1): 1.15 s cached vs 1.13 s
+    # without — a wash HERE, kept because the cached frame is 9 narrow
+    # columns per doc while recompute is ~9 full text-metric passes
+    # (gopher_metrics tokenizes) with no shared exchange to reuse —
+    # the un-cached wash at sf0.1 is the scan being cheap, not the
+    # recompute being free.
     f = track_cache(
         m.select("doc_id", *[r[name].alias(f"r_{name}") for name in rules])
     )

@@ -747,7 +747,11 @@ def q_waiting_suppliers(spark, sf_dir):
             ).alias("late"),
         )
     )
-    l = track_cache(l)
+    # Un-cached (round-13 A/B: 1.69 s cached vs 1.77 s without at
+    # sf0.1 — within jitter, checksum-identical): recomputing the
+    # scan + broadcast-join subtree per consumer costs one extra
+    # streaming pass, where the cache materialized a lineitem-sized
+    # relation — the shape that spills outright at 100 TB (guide §5).
     per_order = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
